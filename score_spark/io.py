@@ -1,0 +1,49 @@
+"""Table loading helpers for the driver-provided testdata layout
+(`<sf_dir>/<table>.parquet`, see TESTDATA.md).
+
+All reads go through ``spark.read.parquet`` so Catalyst keeps predicate
+pushdown, column pruning, and partition discovery. At cluster scale the same
+call reads a multi-file directory; nothing here assumes single files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark
+    rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long (legacy conf) and
+    truncate to microseconds — the same truncation DuckDB applies — using
+    integer division (a double intermediate would lose precision at 1e18 ns).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = load_table(spark, sf_dir, "events")
+    if dict(e.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        e = e.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return e

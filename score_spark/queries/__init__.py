@@ -1,0 +1,33 @@
+"""Query registry.
+
+``QUERIES``: name -> callable(spark, sf_dir) -> DataFrame (Spark-first impl).
+``ORACLE``:  name -> ANSI SQL string DuckDB can run on the same parquet views.
+
+Names and output column aliases are kept identical between the two so the
+driver's order-insensitive value-hash comparison lines up column-for-column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from score_spark.queries import relational
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _register(mod) -> None:
+    QUERIES.update(mod.QUERIES)
+    ORACLE.update(mod.ORACLE)
+
+
+_register(relational)
+
+
+def register_extra(mod) -> None:
+    """Used by operator modules (dedup/similarity/text/streaming) to add their
+    query entries at import time."""
+    _register(mod)
