@@ -1,0 +1,491 @@
+"""SchemaOnRead — derive each file source's minimal nested read-schema from a
+query's analyzed Catalyst plan.
+
+Rebuild of the reference pipeline (SchemaOnReadGenerator.java:42-63):
+  1. pre-pass root-down for the upper-most selection nodes (:66-73);
+  2. bottom-up walk with per-node-class handlers
+     (TreeNodeProcessingRegistry.java:25-115);
+  3. requirement-trie intersection with each relation's full schema;
+  4. best-effort: any failure → full schema (README.md:9).
+
+Architectural deviation from the reference (deliberate, SURVEY.md §7):
+attributes are tracked by Catalyst **exprId** straight from the analyzed-plan
+JSON, not by regex-re-parsing ``Expression.sql()`` strings
+(SQLExpressionParser.java:12-44). This kills the reference's
+"WindowExpression complete hack" (TreeNodeProcessingRegistry.java:62-68) and
+its documented alias-shadows-real-column over-inclusion wart
+(SchemaOnReadGeneratorTest.java:1680-1711) — exprIds are unambiguous.
+
+Node semantics mirrored 1:1 (SchemaOnReadUtils.java:89-158):
+  mandatory (always require full resolved path): Sort keys, Aggregate grouping
+  exprs, Join condition, Window partition+order specs;
+  conditional (require only at an upper-most selection node, else just touch):
+  Project list, Aggregate agg exprs, Window window exprs, Generate
+  generator+output.
+Extensions beyond the reference (needed for modern analyzed plans): WithCTE /
+CTERelationDef / CTERelationRef linking, Union/Intersect/Except positional
+linking across branches, Expand (rollup/cube) projections.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, types as T
+
+from score_spark.schema_on_read.plan_json import Node, build_tree, cls_name, expr_id, expr_trees
+from score_spark.schema_on_read.trie import Handle, TrieNode, prune_schema
+
+# Selection nodes "own" their columns (SchemaOnReadUtils.java:32-39). Join
+# participates only when it has a condition (TreeNodeProcessingRegistry.java:77-82).
+_SELECTION = {"Project", "Aggregate", "Window", "Sort", "Generate", "Join"}
+
+_PATH_EXPRS = {
+    "AttributeReference",
+    "GetStructField",
+    "GetArrayStructFields",
+    "GetMapValue",
+    "GetArrayItem",
+    "ElementAt",
+}
+
+
+@dataclass
+class RelationInfo:
+    ref: tuple[str, ...]  # sorted input files — relation identity (SchemaOnReadState.java:80-95,122-126)
+    root_paths: tuple[str, ...]
+    full_schema: T.StructType
+    trie: TrieNode
+    finalized: bool = False
+
+
+@dataclass
+class _State:
+    relations: dict[tuple[str, ...], RelationInfo] = field(default_factory=dict)
+    exprid_map: dict[tuple[str, int], list[Handle]] = field(default_factory=dict)
+    alias_to_ref: dict[str, tuple[str, ...]] = field(default_factory=dict)
+    cte_defs: dict[int, list[tuple[str, int]]] = field(default_factory=dict)  # cteId -> output exprIds
+    upper_most: set[int] = field(default_factory=set)  # id(node) of upper-most selection nodes
+    current_relation: RelationInfo | None = None
+
+
+def _norm_path(p: str) -> str:
+    p = p.rstrip("/")
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
+class SchemaOnRead:
+    """Public API — mirrors SchemaOnReadGenerator.java:30-85:
+    ``generate(df)`` / ``for_paths(*paths)`` / ``for_view(name)`` /
+    ``duration`` (seconds, :75-77)."""
+
+    def __init__(self) -> None:
+        self._state = _State()
+        self._failed = False
+        self.duration: float = 0.0
+
+    # ------------------------------------------------------------------ API
+
+    @classmethod
+    def generate(cls, df: DataFrame) -> "SchemaOnRead":
+        self = cls()
+        t0 = time.monotonic()
+        try:
+            jplan = df._jdf.queryExecution().analyzed()
+            relations = _collect_jvm_relations(jplan)
+            flat = __import__("json").loads(jplan.toJSON())
+            root = build_tree(flat)
+            self._analyze(root, relations)
+        except Exception:
+            # best-effort: fall back to full schemas (README.md:9). Tests set
+            # SCORE_SPARK_SOR_RAISE=1 so walker bugs can't hide behind the
+            # fallback.
+            import os
+
+            if os.environ.get("SCORE_SPARK_SOR_RAISE"):
+                raise
+            self._failed = True
+        self.duration = time.monotonic() - t0
+        return self
+
+    def for_paths(self, *paths: str) -> T.StructType:
+        """Pruned read-schema for the relation identified by the same path(s)
+        the query read (directory, glob root, or explicit file list)."""
+        want = {_norm_path(p) for p in paths}
+        for rel in self._state.relations.values():
+            roots = {_norm_path(p) for p in rel.root_paths}
+            files = {_norm_path(p) for p in rel.ref}
+            if want == roots or want == files or all(
+                any(f == w or f.startswith(w + "/") for w in want) for f in files
+            ):
+                return self._emit(rel)
+        raise KeyError(f"no file relation in this plan matches paths {sorted(want)}")
+
+    def for_view(self, name: str) -> T.StructType:
+        ref = self._state.alias_to_ref.get(name.lower())
+        if ref is None:
+            raise KeyError(f"no relation registered under alias {name!r}")
+        return self._emit(self._state.relations[ref])
+
+    @property
+    def relations(self) -> list[RelationInfo]:
+        return list(self._state.relations.values())
+
+    def _emit(self, rel: RelationInfo) -> T.StructType:
+        # Fallbacks: analysis failure, relation never owned by a selection
+        # node (e.g. filter-only plans, test :95-101), or an empty trie —
+        # all → full schema (SchemaOnReadExtractor.java:154-158).
+        if self._failed or not rel.finalized:
+            return rel.full_schema
+        pruned = prune_schema(rel.full_schema, rel.trie)
+        if not pruned.fields:
+            return rel.full_schema
+        return pruned
+
+    # ------------------------------------------------------- plan traversal
+
+    def _analyze(self, root: Node, relations: list[dict[str, Any]]) -> None:
+        st = self._state
+        self._rel_iter = iter(relations)
+        self._mark_upper_most(root, found=False)
+        self._visit(root)
+
+    def _mark_upper_most(self, node: Node, found: bool) -> None:
+        """Root-down pre-pass (SchemaOnReadGenerator.java:66-73): the first
+        selection node on each root-to-leaf branch is upper-most — its
+        conditional columns are final output and must stay full."""
+        cname = cls_name(node)
+        if cname == "WithCTE":
+            # defs are logically inlined at their refs: pre-pass only the main
+            # plan here; _visit exposes defs based on where refs sit.
+            children = node["_children"]
+            defs, plan = children[:-1], children[-1]
+            self._cte_def_nodes = getattr(self, "_cte_def_nodes", {})
+            for d in defs:
+                self._cte_def_nodes[d["id"]] = d
+            self._cte_exposed = getattr(self, "_cte_exposed", {})
+            self._mark_upper_most(plan, found)
+            for d in defs:
+                exposed = self._cte_exposed.get(d["id"], False)
+                self._mark_upper_most(d["_children"][0], found=not exposed)
+            return
+        if cname == "CTERelationRef":
+            exposed = getattr(self, "_cte_exposed", None)
+            if exposed is not None and not found:
+                exposed[node["cteId"]] = True
+            return
+        is_selection = cname in _SELECTION and (cname != "Join" or expr_trees(node.get("condition")))
+        if is_selection and not found:
+            self._state.upper_most.add(id(node))
+            found = True
+        for c in node["_children"]:
+            self._mark_upper_most(c, found)
+
+    def _visit(self, node: Node) -> None:
+        """Bottom-up (children first) — Catalyst's foreachUp
+        (SchemaOnReadGenerator.java:51)."""
+        for c in node["_children"]:
+            self._visit(c)
+        handler = getattr(self, "_on_" + cls_name(node), None)
+        if handler is not None:
+            handler(node)
+
+    # ------------------------------------------------------------- handlers
+
+    def _on_LogicalRelation(self, node: Node) -> None:
+        # Pair the k-th JSON LogicalRelation with the k-th JVM one (both
+        # walks are pre-order over the same tree; _visit is post-order but
+        # leaf order is preserved).
+        info = next(self._rel_iter)
+        st = self._state
+        if info is None:  # non-file relation (JDBC etc.) — ignore, like LocalRelation
+            st.current_relation = None
+            return
+        ref = info["ref"]
+        rel = st.relations.get(ref)
+        if rel is None:
+            # double-entry guard for self-joins: one trie per path-set
+            # (SchemaOnReadState.java:106-126)
+            rel = RelationInfo(
+                ref=ref,
+                root_paths=info["root_paths"],
+                full_schema=info["schema"],
+                trie=TrieNode(dtype=T.StructType(info["schema"].fields)),
+            )
+            st.relations[ref] = rel
+        st.current_relation = rel
+        node["_rel"] = rel
+        for out in expr_trees(node.get("output")):
+            eid = expr_id(out)
+            if eid is not None:
+                st.exprid_map.setdefault(eid, []).append(Handle(rel.trie, out["name"].lower()))
+
+    def _on_LocalRelation(self, node: Node) -> None:
+        # in-memory data is never pruned (TreeNodeProcessingRegistry.java:32-33)
+        self._state.current_relation = None
+
+    def _on_SubqueryAlias(self, node: Node) -> None:
+        # view/table alias -> relation ref (SchemaOnReadState.java:128-132);
+        # like the reference, maps to the current (last-registered) relation.
+        ident = node.get("identifier")
+        name = ident.get("name") if isinstance(ident, dict) else None
+        if name and self._state.current_relation is not None:
+            self._state.alias_to_ref.setdefault(name.lower(), self._state.current_relation.ref)
+
+    def _on_Project(self, node: Node) -> None:
+        self._selection(node, mandatory=[], conditional=expr_trees(node.get("projectList")))
+
+    def _on_Aggregate(self, node: Node) -> None:
+        # grouping keys compare whole values -> mandatory-full
+        # (SchemaOnReadUtils.java:126-136; struct-grouping tests :1592-1629)
+        self._selection(
+            node,
+            mandatory=expr_trees(node.get("groupingExpressions")),
+            conditional=expr_trees(node.get("aggregateExpressions")),
+        )
+
+    def _on_Window(self, node: Node) -> None:
+        self._selection(
+            node,
+            mandatory=expr_trees(node.get("partitionSpec")) + expr_trees(node.get("orderSpec")),
+            conditional=expr_trees(node.get("windowExpressions")),
+        )
+
+    def _on_Sort(self, node: Node) -> None:
+        self._selection(node, mandatory=expr_trees(node.get("order")), conditional=[])
+
+    def _on_Join(self, node: Node) -> None:
+        cond = expr_trees(node.get("condition"))
+        if not cond:
+            return  # cross joins own nothing (TreeNodeProcessingRegistry.java:77-82)
+        self._selection(node, mandatory=cond, conditional=[])
+
+    def _on_Generate(self, node: Node) -> None:
+        # conditional generator + outputs (SchemaOnReadUtils.java:148-158);
+        # the LAST generator-output attribute aliases the exploded element
+        # (SchemaOnReadState.java:202-231) so `item.col1` maps to arr.col1.
+        gen = expr_trees(node.get("generator"))
+        outputs = expr_trees(node.get("generatorOutput"))
+        handles: list[Handle] = []
+        mode = "require" if id(node) in self._state.upper_most else "touch"
+        for g in gen:
+            # Explode/PosExplode/Inline wrap the collection expr — resolve the
+            # child so its trie node aliases the output attribute
+            target = g["_children"][0] if g["_children"] else g
+            handles = self._walk_expr(target, mode)
+        if outputs:
+            last = outputs[-1]
+            eid = expr_id(last)
+            if eid is not None and handles:
+                self._state.exprid_map.setdefault(eid, []).extend(handles)
+        self._finalize(node)
+
+    def _on_Filter(self, node: Node) -> None:
+        # NOT a selection node: attrs register, primitives latch, no
+        # finalization (TreeNodeProcessingRegistry.java:44-49; test :95-101)
+        for e in expr_trees(node.get("condition")):
+            self._walk_expr(e, "touch")
+
+    def _on_RepartitionByExpression(self, node: Node) -> None:
+        for e in expr_trees(node.get("partitionExpressions")):
+            self._walk_expr(e, "touch")
+
+    def _on_Union(self, node: Node) -> None:
+        self._link_positional(node)
+
+    def _on_Intersect(self, node: Node) -> None:
+        self._link_positional(node)
+
+    def _on_Except(self, node: Node) -> None:
+        self._link_positional(node)
+
+    def _link_positional(self, node: Node) -> None:
+        """Union/Intersect/Except output = head child's exprIds; link every
+        other branch's same-position attr so requirements reach ALL branches
+        (reference merges per-branch results instead,
+        TreeNodeProcessingRegistry.java:108-115; tests :559-603)."""
+        children = node["_children"]
+        if not children:
+            return
+        outs = [_node_output(c) for c in children]
+        head = outs[0]
+        st = self._state
+        for i, head_eid in enumerate(head):
+            bucket = st.exprid_map.setdefault(head_eid, [])
+            for other in outs[1:]:
+                if i < len(other):
+                    bucket.extend(st.exprid_map.get(other[i], []))
+
+    def _on_Expand(self, node: Node) -> None:
+        # rollup/cube: output attrs take the union of every projection's
+        # handles at that position
+        projections = node.get("projections")
+        outputs = expr_trees(node.get("output"))
+        if not isinstance(projections, list):
+            return
+        proj_trees = [expr_trees(p) for p in projections]
+        for i, out in enumerate(outputs):
+            eid = expr_id(out)
+            if eid is None:
+                continue
+            for row in proj_trees:
+                if i < len(row):
+                    handles = self._resolve_path(row[i]) if cls_name(row[i]) in _PATH_EXPRS else []
+                    if handles:
+                        self._state.exprid_map.setdefault(eid, []).extend(handles)
+
+    def _on_WithCTE(self, node: Node) -> None:
+        pass  # defs/refs handled below
+
+    def _on_CTERelationDef(self, node: Node) -> None:
+        out = _node_output(node["_children"][0])
+        self._state.cte_defs[node["id"]] = out
+
+    def _on_CTERelationRef(self, node: Node) -> None:
+        st = self._state
+        def_out = st.cte_defs.get(node["cteId"], [])
+        ref_out = [expr_id(o) for o in expr_trees(node.get("output"))]
+        for i, eid in enumerate(ref_out):
+            if eid is not None and i < len(def_out):
+                src = st.exprid_map.get(def_out[i], [])
+                if src:
+                    st.exprid_map.setdefault(eid, []).extend(src)
+
+    # ------------------------------------------------------------ mechanics
+
+    def _selection(self, node: Node, mandatory: list[Node], conditional: list[Node]) -> None:
+        cond_mode = "require" if id(node) in self._state.upper_most else "touch"
+        for e in mandatory:
+            self._walk_expr(e, "require")
+        for e in conditional:
+            self._walk_expr(e, cond_mode)
+        self._finalize(node)
+
+    def _finalize(self, node: Node) -> None:
+        """Selection-node exit: every relation below now has an owner —
+        eligible for pruned emission (TreeNodeProcessingRegistry.java:108-115)."""
+        stack = [node]
+        while stack:
+            n = stack.pop()
+            rel = n.get("_rel")
+            if rel is not None:
+                rel.finalized = True
+            stack.extend(n["_children"])
+            if cls_name(n) == "CTERelationRef":
+                d = getattr(self, "_cte_def_nodes", {}).get(n["cteId"])
+                if d is not None:
+                    stack.append(d)
+
+    def _walk_expr(self, expr: Node, mode: str) -> list[Handle]:
+        """Walk one expression tree, marking requirement state.
+
+        mode='require': the resolved terminal keeps its full subtree (sticky,
+        SchemaElementImpl.java:112-114). mode='touch': the path is recorded;
+        complex terminals stay prunable by later descendants; primitives are
+        kept by emission regardless (SchemaElementImpl.java:46-51).
+        """
+        cname = cls_name(expr)
+        if cname in _PATH_EXPRS:
+            handles = self._resolve_path(expr)
+            for h in handles:
+                n = h.materialize()
+                if mode == "require":
+                    n.require()
+            return handles
+        if cname == "Alias":
+            child_handles = self._walk_expr(expr["_children"][0], mode)
+            eid = expr_id(expr)
+            if eid is not None and child_handles:
+                # shared-state alias clone (SchemaElementImpl.java:37-43):
+                # the alias points at the SAME trie nodes
+                self._state.exprid_map.setdefault(eid, []).extend(child_handles)
+            return child_handles
+        # generic expressions (functions, predicates, window/agg wrappers,
+        # UDFs — test :546-557): recurse into children
+        for c in expr["_children"]:
+            self._walk_expr(c, mode)
+        return []
+
+    def _resolve_path(self, expr: Node) -> list[Handle]:
+        cname = cls_name(expr)
+        if cname == "AttributeReference":
+            eid = expr_id(expr)
+            return list(self._state.exprid_map.get(eid, [])) if eid else []
+        if cname == "GetStructField":
+            base = self._resolve_path(expr["_children"][0])
+            name = expr.get("name")
+            return [h.descend(name) for h in base] if name else base
+        if cname == "GetArrayStructFields":
+            base = self._resolve_path(expr["_children"][0])
+            fld = expr.get("field")
+            name = fld.get("name") if isinstance(fld, dict) else None
+            return [h.descend(name) for h in base] if name else base
+        if cname in ("GetMapValue", "GetArrayItem", "ElementAt"):
+            # collection index/key access never narrows (SQLExpressionParser
+            # strips [0] / ['key'] — :12-44); keys/ordinals may still
+            # reference columns
+            for extra in expr["_children"][1:]:
+                self._walk_expr(extra, "touch")
+            return self._resolve_path(expr["_children"][0])
+        return []
+
+
+def _node_output(node: Node) -> list[tuple[str, int]]:
+    """Output attr exprIds of a plan node (enough shapes for CTE-def linking)."""
+    cname = cls_name(node)
+    if cname in ("LogicalRelation", "CTERelationRef", "LocalRelation"):
+        return [e for e in (expr_id(o) for o in expr_trees(node.get("output"))) if e]
+    if cname == "Project":
+        return [e for e in (expr_id(p) for p in expr_trees(node.get("projectList"))) if e]
+    if cname == "Aggregate":
+        return [e for e in (expr_id(p) for p in expr_trees(node.get("aggregateExpressions"))) if e]
+    if cname == "Window":
+        return _node_output(node["_children"][0]) + [
+            e for e in (expr_id(p) for p in expr_trees(node.get("windowExpressions"))) if e
+        ]
+    if cname == "Generate":
+        return _node_output(node["_children"][0]) + [
+            e for e in (expr_id(p) for p in expr_trees(node.get("generatorOutput"))) if e
+        ]
+    if cname == "Join":
+        return [e for c in node["_children"] for e in _node_output(c)]
+    if cname == "Union":
+        return _node_output(node["_children"][0]) if node["_children"] else []
+    if node["_children"]:
+        return _node_output(node["_children"][0])  # passthrough (Filter/Sort/SubqueryAlias/View/Limit/...)
+    return []
+
+
+def _collect_jvm_relations(jplan) -> list[dict[str, Any] | None]:
+    """Pre-order py4j walk pairing each LogicalRelation with its file paths and
+    full schema (the JSON serialization drops the relation object). Identity =
+    sorted qualified input files (SchemaOnReadState.java:80-95,122-126)."""
+    out: list[dict[str, Any] | None] = []
+
+    def rec(jnode) -> None:
+        cname = jnode.getClass().getName().rsplit(".", 1)[-1]
+        if cname == "LogicalRelation":
+            rel = jnode.relation()
+            if rel.getClass().getName().endswith("HadoopFsRelation"):
+                files = tuple(sorted(rel.location().inputFiles()))
+                roots = tuple(str(p) for p in _scala_seq(rel.location().rootPaths()))
+                schema = T.StructType.fromJson(__import__("json").loads(rel.schema().json()))
+                out.append({"ref": files, "root_paths": roots, "schema": schema})
+            else:
+                out.append(None)
+        children = jnode.children()
+        for i in range(children.length()):
+            rec(children.apply(i))
+
+    rec(jplan)
+    return out
+
+
+def _scala_seq(seq) -> list:
+    return [seq.apply(i) for i in range(seq.length())]

@@ -1,0 +1,460 @@
+"""Golden-schema tests — the pytest port of the reference's e2e suite
+(/root/reference/score/src/test/java/com/taboola/spark/sql/score/SchemaOnReadGeneratorTest.java,
+line cites per test). Pattern mirrors the reference: build a real query,
+generate, assert the emitted StructType, and for re-execution cases prove the
+pruned schema still runs the query to the same result.
+
+Deliberate deviations (exprId tracking instead of SQL-string parsing):
+- dropped columns vanish entirely instead of leaving skeletons (:1507-1532);
+- alias names shadowing real columns do NOT over-include (:1680-1711).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from score_spark.schema_on_read import SchemaOnRead
+from tests.fixtures_nested import SAMPLE_SCHEMA, write_fixtures
+
+
+@pytest.fixture(scope="session")
+def fx(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("nested_fixtures")
+    return write_fixtures(spark, str(base))
+
+
+@pytest.fixture(scope="session")
+def sample(spark, fx):
+    return spark.read.parquet(fx["sample_parquet"])
+
+
+import os
+
+os.environ.setdefault("SCORE_SPARK_SOR_RAISE", "1")
+
+
+def gen(df):
+    sor = SchemaOnRead.generate(df)
+    assert sor.duration < 2.0  # driver-side only; BASELINE.md target <100ms after warmup
+    return sor
+
+
+def schema_of(df, fx, key="sample_parquet"):
+    return gen(df).for_paths(fx[key])
+
+
+def st(*fields):
+    return T.StructType(list(fields))
+
+
+def f(name, dtype, nullable=True):
+    return T.StructField(name, dtype, nullable)
+
+
+LONG = T.LongType()
+STR = T.StringType()
+
+
+def struct_field(*inner):
+    return f("struct", st(*inner))
+
+
+# ----------------------------------------------------------------- scans
+
+
+def test_full_schema_passthrough_no_projection(spark, fx):
+    # filter without projection → full schema (test :95-101)
+    df = spark.read.parquet(fx["sample_parquet"]).filter(F.col("someLong") > 0)
+    assert schema_of(df, fx) == SAMPLE_SCHEMA
+
+
+def test_filter_only_query_runs_with_full_schema(spark, fx):
+    df = spark.read.parquet(fx["sample_parquet"])
+    sor = gen(df.filter(F.col("someBoolean")))
+    pruned = sor.for_paths(fx["sample_parquet"])
+    n = spark.read.schema(pruned).parquet(fx["sample_parquet"]).filter(F.col("someBoolean")).count()
+    assert n == 2
+
+
+# ------------------------------------------------------------- projection
+
+
+def test_top_level_select(spark, fx):
+    # (:144-190)
+    df = spark.read.parquet(fx["sample_parquet"]).select("someStr")
+    assert schema_of(df, fx) == st(f("someStr", STR))
+
+
+def test_nested_select(spark, fx):
+    df = spark.read.parquet(fx["sample_parquet"]).select("struct.col1")
+    assert schema_of(df, fx) == st(struct_field(f("col1", LONG)))
+
+
+def test_case_insensitive_resolution(spark, fx):
+    # matched lower-cased, emitted source-cased (:192-215)
+    df = spark.read.parquet(fx["sample_parquet"]).select("STRUCT.COL1")
+    assert schema_of(df, fx) == st(struct_field(f("col1", LONG)))
+
+
+def test_whole_struct_and_subfield_together(spark, fx):
+    # SELECT s, s.f → full struct wins (:1570-1588)
+    df = spark.read.parquet(fx["sample_parquet"]).select("struct", "struct.col1")
+    assert schema_of(df, fx) == st(f("struct", SAMPLE_SCHEMA["struct"].dataType))
+
+
+def test_drop_removes_entirely(spark, fx):
+    # deviation from (:1507-1532): no skeletons for dropped cols
+    df = spark.read.parquet(fx["sample_parquet"]).drop(
+        "someStrArray", "someComplexArray", "nestedStruct", "someArrayOfArrays", "someArrayOfComplexArrays"
+    )
+    got = schema_of(df, fx)
+    assert got.fieldNames() == ["someStr", "someLong", "someDouble", "someBoolean", "struct"]
+    assert got["struct"].dataType == SAMPLE_SCHEMA["struct"].dataType  # upper-most → full
+
+
+def test_alias_narrowing_through_subquery(spark, fx):
+    # SELECT struct AS s ... then s.col1 → struct{col1} (:1535-1549, :685-705)
+    df = spark.read.parquet(fx["sample_parquet"]).select(F.col("struct").alias("s")).select("s.col1")
+    assert schema_of(df, fx) == st(struct_field(f("col1", LONG)))
+
+
+def test_filter_on_column_not_in_select(spark, fx):
+    # (:656-683): someStr only filtered → still read (primitive latch)
+    df = spark.read.parquet(fx["sample_parquet"]).filter(F.col("someStr") == "bla").select("struct.col2")
+    got = schema_of(df, fx)
+    assert got == st(f("someStr", STR), struct_field(f("col2", LONG)))
+
+
+def test_scalar_exprs_coalesce_if(spark, fx):
+    # (:1277-1296)
+    df = (
+        spark.read.parquet(fx["sample_parquet"])
+        .filter(F.coalesce(F.col("someLong"), F.lit(0)) > 0)
+        .select(F.when(F.col("someBoolean"), F.col("struct.col1")).otherwise(F.col("struct.col2")).alias("x"))
+    )
+    assert schema_of(df, fx) == st(
+        f("someLong", LONG), f("someBoolean", T.BooleanType()), struct_field(f("col1", LONG), f("col2", LONG))
+    )
+
+
+# ------------------------------------------------------------- aggregates
+
+
+def test_group_by_with_sum(spark, fx):
+    # (:707-733)
+    df = spark.read.parquet(fx["sample_parquet"]).groupBy("someStr").agg(F.sum("someLong").alias("s"))
+    assert schema_of(df, fx) == st(f("someStr", STR), f("someLong", LONG))
+
+
+def test_group_by_whole_struct_mandatory_full(spark, fx):
+    # grouping by struct keeps the FULL struct (:1592-1629)
+    df = spark.read.parquet(fx["sample_parquet"]).groupBy("struct").agg(F.count(F.lit(1)).alias("c"))
+    assert schema_of(df, fx) == st(f("struct", SAMPLE_SCHEMA["struct"].dataType))
+
+
+def test_group_by_struct_part(spark, fx):
+    # grouping by a struct PART prunes to it (:1631-1677)
+    df = spark.read.parquet(fx["sample_parquet"]).groupBy("struct.col1").agg(F.count(F.lit(1)).alias("c"))
+    assert schema_of(df, fx) == st(struct_field(f("col1", LONG)))
+
+
+def test_agg_inside_subquery_outer_reprojection(spark, fx):
+    # agg in CTE, outer re-projection (:834-861)
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    df = spark.sql(
+        """
+        WITH base AS (SELECT someStr, sum(someLong) AS s, first(struct) AS fs FROM sample_v GROUP BY someStr)
+        SELECT s FROM base
+        """
+    )
+    got = schema_of(df, fx)
+    # someStr (grouping, mandatory) + someLong (agg arg); struct only touched
+    # in non-upper agg → skeleton
+    assert got == st(f("someStr", STR), f("someLong", LONG), f("struct", st()))
+
+
+def test_conditional_agg_sum_if(spark, fx):
+    # sum(if(cond, x, 0)) (:863-892)
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    df = spark.sql(
+        "SELECT someStr, sum(if(someBoolean, someLong, 0)) AS s FROM sample_v GROUP BY someStr"
+    )
+    assert schema_of(df, fx) == st(f("someStr", STR), f("someLong", LONG), f("someBoolean", T.BooleanType()))
+
+
+# ---------------------------------------------------------------- windows
+
+
+def test_window_inline(spark, fx):
+    # FIRST(...) OVER (PARTITION BY ... ORDER BY ...) (:1105-1124)
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    df = spark.sql(
+        "SELECT first(struct.col1) OVER (PARTITION BY someStr ORDER BY someLong) AS fv FROM sample_v"
+    )
+    assert schema_of(df, fx) == st(
+        f("someStr", STR), f("someLong", LONG), struct_field(f("col1", LONG))
+    )
+
+
+def test_window_complex_partition_key_mandatory_full(spark, fx):
+    # complex partition key → full subtree (:361-403)
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    df = spark.sql(
+        "SELECT first(someLong) OVER (PARTITION BY someComplexArray ORDER BY someStr) AS fv FROM sample_v"
+    )
+    got = schema_of(df, fx)
+    assert got == st(
+        f("someStr", STR),
+        f("someLong", LONG),
+        f("someComplexArray", SAMPLE_SCHEMA["someComplexArray"].dataType),
+    )
+
+
+# ------------------------------------------------------------------- sorts
+
+
+def test_order_by_complex_in_subquery_mandatory_full(spark, fx):
+    # ORDER BY complex column → full struct (:405-424)
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    df = spark.sql("SELECT someStr FROM (SELECT someStr, struct FROM sample_v ORDER BY struct) t")
+    got = schema_of(df, fx)
+    assert got == st(f("someStr", STR), f("struct", SAMPLE_SCHEMA["struct"].dataType))
+
+
+# ------------------------------------------------------------------- joins
+
+
+def test_self_join_merges_into_one_relation(spark, fx):
+    # self-join with aliases: one path-set, merged trie (:894-918)
+    a = spark.read.parquet(fx["sample_parquet"]).alias("a")
+    b = spark.read.parquet(fx["sample_parquet"]).alias("b")
+    df = a.join(b, F.col("a.someLong") == F.col("b.someLong")).select(
+        F.col("a.someStr"), F.col("b.struct.col1")
+    )
+    assert schema_of(df, fx) == st(
+        f("someStr", STR), f("someLong", LONG), struct_field(f("col1", LONG))
+    )
+
+
+def test_join_cross_source_per_source_schemas(spark, fx):
+    # parquet ⋈ json with per-source pruning (:1246-1275)
+    pq = spark.read.parquet(fx["sample_parquet"])
+    js = spark.read.option("multiline", True).json(fx["sample_json"])
+    df = pq.join(js, pq.someLong == js.someLong).select(pq.someStr, js["struct.col2"])
+    sor = gen(df)
+    assert sor.for_paths(fx["sample_parquet"]) == st(f("someStr", STR), f("someLong", LONG))
+    js_schema = sor.for_paths(fx["sample_json"])
+    assert [fl.name for fl in js_schema] == ["someLong", "struct"]
+    assert js_schema["struct"].dataType.fieldNames() == ["col2"]
+
+
+def test_broadcast_join_hint(spark, fx):
+    # F.broadcast both forms (:1042-1102); ResolvedHint is a passthrough
+    a = spark.read.parquet(fx["sample_parquet"])
+    b = F.broadcast(spark.read.parquet(fx["sample_parquet"]))
+    df = a.join(b, a.someLong == b.someLong).select(a.someStr)
+    assert schema_of(df, fx) == st(f("someStr", STR), f("someLong", LONG))
+
+
+# ---------------------------------------------------------------- explodes
+
+
+def test_lateral_view_explode_string_array(spark, fx):
+    # (:274-286)
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    df = spark.sql("SELECT item FROM sample_v LATERAL VIEW EXPLODE(someStrArray) t AS item")
+    assert schema_of(df, fx) == st(f("someStrArray", T.ArrayType(STR)))
+
+
+def test_explode_array_of_struct_field_access(spark, fx):
+    # explode then item.col1 → arr{col1} (:302-318)
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    df = spark.sql("SELECT item.col1 FROM sample_v LATERAL VIEW EXPLODE(someComplexArray) t AS item")
+    assert schema_of(df, fx) == st(
+        f("someComplexArray", T.ArrayType(st(f("col1", LONG))))
+    )
+
+
+def test_posexplode_value_attr_is_last(spark, fx):
+    # (:288-300)
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    df = spark.sql(
+        "SELECT pos, item.col2 FROM sample_v LATERAL VIEW POSEXPLODE(someComplexArray) t AS pos, item"
+    )
+    assert schema_of(df, fx) == st(
+        f("someComplexArray", T.ArrayType(st(f("col2", LONG))))
+    )
+
+
+def test_explode_nested_subarray(spark, fx):
+    # explode(struct.subArray) (:606-627)
+    df = spark.read.parquet(fx["sample_parquet"]).select(
+        F.explode(F.col("struct.subArray")).alias("x")
+    )
+    assert schema_of(df, fx) == st(struct_field(f("subArray", T.ArrayType(LONG))))
+
+
+def test_chained_explodes(spark, fx):
+    # explode array-of-struct, then explode its inner array (:449-472)
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    df = spark.sql(
+        """
+        SELECT inner_item FROM sample_v
+        LATERAL VIEW EXPLODE(someArrayOfComplexArrays) t1 AS item
+        LATERAL VIEW EXPLODE(item.col2) t2 AS inner_item
+        """
+    )
+    assert schema_of(df, fx) == st(
+        f("someArrayOfComplexArrays", T.ArrayType(st(f("col2", T.ArrayType(LONG)))))
+    )
+
+
+def test_array_index_struct_field(spark, fx):
+    # arr[0].field — index never narrows, path does (:510-543, :217-254)
+    df = spark.read.parquet(fx["sample_parquet"]).select(F.col("someComplexArray")[0]["col1"].alias("v"))
+    assert schema_of(df, fx) == st(f("someComplexArray", T.ArrayType(st(f("col1", LONG)))))
+
+
+def test_filter_field_through_array(spark, fx):
+    # predicate over arr.col2 (:1400-1454)
+    df = (
+        spark.read.parquet(fx["sample_parquet"])
+        .filter(F.col("someComplexArray.col2").isNotNull())
+        .select("someStr")
+    )
+    assert schema_of(df, fx) == st(
+        f("someStr", STR), f("someComplexArray", T.ArrayType(st(f("col2", LONG))))
+    )
+
+
+# -------------------------------------------------------------------- maps
+
+
+def test_map_value_pruning_keys_never_pruned(spark, fx):
+    # mapOfArray['someKey'][0].val1 in SELECT and WHERE → value struct pruned
+    # to val1; keys stay (:1298-1332)
+    df = (
+        spark.read.parquet(fx["crazy_parquet"])
+        .filter(F.col("mapOfArray")["someKey"][0]["val1"].isNotNull())
+        .select(F.col("mapOfArray")["someKey"][0]["val1"].alias("v"))
+    )
+    got = gen(df).for_paths(fx["crazy_parquet"])
+    assert got == st(
+        f(
+            "mapOfArray",
+            T.MapType(STR, T.ArrayType(st(f("val1", STR)))),
+        )
+    )
+
+
+# ------------------------------------------------------------------ unions
+
+
+def test_union_per_branch_pruning(spark, fx):
+    # union over two files: requirements reach BOTH branches (:559-603)
+    pq = spark.read.parquet(fx["sample_parquet"]).select("someStr", "struct")
+    js = spark.read.option("multiline", True).json(fx["sample_json"]).select("someStr", "struct")
+    df = pq.unionAll(js).select("struct.col3")
+    sor = gen(df)
+    got_pq = sor.for_paths(fx["sample_parquet"])
+    assert [fl.name for fl in got_pq] == ["someStr", "struct"]
+    assert got_pq["struct"].dataType.fieldNames() == ["col3"]
+    got_js = sor.for_paths(fx["sample_json"])
+    assert got_js["struct"].dataType.fieldNames() == ["col3"]
+
+
+# ---------------------------------------------------- other source handling
+
+
+def test_local_relation_ignored(spark, fx):
+    # createDataFrame sources are never pruned (:977-1001)
+    local = spark.createDataFrame([("bla",)], ["someString"])
+    pq = spark.read.parquet(fx["sample_parquet"])
+    df = pq.join(local, pq.someStr == local.someString).select("someLong")
+    sor = gen(df)
+    assert sor.for_paths(fx["sample_parquet"]) == st(
+        f("someStr", STR), f("someLong", LONG), f("someString", STR)
+    ) or sor.for_paths(fx["sample_parquet"]).fieldNames() == ["someStr", "someLong"]
+    assert len(sor.relations) == 1
+
+
+def test_partitioned_directory(spark, fx):
+    # partition col lives in the dir name; survives pruning when selected
+    # (:1490-1505)
+    df = spark.read.parquet(fx["partitioned"]).select("someLong", "struct.col1")
+    sor = gen(df)
+    got = sor.for_paths(fx["partitioned"])
+    names = got.fieldNames()
+    assert set(names) == {"someLong", "struct"}
+    assert got["struct"].dataType.fieldNames() == ["col1"]
+
+
+def test_cached_dataset_still_traced(spark, fx):
+    # (:1162-1188): analyzed plan keeps the source under .cache()
+    df = spark.read.parquet(fx["sample_parquet"]).cache()
+    try:
+        q = df.select("struct.col1")
+        assert schema_of(q, fx) == st(struct_field(f("col1", LONG)))
+    finally:
+        df.unpersist()
+
+
+def test_udf_arguments_tracked(spark, fx):
+    # registered UDF's argument columns still tracked (:546-557)
+    spark.udf.register("my_concat", lambda a, b: f"{a}-{b}")
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    df = spark.sql("SELECT my_concat(someStr, struct.col1) AS c FROM sample_v")
+    assert schema_of(df, fx) == st(f("someStr", STR), struct_field(f("col1", LONG)))
+
+
+def test_for_view_api(spark, fx):
+    # getSchemaOnReadByAlias analog (SchemaOnReadGenerator.java:79-85)
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    df = spark.sql("SELECT someStr FROM sample_v")
+    sor = gen(df)
+    assert sor.for_view("sample_v") == st(f("someStr", STR))
+
+
+def test_generate_never_raises(spark):
+    # best-effort contract (README.md:9)
+    df = spark.range(10).selectExpr("id * 2 AS x")
+    sor = SchemaOnRead.generate(df)
+    assert sor.relations == []
+
+
+# ----------------------------------------- pruned-schema equivalence (e2e)
+
+
+@pytest.mark.parametrize(
+    "build",
+    [
+        lambda d: d.select("struct.col1", "someStr"),
+        lambda d: d.groupBy("someStr").agg(F.sum("someLong").alias("s")),
+        lambda d: d.filter(F.col("someComplexArray.col2").isNotNull()).select("nestedStruct.childStruct.col1"),
+        lambda d: d.select(F.explode("someComplexArray").alias("i")).select("i.col2"),
+    ],
+    ids=["nested-select", "agg", "filter-through-array", "explode"],
+)
+def test_pruned_rerun_equals_full_run(spark, fx, build):
+    # the reference's executeQueryWithSchema does-it-still-run check
+    # (:1714-1717), strengthened to full result equality
+    full_df = build(spark.read.parquet(fx["sample_parquet"]))
+    sor = gen(full_df)
+    pruned_schema = sor.for_paths(fx["sample_parquet"])
+    pruned_df = build(spark.read.schema(pruned_schema).parquet(fx["sample_parquet"]))
+    assert sorted(map(str, full_df.collect())) == sorted(map(str, pruned_df.collect()))
+
+
+def test_json_multiline_pruned_read(spark, fx):
+    # JSON is where read-schema pruning pays (SchemaPruning is file-format
+    # gated; SURVEY §4): narrower schema → cheaper parse, same rows
+    js = spark.read.option("multiline", True).json(fx["sample_json"])
+    q = js.select("struct.col1", "someStr")
+    sor = gen(q)
+    pruned = sor.for_paths(fx["sample_json"])
+    assert pruned["struct"].dataType.fieldNames() == ["col1"]
+    re_read = spark.read.schema(pruned).option("multiline", True).json(fx["sample_json"])
+    assert sorted(map(str, re_read.select("struct.col1", "someStr").collect())) == sorted(
+        map(str, q.collect())
+    )
