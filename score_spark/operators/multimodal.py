@@ -1,0 +1,130 @@
+"""Multimodal columns: image/audio/video as opaque binary columns with typed
+metadata, processed via Arrow-batched mapInPandas.
+
+The Spark-side plumbing — schema contract, batch iteration, partition-local
+processing, deterministic output — is real and tested. The actual media
+decoding is STUBBED: the container ships no image/audio libraries, so
+``decode_image`` tries PIL and otherwise falls back to a deterministic fake
+(documented below). Swap ``_fake_decode`` for a real decoder on a cluster
+with the codec libraries installed; nothing else changes.
+
+Scale posture: mapInPandas streams Arrow record batches — constant memory per
+task, no driver involvement, binary payloads never shuffled (features are
+extracted in the same stage as the scan; only the small feature columns move
+on).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, types as T
+
+from score_spark.io import load_table
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("content_sha256", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, str]:
+    """Deterministic stand-in for image decoding: pseudo-dimensions derived
+    from the content hash. Replace with a real decoder (PIL/libvips) in
+    production; the (width, height) contract is identical."""
+    h = hashlib.sha256(payload).digest()
+    return 64 + h[0] % 192, 64 + h[1] % 192, "fake"
+
+
+def decode_image(payload: bytes) -> tuple[int, int, str]:
+    try:
+        import io
+
+        from PIL import Image  # pragma: no cover - not installed in this container
+
+        img = Image.open(io.BytesIO(payload))
+        return img.width, img.height, "pil"
+    except Exception:
+        return _fake_decode(payload)
+
+
+def extract_binary_features(df: DataFrame, id_col: str = "doc_id", binary_col: str = "payload") -> DataFrame:
+    """Arrow-batched feature extraction over a binary column."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[binary_col]
+            dims = [decode_image(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "byte_len": [len(p) for p in payloads],
+                    "content_sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "decoder": [d[2] for d in dims],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(gen, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, id_col: str, binary_col: str, every_n: int = 30) -> DataFrame:
+    """Plumbing for video frame sampling: emits (doc_id, frame_idx) rows with
+    a stubbed frame count derived from payload size. Real decoders replace
+    ``n_frames``; partitioning/explode shape is what matters at scale."""
+    n_frames = (F.length(F.col(binary_col)) / 100).cast("int") + 1
+    return df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_idx"),
+    )
+
+
+# ------------------------------------------------------------------ queries
+
+
+def m01_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents' text re-encoded as a binary payload column, pushed through
+    the Arrow feature extractor, aggregated per source. byte_len and sha256
+    are oracle-checkable (DuckDB computes both on the same utf-8 bytes);
+    width/height exercise the stubbed decoder deterministically."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.encode("text", "UTF-8").alias("payload")
+    )
+    feats = extract_binary_features(d)
+    return (
+        feats.join(load_table(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_blobs"),
+            F.sum("byte_len").alias("total_bytes"),
+            F.countDistinct("content_sha256").alias("n_unique"),
+            F.min("content_sha256").alias("min_sha"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_M01 = """
+SELECT source,
+       count(*) AS n_blobs,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       count(DISTINCT sha256(text)) AS n_unique,
+       min(sha256(text)) AS min_sha
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES = {"m01_binary_features": m01_binary_features}
+ORACLE = {"m01_binary_features": ORACLE_M01}

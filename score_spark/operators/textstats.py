@@ -1,0 +1,175 @@
+"""Text-analysis operators over the documents table: token statistics,
+quality scoring, language ID, document fingerprinting.
+
+Scale posture: every expression is a built-in higher-order function — one
+scan, no shuffle until the final (tiny) aggregate, no Python. At 100 TB this
+is a map-only stage that AQE coalesces; the only shuffled bytes are the
+grouped aggregates' partial results.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from score_spark.functions import text as TX
+from score_spark.io import load_table
+
+# DuckDB mirrors of functions/text.py (1-indexed lists; list_* HOFs)
+_TOKENS = "string_split(text, ' ')"
+_NTOK = f"len({_TOKENS})"
+_SUMLEN = f"CAST(list_sum(list_transform({_TOKENS}, t -> strlen(t))) AS BIGINT)"
+_STOPLIST = "[" + ", ".join(f"'{w}'" for w in TX.ALL_STOPWORDS) + "]"
+_NSTOP = f"len(list_filter({_TOKENS}, t -> list_contains({_STOPLIST}, t)))"
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append per-document token statistics (all codegen'd built-ins)."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        TX.token_count(c).alias("n_tokens"),
+        TX.distinct_token_count(c).alias("n_uniq_tokens"),
+        TX.avg_token_len(c).alias("avg_token_len"),
+        TX.stopword_ratio(c).alias("stopword_ratio"),
+        TX.non_alpha_ratio(c).alias("non_alpha_ratio"),
+    )
+
+
+def with_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("predicted_lang", TX.predicted_lang(F.col(text_col)))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact content fingerprint (md5 hex — same function in DuckDB)."""
+    return df.withColumn("fingerprint", F.md5(F.col(text_col)))
+
+
+# ------------------------------------------------------------------ queries
+
+
+def t01_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return with_text_stats(d).select(
+        "doc_id", "n_tokens", "n_uniq_tokens", "avg_token_len", "stopword_ratio"
+    ).orderBy("doc_id")
+
+
+ORACLE_T01 = f"""
+SELECT doc_id,
+       {_NTOK} AS n_tokens,
+       len(list_distinct({_TOKENS})) AS n_uniq_tokens,
+       round({_SUMLEN} / CAST({_NTOK} AS DOUBLE), 4) AS avg_token_len,
+       round({_NSTOP} / CAST({_NTOK} AS DOUBLE), 4) AS stopword_ratio
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def t02_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit argmax language ID vs the labeled lang column."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        with_language(d)
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in TX.STOPWORDS[lang]) + "]"
+    return f"len(list_filter(string_split(text, ' '), t -> list_contains({lst}, t)))"
+
+
+ORACLE_T02 = f"""
+WITH scored AS (
+  SELECT lang,
+         {_lang_score_sql('en')} AS s_en,
+         {_lang_score_sql('fr')} AS s_fr,
+         {_lang_score_sql('de')} AS s_de,
+         {_lang_score_sql('es')} AS s_es
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+            WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr > 0 THEN 'fr'
+            WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+            WHEN s_es > 0 THEN 'es'
+            ELSE 'und' END AS predicted_lang,
+       count(*) AS n
+FROM scored
+GROUP BY 1, 2
+ORDER BY lang, predicted_lang
+"""
+
+
+def t03_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristic: length band x stopword presence x alpha purity."""
+    d = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return (
+        d.select(
+            F.when(F.col("n_chars") < 200, "short")
+            .when(F.col("n_chars") < 400, "medium")
+            .otherwise("long")
+            .alias("length_band"),
+            F.when(TX.stopword_ratio(c) > 0.05, "has_stopwords").otherwise("few_stopwords").alias("stopword_band"),
+            F.when(TX.non_alpha_ratio(c) < 0.05, "clean").otherwise("noisy").alias("purity"),
+        )
+        .groupBy("length_band", "stopword_band", "purity")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("length_band", "stopword_band", "purity")
+    )
+
+
+ORACLE_T03 = f"""
+SELECT CASE WHEN n_chars < 200 THEN 'short' WHEN n_chars < 400 THEN 'medium' ELSE 'long' END AS length_band,
+       CASE WHEN round({_NSTOP} / CAST({_NTOK} AS DOUBLE), 4) > 0.05 THEN 'has_stopwords' ELSE 'few_stopwords' END AS stopword_band,
+       CASE WHEN round(strlen(regexp_replace(text, '[a-z ]', '', 'g')) / CAST(strlen(text) AS DOUBLE), 4) < 0.05
+            THEN 'clean' ELSE 'noisy' END AS purity,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2, 3
+ORDER BY length_band, stopword_band, purity
+"""
+
+
+def t04_fingerprint_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        with_fingerprint(d)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_unique"),
+            F.min("fingerprint").alias("min_fp"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_T04 = """
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_unique,
+       min(md5(text)) AS min_fp
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES = {
+    "t01_text_stats": t01_text_stats,
+    "t02_language_id": t02_language_id,
+    "t03_quality_buckets": t03_quality_buckets,
+    "t04_fingerprint_summary": t04_fingerprint_summary,
+}
+
+ORACLE = {
+    "t01_text_stats": ORACLE_T01,
+    "t02_language_id": ORACLE_T02,
+    "t03_quality_buckets": ORACLE_T03,
+    "t04_fingerprint_summary": ORACLE_T04,
+}

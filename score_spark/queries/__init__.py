@@ -13,7 +13,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from score_spark.operators import asof, dedup, multimodal, similarity, textstats
 from score_spark.queries import relational
+from score_spark.streaming import windows as streaming_windows
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -24,7 +26,8 @@ def _register(mod) -> None:
     ORACLE.update(mod.ORACLE)
 
 
-_register(relational)
+for _mod in (relational, textstats, dedup, similarity, asof, multimodal, streaming_windows):
+    _register(_mod)
 
 
 def register_extra(mod) -> None:

@@ -1,0 +1,150 @@
+"""Event-time windowed aggregation — the same expressions in batch and
+Structured Streaming.
+
+The transforms are written against a DataFrame that may be a batch read OR a
+readStream; Spark's unified API means one definition serves both. Streaming
+adds a watermark for state cleanup / late-data handling; batch ignores it.
+
+Scale posture: windowed aggregates shuffle on (window, key) with partial
+aggregation; session windows use Spark's built-in session_window (merged in
+the state store in streaming, gaps-and-islands equivalent in batch).
+`availableNow` triggers give reproducible, bounded streaming runs — that is
+also how the tests assert stream == batch.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from score_spark.io import load_events
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str | None = None) -> DataFrame:
+    e = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        e.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_stats(events: DataFrame, gap: str = "30 minutes", watermark: str | None = None) -> DataFrame:
+    e = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_stream_once(
+    spark: SparkSession,
+    source_dir: str,
+    transform,
+    schema,
+    checkpoint: str,
+    table_name: str,
+) -> StreamingQuery:
+    """Run a parquet-source stream to a memory sink with availableNow (process
+    everything currently in the source, then stop) — the reproducible
+    streaming harness used by tests and backfills."""
+    stream = (
+        spark.readStream.schema(schema).parquet(source_dir)
+    )
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q
+
+
+# ------------------------------------------------------------------ queries
+
+
+def w01_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch session windows (30-min gap) per user — the streaming operator's
+    batch twin; DuckDB oracle is the classic gaps-and-islands rewrite."""
+    e = load_events(spark, sf_dir)
+    return session_stats(e, gap="30 minutes").orderBy("user_id", "session_start")
+
+
+ORACLE_W01 = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+grouped AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS grp
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM grouped
+GROUP BY user_id, grp
+ORDER BY user_id, session_start
+"""
+
+
+def w02_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows: each event lands in width/slide windows.
+    Oracle enumerates the same hops with generate_series."""
+    e = load_events(spark, sf_dir)
+    return sliding_counts(e, "1 hour", "30 minutes").orderBy("window_start", "event_type")
+
+
+ORACLE_W02 = """
+WITH hops AS (
+  SELECT e.event_type, h.hop AS window_start
+  FROM events e,
+       LATERAL (
+         SELECT unnest(generate_series(
+           time_bucket(INTERVAL '30 minutes', e.ts) - INTERVAL '30 minutes',
+           time_bucket(INTERVAL '30 minutes', e.ts),
+           INTERVAL '30 minutes')) AS hop
+       ) h
+  WHERE e.ts >= h.hop AND e.ts < h.hop + INTERVAL '1 hour'
+)
+SELECT window_start, event_type, count(*) AS n
+FROM hops
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+QUERIES = {
+    "w01_session_windows": w01_session_windows,
+    "w02_sliding_windows": w02_sliding_windows,
+}
+ORACLE = {
+    "w01_session_windows": ORACLE_W01,
+    "w02_sliding_windows": ORACLE_W02,
+}

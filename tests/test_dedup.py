@@ -1,0 +1,59 @@
+"""Semantic tests for the approximate dedup operators (the oracle-checkable
+ones are covered by test_relational's registry sweep): planted near-duplicates
+must be found."""
+
+from __future__ import annotations
+
+import pytest
+import pyspark.sql.functions as F
+
+from score_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_candidate_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches the "
+    "bird in the tall green tree near the old stone wall by the river bank"
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    near = BASE.replace("green tree", "blue tree")  # one-token perturbation
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact copy
+        (2, near),  # near duplicate
+        (3, "completely different content about spark query engines and shuffles and joins and aggregates over columnar parquet files"),
+        (4, "yet another unrelated document mentioning embeddings vectors similarity search clustering and large language model training data"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_lowest_id(planted):
+    kept = exact_dedup(planted).select("doc_id").orderBy("doc_id")
+    assert [r.doc_id for r in kept.collect()] == [0, 2, 3, 4]
+
+
+def test_ngram_jaccard_finds_planted_pair(planted):
+    pairs = {(r.d1, r.d2): r.jac for r in ngram_jaccard_pairs(planted, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.7
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_finds_planted_pair(planted):
+    pairs = {(r.d1, r.d2): r.est_jaccard for r in minhash_lsh_pairs(planted, n_hashes=16, bands=8).collect()}
+    assert pairs[(0, 1)] == 1.0  # identical docs agree on every minhash
+    assert (0, 2) in pairs and pairs[(0, 2)] >= 0.5
+    assert (3, 4) not in pairs
+
+
+def test_simhash_near_for_planted_far_for_unrelated(planted):
+    pairs = {(r.d1, r.d2): r.hamming for r in simhash_candidate_pairs(planted, max_hamming=63).collect()}
+    assert pairs[(0, 1)] == 0
+    assert pairs[(0, 2)] <= 10
+    assert all(h > 10 for (a, b), h in pairs.items() if b in (3, 4) and a in (0, 1, 2))
