@@ -57,11 +57,18 @@ def ngram_jaccard_pairs(
     df: DataFrame, n: int = 3, threshold: float = 0.05, max_doc_freq: int = 50
 ) -> DataFrame:
     """Exact Jaccard over word n-grams for every pair sharing >=1 (uncommon)
-    shingle. Returns (d1, d2, jac)."""
-    g = shingle_table(df, n, max_doc_freq)
-    sizes = df.select(
-        "doc_id", F.size(shingles(F.col("text"), n)).alias("sz")
-    )
+    shingle. Returns (d1, d2, jac).
+
+    The exploded shingle table feeds four consumers (doc-freq filter, both
+    self-join branches, per-doc sizes); persist() materializes it once instead
+    of re-scanning + re-exploding per consumer — at 100 TB this intermediate
+    is the same order as the token stream and belongs on MEMORY_AND_DISK."""
+    g0 = df.select("doc_id", F.explode(shingles(F.col("text"), n)).alias("sh")).persist()
+    sizes = g0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    g = g0
+    if max_doc_freq is not None:
+        freq = g0.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+        g = g0.join(F.broadcast(freq.filter(F.col("_df") <= max_doc_freq)).select("sh"), "sh")
     a = g.alias("a")
     b = g.alias("b")
     inter = (

@@ -117,10 +117,19 @@ def ann_lsh_topk(
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     """All pairs above a cosine threshold — exact, via the id-ordered self
     join. At 100 TB swap the join condition for an LSH bucket equality first
-    (ann path); kept exact here so the oracle can verify it."""
-    a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
-    b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
-    sim = cosine(F.col("e1"), F.col("e2"))
+    (ann path); kept exact here so the oracle can verify it.
+
+    Norms are computed ONCE per row before the O(n^2) join (a 3x inner-loop
+    saving vs recomputing both norms per pair), and the pair expression keeps
+    DuckDB's exact dot/(n1*n2) arithmetic so results stay hash-identical."""
+    with_norm = emb.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
+    a = with_norm.select(
+        F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"), F.col("nrm").alias("n1")
+    )
+    b = with_norm.select(
+        F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"), F.col("nrm").alias("n2")
+    )
+    sim = dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
     return (
         a.join(b, F.col("v1") < F.col("v2"))
         .select("v1", "v2", F.round(sim, 4).alias("sim"))
