@@ -34,6 +34,21 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Spread a CPU-bound per-row pipeline (shingling, hashing, text stats)
+    across the cluster when the scan produced fewer tasks than cores — the
+    single-file / single-row-group case where Spark cannot split the input.
+
+    No-op when the scan already has >= target partitions, so at cluster scale
+    (many files, splittable row groups) this adds zero shuffle; on tiny
+    local inputs it converts a single-task stage into a cores-wide one for
+    the price of shuffling the (small by definition) input."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark
     rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long (legacy conf) and

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
 
 from score_spark.functions.text import shingles
-from score_spark.io import load_table
+from score_spark.io import fan_out, load_table
 
 # ------------------------------------------------------------------ exact
 
@@ -63,7 +63,7 @@ def ngram_jaccard_pairs(
     self-join branches, per-doc sizes); persist() materializes it once instead
     of re-scanning + re-exploding per consumer — at 100 TB this intermediate
     is the same order as the token stream and belongs on MEMORY_AND_DISK."""
-    g0 = df.select("doc_id", F.explode(shingles(F.col("text"), n)).alias("sh")).persist()
+    g0 = fan_out(df).select("doc_id", F.explode(shingles(F.col("text"), n)).alias("sh")).persist()
     sizes = g0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     g = g0
     if max_doc_freq is not None:
@@ -103,7 +103,7 @@ def minhash_signature(df: DataFrame, n_hashes: int = 16, n: int = 3) -> DataFram
             for i in range(n_hashes)
         ]
     )
-    return df.select("doc_id", sig.alias("sig"))
+    return fan_out(df).select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -155,7 +155,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     """64-bit SimHash of the token multiset: per bit, sign of sum(+1/-1) over
     token hashes. One explode + one groupBy(id) — the aggregate is 64 narrow
     conditional sums, which Spark executes as a single hash-agg pass."""
-    toks = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    toks = fan_out(df).select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
     h = F.xxhash64("tok")
     bit_sums = [
         F.sum(F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)).alias(f"b{b}")

@@ -23,7 +23,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, types as T
 
-from score_spark.io import load_table
+from score_spark.io import fan_out, load_table
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -75,7 +75,7 @@ def extract_binary_features(df: DataFrame, id_col: str = "doc_id", binary_col: s
                 }
             )
 
-    return df.select(id_col, binary_col).mapInPandas(gen, FEATURE_SCHEMA)
+    return fan_out(df.select(id_col, binary_col)).mapInPandas(gen, FEATURE_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, id_col: str, binary_col: str, every_n: int = 30) -> DataFrame:

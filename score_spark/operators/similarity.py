@@ -20,7 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql.window import Window
 
-from score_spark.io import load_table
+from score_spark.io import fan_out, load_table
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -51,7 +51,7 @@ def cosine_topk(
     q = F.broadcast(
         queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qv"))
     )
-    pairs = q.join(corpus, F.col(query_id_col) != F.col(id_col))
+    pairs = q.join(fan_out(corpus), F.col(query_id_col) != F.col(id_col))
     sim = cosine(F.col("_qv"), F.col(vec_col))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("_sim"), F.col("neighbor_id"))
     return (
@@ -90,7 +90,7 @@ def ann_lsh_topk(
     single-bit-flip probes). At scale, bucket the corpus ONCE (write
     bucket-partitioned parquet) and reuse across query batches."""
     planes = _hyperplanes(n_planes, dim)
-    c = corpus.select(id_col, vec_col, lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+    c = fan_out(corpus).select(id_col, vec_col, lsh_bucket(F.col(vec_col), planes).alias("bucket"))
     q0 = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),

@@ -13,7 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from score_spark.functions import text as TX
-from score_spark.io import load_table
+from score_spark.io import fan_out, load_table
 
 # DuckDB mirrors of functions/text.py (1-indexed lists; list_* HOFs)
 _TOKENS = "string_split(text, ' ')"
@@ -26,7 +26,7 @@ _NSTOP = f"len(list_filter({_TOKENS}, t -> list_contains({_STOPLIST}, t)))"
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append per-document token statistics (all codegen'd built-ins)."""
     c = F.col(text_col)
-    return df.select(
+    return fan_out(df).select(
         "*",
         TX.token_count(c).alias("n_tokens"),
         TX.distinct_token_count(c).alias("n_uniq_tokens"),
@@ -37,7 +37,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def with_language(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.withColumn("predicted_lang", TX.predicted_lang(F.col(text_col)))
+    return fan_out(df).withColumn("predicted_lang", TX.predicted_lang(F.col(text_col)))
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -109,7 +109,7 @@ def t03_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     c = F.col("text")
     return (
-        d.select(
+        fan_out(d).select(
             F.when(F.col("n_chars") < 200, "short")
             .when(F.col("n_chars") < 400, "medium")
             .otherwise("long")

@@ -407,10 +407,18 @@ class SchemaOnRead:
                 self._state.exprid_map.setdefault(eid, []).extend(child_handles)
             return child_handles
         # generic expressions (functions, predicates, window/agg wrappers,
-        # UDFs — test :546-557): recurse into children
+        # UDFs — test :546-557): recurse into children. Return the LAST
+        # child's handles so an enclosing Alias binds to the last-touched
+        # trie node — the reference's alias-clone semantics, which also
+        # strip aggregate-call wrappers like first(arr)
+        # (SchemaOnReadState.java:195-200; SQLExpressionParser.java:12-44;
+        # test :320-337 explode over aggregated CTE output).
+        last: list[Handle] = []
         for c in expr["_children"]:
-            self._walk_expr(c, mode)
-        return []
+            got = self._walk_expr(c, mode)
+            if got:
+                last = got
+        return last
 
     def _resolve_path(self, expr: Node) -> list[Handle]:
         cname = cls_name(expr)

@@ -446,6 +446,218 @@ def test_pruned_rerun_equals_full_run(spark, fx, build):
     assert sorted(map(str, full_df.collect())) == sorted(map(str, pruned_df.collect()))
 
 
+def test_group_by_ordinal_and_expression(spark, fx):
+    # GROUP BY 1 + expression (:707-733)
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    df = spark.sql("SELECT someStr, sum(someLong + struct.col1) AS s FROM sample_v GROUP BY 1")
+    assert schema_of(df, fx) == st(
+        f("someStr", STR), f("someLong", LONG), struct_field(f("col1", LONG))
+    )
+
+
+def test_count_star_count_one_order_by_ordinal(spark, fx):
+    # count(1)/count(*)/count(col) + ORDER BY ordinal (:736-803)
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    df = spark.sql(
+        "SELECT someStr, count(1) AS c1, count(*) AS cs, count(someDouble) AS cd"
+        " FROM sample_v GROUP BY someStr ORDER BY 2"
+    )
+    assert schema_of(df, fx) == st(f("someStr", STR), f("someDouble", T.DoubleType()))
+
+
+def test_grouping_keys_absent_from_select(spark, fx):
+    # grouping key not projected still read (:806-832)
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    df = spark.sql("SELECT sum(someLong) AS s FROM sample_v GROUP BY someStr")
+    assert schema_of(df, fx) == st(f("someStr", STR), f("someLong", LONG))
+
+
+def test_order_by_aggregated_alias(spark, fx):
+    # ORDER BY the aggregate's alias (:426-446)
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    df = spark.sql("SELECT someStr, sum(someLong) AS total FROM sample_v GROUP BY someStr ORDER BY total")
+    assert schema_of(df, fx) == st(f("someStr", STR), f("someLong", LONG))
+
+
+def test_first_complex_then_explode_of_agg_output(spark, fx):
+    # FIRST(complex array) in a CTE, outer LATERAL VIEW over it (:320-337)
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    df = spark.sql(
+        """
+        WITH agged AS (SELECT someStr, first(someComplexArray) AS arr FROM sample_v GROUP BY someStr)
+        SELECT someStr, item.col1 FROM agged LATERAL VIEW EXPLODE(arr) t AS item
+        """
+    )
+    got = schema_of(df, fx)
+    assert got.fieldNames() == ["someStr", "someComplexArray"]
+    # first()'s argument is an agg expr (conditional) narrowed by the
+    # downstream item.col1 access
+    assert got["someComplexArray"].dataType == T.ArrayType(st(f("col1", LONG)))
+
+
+def test_named_window_clause(spark, fx):
+    # WINDOW w AS (...) (:339-359)
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    df = spark.sql(
+        "SELECT first(struct.col2) OVER w AS fv FROM sample_v"
+        " WINDOW w AS (PARTITION BY someStr ORDER BY someLong)"
+    )
+    assert schema_of(df, fx) == st(
+        f("someStr", STR), f("someLong", LONG), struct_field(f("col2", LONG))
+    )
+
+
+def test_window_frame_first_last_value(spark, fx):
+    # FIRST_VALUE/LAST_VALUE + ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+    # (:1126-1159)
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    df = spark.sql(
+        """
+        SELECT first_value(struct.col1) OVER (PARTITION BY someStr ORDER BY someLong
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fv,
+               last_value(someDouble) OVER (PARTITION BY someStr ORDER BY someLong
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS lv
+        FROM sample_v
+        """
+    )
+    assert schema_of(df, fx) == st(
+        f("someStr", STR),
+        f("someLong", LONG),
+        f("someDouble", T.DoubleType()),
+        struct_field(f("col1", LONG)),
+    )
+
+
+def test_sql_equi_join_two_views_same_file(spark, fx):
+    # two views over the same file merge into one relation (:920-946)
+    base = spark.read.parquet(fx["sample_parquet"])
+    base.createOrReplaceTempView("j_a")
+    base.createOrReplaceTempView("j_b")
+    df = spark.sql(
+        "SELECT j_a.someStr, j_b.struct.col3 FROM j_a JOIN j_b ON j_a.someLong = j_b.someLong"
+    )
+    sor = gen(df)
+    assert len(sor.relations) == 1
+    assert sor.for_paths(fx["sample_parquet"]) == st(
+        f("someStr", STR), f("someLong", LONG), struct_field(f("col3", LONG))
+    )
+
+
+def test_implicit_comma_join_with_where(spark, fx):
+    # implicit join + WHERE as the join condition (:948-974)
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("j_a")
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("j_b")
+    df = spark.sql(
+        "SELECT j_a.someStr FROM j_a, j_b WHERE j_a.someLong = j_b.someLong"
+    )
+    assert schema_of(df, fx) == st(f("someStr", STR), f("someLong", LONG))
+
+
+def test_api_join_using_column(spark, fx):
+    # df.join(other, "col") USING form, pre-projected sides (:1017-1040)
+    a = spark.read.parquet(fx["sample_parquet"])
+    b = spark.read.parquet(fx["sample_parquet"])
+    df = (
+        a.select("someLong", "someStr")
+        .join(b.select(b["someLong"], b["struct.col3"]), "someLong")
+        .select("someLong", "someStr", "col3")
+    )
+    assert schema_of(df, fx) == st(
+        f("someStr", STR), f("someLong", LONG), struct_field(f("col3", LONG))
+    )
+
+
+def test_right_join_lateral_views_both_branches(spark, fx):
+    # RIGHT JOIN with a lateral view on each branch (:474-508)
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    df = spark.sql(
+        """
+        SELECT l.item_a.col1, r.item_b
+        FROM (SELECT someLong, item_a FROM sample_v
+              LATERAL VIEW EXPLODE(someComplexArray) t AS item_a) l
+        RIGHT JOIN (SELECT someLong, item_b FROM sample_v
+              LATERAL VIEW EXPLODE(someStrArray) t AS item_b) r
+        ON l.someLong = r.someLong
+        """
+    )
+    got = schema_of(df, fx)
+    assert set(got.fieldNames()) == {"someLong", "someComplexArray", "someStrArray"}
+    assert got["someComplexArray"].dataType == T.ArrayType(st(f("col1", LONG)))
+    assert got["someStrArray"].dataType == T.ArrayType(STR)
+
+
+def test_double_explode_two_fields_of_exploded_struct(spark, fx):
+    # two lateral views + two fields of the exploded struct (:1456-1487)
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    df = spark.sql(
+        """
+        SELECT s_item, c_item.col1, c_item.col2 FROM sample_v
+        LATERAL VIEW EXPLODE(someStrArray) t1 AS s_item
+        LATERAL VIEW EXPLODE(someComplexArray) t2 AS c_item
+        """
+    )
+    got = schema_of(df, fx)
+    assert set(got.fieldNames()) == {"someStrArray", "someComplexArray"}
+    assert got["someComplexArray"].dataType == T.ArrayType(st(f("col1", LONG), f("col2", LONG)))
+
+
+def test_array_of_arrays_index(spark, fx):
+    # arr[0][2]: indexes never narrow, the path does (:528-543)
+    df = spark.read.parquet(fx["sample_parquet"]).select(F.col("someArrayOfArrays")[0][2].alias("v"))
+    assert schema_of(df, fx) == st(f("someArrayOfArrays", T.ArrayType(T.ArrayType(LONG))))
+
+
+def test_wildcard_json_multipath_identity(spark, fx, tmp_path):
+    # sample*.json glob resolves to the concrete file set (:1192-1205)
+    js = spark.read.option("multiline", True).json(
+        fx["sample_json"].rsplit("/", 1)[0] + "/sample*.json"
+    )
+    df = js.select("someStr")
+    sor = gen(df)
+    # lookup by the resolved concrete path must hit the same relation
+    assert sor.for_paths(fx["sample_json"]) == st(f("someStr", STR))
+
+
+def test_multi_file_unordered_duplicate_path_identity(spark, fx):
+    # path list identity: unordered + duplicates → same sorted-set ref
+    # (:1208-1244)
+    df = spark.read.parquet(fx["sample_parquet"]).select("someStr")
+    sor = gen(df)
+    assert sor.for_paths(fx["sample_parquet"], fx["sample_parquet"]) == st(f("someStr", STR))
+
+
+def test_explicit_user_schema_on_read(spark, fx):
+    # a read that already has a user schema is still tracked/narrowed
+    # (:1299-1311)
+    user_schema = st(f("someStr", STR), struct_field(f("col1", LONG), f("col2", LONG)))
+    df = spark.read.schema(user_schema).parquet(fx["sample_parquet"]).select("struct.col2")
+    assert schema_of(df, fx) == st(struct_field(f("col2", LONG)))
+
+
+def test_filter_is_null_or_less_than(spark, fx):
+    # IS NULL / OR / < (:1277-1296)
+    df = (
+        spark.read.parquet(fx["sample_parquet"])
+        .filter(F.col("struct.col3").isNull() | (F.col("someDouble") < 5.0))
+        .select("someStr")
+    )
+    assert schema_of(df, fx) == st(
+        f("someStr", STR), f("someDouble", T.DoubleType()), struct_field(f("col3", LONG))
+    )
+
+
+def test_union_sql_view_form(spark, fx):
+    # SQL UNION ALL over two views of different files (:559-603)
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("u_pq")
+    spark.read.option("multiline", True).json(fx["sample_json"]).createOrReplaceTempView("u_js")
+    df = spark.sql(
+        "SELECT struct.col2 FROM u_pq UNION ALL SELECT struct.col2 FROM u_js"
+    )
+    sor = gen(df)
+    assert sor.for_paths(fx["sample_parquet"]) == st(struct_field(f("col2", LONG)))
+    assert sor.for_paths(fx["sample_json"])["struct"].dataType.fieldNames() == ["col2"]
+
+
 def test_json_multiline_pruned_read(spark, fx):
     # JSON is where read-schema pruning pays (SchemaPruning is file-format
     # gated; SURVEY §4): narrower schema → cheaper parse, same rows
