@@ -1,8 +1,10 @@
 """Text-analysis column expressions for the documents pipeline.
 
 Everything here returns Column expressions built from pyspark.sql.functions
-higher-order functions — they compile into whole-stage codegen, never a
-Python UDF, so the same expressions hold at 100 TB.
+higher-order functions — evaluated JVM-side with zero Python round-trips
+(HOF lambdas are interpreted, not whole-stage-codegen'd, but stay orders of
+magnitude faster than row-at-a-time Python UDFs), so the same expressions
+hold at 100 TB.
 
 Mirror rule for oracles: every helper has an exact DuckDB-SQL equivalent used
 by the query registry (same tokenization, same rounding), so results

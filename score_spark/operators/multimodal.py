@@ -8,6 +8,12 @@ decoding is STUBBED: the container ships no image/audio libraries, so
 (documented below). Swap ``_fake_decode`` for a real decoder on a cluster
 with the codec libraries installed; nothing else changes.
 
+Work split (VERDICT r1 finding): everything a built-in can do stays JVM-side
+— ``F.sha2`` / ``F.length`` columns computed in the scan stage — and Python
+touches the payload ONLY for the decode, inside one Arrow-batched
+mapInPandas. Carried metadata columns (source, byte_len, sha) pass through
+the decoder batch untouched, so the whole query is a single scan.
+
 Scale posture: mapInPandas streams Arrow record batches — constant memory per
 task, no driver involvement, binary payloads never shuffled (features are
 extracted in the same stage as the scan; only the small feature columns move
@@ -57,25 +63,47 @@ def decode_image(payload: bytes) -> tuple[int, int, str]:
         return _fake_decode(payload)
 
 
-def extract_binary_features(df: DataFrame, id_col: str = "doc_id", binary_col: str = "payload") -> DataFrame:
-    """Arrow-batched feature extraction over a binary column."""
+def extract_binary_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Binary feature extraction in two layers: byte_len + sha256 as JVM
+    built-in columns (codegen'd in the scan stage), then one Arrow-batched
+    mapInPandas for the decode only. ``carry_cols`` ride through the decoder
+    batch so no second scan / join is needed downstream."""
+    base = fan_out(
+        df.select(
+            id_col,
+            *carry_cols,
+            F.col(binary_col),
+            F.length(F.col(binary_col)).cast("long").alias("byte_len"),
+            F.lower(F.sha2(F.col(binary_col), 256)).alias("content_sha256"),
+        )
+    )
+    # canonical field order: id, carried, features
+    carried_fields = [base.schema[c] for c in carry_cols]
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType())]
+        + carried_fields
+        + [f for f in FEATURE_SCHEMA.fields if f.name != "doc_id"]
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf[binary_col]
-            dims = [decode_image(p) for p in payloads]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col],
-                    "byte_len": [len(p) for p in payloads],
-                    "content_sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
-                    "decoder": [d[2] for d in dims],
-                }
-            )
+            dims = [decode_image(p) for p in pdf[binary_col]]
+            out = {id_col: pdf[id_col]}
+            for c in carry_cols:
+                out[c] = pdf[c]
+            out["byte_len"] = pdf["byte_len"]
+            out["content_sha256"] = pdf["content_sha256"]
+            out["width"] = [d[0] for d in dims]
+            out["height"] = [d[1] for d in dims]
+            out["decoder"] = [d[2] for d in dims]
+            yield pd.DataFrame(out)
 
-    return fan_out(df.select(id_col, binary_col)).mapInPandas(gen, FEATURE_SCHEMA)
+    return base.mapInPandas(gen, out_schema)
 
 
 def frame_sample_plan(df: DataFrame, id_col: str, binary_col: str, every_n: int = 30) -> DataFrame:
@@ -94,21 +122,23 @@ def frame_sample_plan(df: DataFrame, id_col: str, binary_col: str, every_n: int 
 
 def m01_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents' text re-encoded as a binary payload column, pushed through
-    the Arrow feature extractor, aggregated per source. byte_len and sha256
-    are oracle-checkable (DuckDB computes both on the same utf-8 bytes);
-    width/height exercise the stubbed decoder deterministically."""
+    the extractor, aggregated per source — ONE scan (source carried through
+    the decoder batch). byte_len/sha256 are JVM columns DuckDB mirrors on the
+    same utf-8 bytes; total_width/total_height verify the deterministic fake
+    decoder (dims are sha256-derived, so DuckDB recomputes them from hex)."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.encode("text", "UTF-8").alias("payload")
     )
-    feats = extract_binary_features(d)
+    feats = extract_binary_features(d, carry_cols=("source",))
     return (
-        feats.join(load_table(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id")
-        .groupBy("source")
+        feats.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_blobs"),
             F.sum("byte_len").alias("total_bytes"),
             F.countDistinct("content_sha256").alias("n_unique"),
             F.min("content_sha256").alias("min_sha"),
+            F.sum("width").alias("total_width"),
+            F.sum("height").alias("total_height"),
         )
         .orderBy("source")
     )
@@ -119,7 +149,9 @@ SELECT source,
        count(*) AS n_blobs,
        CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        count(DISTINCT sha256(text)) AS n_unique,
-       min(sha256(text)) AS min_sha
+       min(sha256(text)) AS min_sha,
+       CAST(sum(64 + CAST('0x' || substr(sha256(text), 1, 2) AS INT) % 192) AS BIGINT) AS total_width,
+       CAST(sum(64 + CAST('0x' || substr(sha256(text), 3, 2) AS INT) % 192) AS BIGINT) AS total_height
 FROM documents
 GROUP BY source
 ORDER BY source

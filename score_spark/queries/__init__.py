@@ -28,9 +28,3 @@ def _register(mod) -> None:
 
 for _mod in (relational, textstats, dedup, similarity, asof, multimodal, streaming_windows):
     _register(_mod)
-
-
-def register_extra(mod) -> None:
-    """Used by operator modules (dedup/similarity/text/streaming) to add their
-    query entries at import time."""
-    _register(mod)

@@ -63,3 +63,59 @@ def test_ann_recalls_planted_cluster(clustered):
     labels = {r.vec_id: r.label for r in clustered.collect()}
     for r in approx:
         assert labels[r.neighbor_id] == labels[r.query_id]
+
+
+def test_near_dup_pairs_lsh_finds_planted_dups(clustered, spark):
+    """The scale path (LSH candidates -> exact rerank) must recover planted
+    near-duplicates: same-cluster vectors sit at cosine ~0.99."""
+    from score_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        near_dup_pairs_lsh,
+    )
+
+    exact = {
+        (r.v1, r.v2)
+        for r in embedding_near_dup_pairs(clustered, threshold=0.95).collect()
+    }
+    got = {
+        (r.v1, r.v2)
+        for r in near_dup_pairs_lsh(clustered, threshold=0.95, multi_probe=1).collect()
+    }
+    assert got <= exact  # rerank is exact: no false positives ever
+    assert len(got) / len(exact) >= 0.8  # high-sim pairs share buckets
+
+
+def test_multi_probe_widens_candidates(clustered):
+    from score_spark.operators.similarity import lsh_candidates
+
+    queries = clustered.filter(F.col("vec_id").isin([0, 20]))
+    sets = {}
+    for mp in (0, 1, 2):
+        sets[mp] = {
+            (r.query_id, r.neighbor_id)
+            for r in lsh_candidates(clustered, queries, multi_probe=mp).collect()
+        }
+    assert sets[0] <= sets[1] <= sets[2]
+    assert len(sets[2]) > len(sets[0])
+
+
+def test_block_bound_asserts_on_missized_blocks(clustered):
+    """The packed-block invariant fails loudly instead of growing rows
+    unboundedly (VERDICT r1 'What's wrong' #2)."""
+    from score_spark.operators.similarity import embedding_near_dup_pairs
+
+    df = embedding_near_dup_pairs(clustered, threshold=0.9, n_blocks=1, rows_per_block=4)
+    with pytest.raises(Exception, match="packed block exceeds bound"):
+        df.collect()
+
+
+def test_derived_n_blocks_bounds_block_rows(clustered):
+    from score_spark.operators.similarity import embedding_near_dup_pairs
+
+    # 100 rows / rows_per_block=16 -> 7 blocks; results must equal the exact
+    # single-block answer
+    small = embedding_near_dup_pairs(clustered, threshold=0.95, rows_per_block=16)
+    ref = embedding_near_dup_pairs(clustered, threshold=0.95, n_blocks=1, rows_per_block=1000)
+    assert {(r.v1, r.v2, r.sim) for r in small.collect()} == {
+        (r.v1, r.v2, r.sim) for r in ref.collect()
+    }
