@@ -123,12 +123,19 @@ def ngram_jaccard_pairs(
     return res
 
 
-def exact_jaccard_for_pairs(pairs: DataFrame, docs: DataFrame, n: int = 3) -> DataFrame:
+def exact_jaccard_for_pairs(
+    pairs: DataFrame, docs: DataFrame, n: int = 3, shingle_df: DataFrame | None = None
+) -> DataFrame:
     """Exact n-gram Jaccard computed ONLY for the given (d1, d2) pairs — the
     rerank/verify stage after a candidate filter. The shuffle is sized by the
     candidate set, not |docs|^2: pairs join the shingle table once per side.
-    Pairs sharing no shingle get exact_jac = 0.0 (empty intersection)."""
-    g = docs.select("doc_id", F.explode(shingles(F.col("text"), n)).alias("sh"))
+    Pass a persisted ``shingle_df`` (doc_id, sh) to avoid re-exploding per
+    join branch; the caller owns its lifecycle. Pairs sharing no shingle get
+    exact_jac = 0.0 (empty intersection)."""
+    if shingle_df is not None:
+        g = shingle_df
+    else:
+        g = fan_out(docs).select("doc_id", F.explode(shingles(F.col("text"), n)).alias("sh"))
     sizes = docs.select("doc_id", F.size(shingles(F.col("text"), n)).alias("sz"))
     p = pairs.select("d1", "d2")
     inter = (
@@ -362,14 +369,17 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = write_xcheck(minhash_lsh_pairs(d, n_hashes=16, bands=8), "d03_candidates")
     # independent second read: keeps the exact-rerank branch free of any
     # shared lineage with cand (avoids ambiguous-self-join resolution)
+    g = fan_out(d).select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("sh")).persist()
     exact = exact_jaccard_for_pairs(
-        spark.read.parquet(xcheck_path("d03_candidates")), d, n=3
+        spark.read.parquet(xcheck_path("d03_candidates")), d, n=3, shingle_df=g
     )
-    return (
+    res = (
         cand.join(exact, ["d1", "d2"])
         .select("d1", "d2", "est_jaccard", "exact_jac")
-        .orderBy("d1", "d2")
+        .localCheckpoint(eager=True)  # materialize, then free the shingle cache
     )
+    g.unpersist()
+    return res.orderBy("d1", "d2")
 
 
 ORACLE_D03 = f"""

@@ -413,11 +413,24 @@ class SchemaOnRead:
         # strip aggregate-call wrappers like first(arr)
         # (SchemaOnReadState.java:195-200; SQLExpressionParser.java:12-44;
         # test :320-337 explode over aggregated CTE output).
+        #
+        # WindowExpression is the one wrapper where "last child" is wrong:
+        # its children are [windowFunction, windowSpec...], so the last
+        # touched node would be the ORDER BY spec, and an enclosing Alias
+        # would bind `f(x) OVER w AS a` to the spec column instead of x.
+        # This is the same problem the reference patches with its
+        # "complete hack" re-visit (TreeNodeProcessingRegistry.java:62-68);
+        # here the fix is just returning the function child's handles.
         last: list[Handle] = []
+        first_child_handles: list[Handle] | None = None
         for c in expr["_children"]:
             got = self._walk_expr(c, mode)
+            if first_child_handles is None:
+                first_child_handles = got
             if got:
                 last = got
+        if cname == "WindowExpression":
+            return first_child_handles or []
         return last
 
     def _resolve_path(self, expr: Node) -> list[Handle]:

@@ -62,10 +62,16 @@ def run_stream_once(
     schema,
     checkpoint: str,
     table_name: str,
+    output_mode: str = "complete",
 ) -> StreamingQuery:
     """Run a parquet-source stream to a memory sink with availableNow (process
     everything currently in the source, then stop) — the reproducible
-    streaming harness used by tests and backfills."""
+    streaming harness used by tests and backfills.
+
+    output_mode="complete" re-emits full results (watermark never evicts —
+    handy for stream==batch equivalence checks); "append" emits each window
+    once when the watermark passes its end and DROPS late rows older than
+    the watermark — the production mode for unbounded state."""
     stream = (
         spark.readStream.schema(schema).parquet(source_dir)
     )
@@ -73,7 +79,7 @@ def run_stream_once(
         transform(stream)
         .writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
@@ -93,9 +99,12 @@ def w01_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_W01 = """
 WITH marked AS (
+  -- >= : Spark's session_window merges an event only when it lands STRICTLY
+  -- inside the gap, so an exact 30-minute gap starts a NEW session (ADVICE
+  -- r1: '>' here would merge exact-boundary gaps and diverge from Spark)
   SELECT user_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+                OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),

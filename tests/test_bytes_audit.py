@@ -1,0 +1,86 @@
+"""Input-bytes reduction gate (BASELINE.md: pruned read <= 50% of full-schema
+read on nested fixtures; the reference claims up to 95% reduction) + the
+footer-audit mechanics it depends on."""
+
+from __future__ import annotations
+
+import time
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import types as T
+
+from score_spark.schema_on_read.bytes_audit import (
+    parquet_leaf_paths,
+    pruning_ratio,
+    scan_bytes,
+)
+from score_spark.schema_on_read.generator import SchemaOnRead
+
+
+def test_leaf_paths_struct_array_map():
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("s", T.StructType([T.StructField("x", T.StringType())])),
+            T.StructField("arr", T.ArrayType(T.StructType([T.StructField("y", T.LongType())]))),
+            T.StructField("prim_arr", T.ArrayType(T.LongType())),
+            T.StructField("m", T.MapType(T.StringType(), T.LongType())),
+        ]
+    )
+    assert parquet_leaf_paths(schema) == {
+        "a",
+        "s.x",
+        "arr.list.element.y",
+        "prim_arr.list.element",
+        "m.key_value.key",
+        "m.key_value.value",
+    }
+
+
+@pytest.fixture(scope="module")
+def wide_fixture(spark, tmp_path_factory):
+    """1k-row slice of the bytes-bench fixture shape: narrow leaves buried
+    between incompressible fat strings."""
+    from tools.bytes_bench import build_fixture_df
+
+    path = str(tmp_path_factory.mktemp("bytes") / "wide.parquet")
+    build_fixture_df(spark, 1000).coalesce(2).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_footer_audit_matches_pyarrow_total(spark, wide_fixture):
+    full = spark.read.parquet(wide_fixture).schema
+    total = scan_bytes(wide_fixture, full)
+    narrow = T.StructType(
+        [T.StructField("meta", T.StructType([T.StructField("a", T.LongType())]))]
+    )
+    assert 0 < scan_bytes(wide_fixture, narrow) < total
+
+
+def test_pruned_bytes_under_gate_and_rerun_equivalent(spark, wide_fixture):
+    df = spark.read.parquet(wide_fixture)
+    q = df.groupBy(F.col("meta.a").alias("a")).agg(F.sum("payload.nested.small").alias("s"))
+    pruned = SchemaOnRead.generate(q).for_paths(wide_fixture)
+    rep = pruning_ratio(wide_fixture, df.schema, pruned)
+    assert rep["ratio"] is not None and rep["ratio"] <= 0.5, rep
+    q2 = (
+        spark.read.schema(pruned)
+        .parquet(wide_fixture)
+        .groupBy(F.col("meta.a").alias("a"))
+        .agg(F.sum("payload.nested.small").alias("s"))
+    )
+    assert sorted(map(tuple, q.collect())) == sorted(map(tuple, q2.collect()))
+
+
+def test_analyzer_overhead_under_100ms_warm(spark, wide_fixture):
+    """BASELINE.md: analyzer overhead < 100 ms/query — measured warm (first
+    generate() pays one-off py4j/Analyzer warmup)."""
+    df = spark.read.parquet(wide_fixture)
+    q = df.groupBy(F.col("meta.a").alias("a")).agg(F.sum("payload.nested.small").alias("s"))
+    SchemaOnRead.generate(q)  # warmup
+    t0 = time.monotonic()
+    sor = SchemaOnRead.generate(q)
+    wall = time.monotonic() - t0
+    assert sor.duration < 0.1, f"analyzer duration {sor.duration:.3f}s"
+    assert wall < 0.25, f"wall including py4j round-trips {wall:.3f}s"

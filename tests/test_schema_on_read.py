@@ -670,3 +670,278 @@ def test_json_multiline_pruned_read(spark, fx):
     assert sorted(map(str, re_read.select("struct.col1", "someStr").collect())) == sorted(
         map(str, q.collect())
     )
+
+
+# ---------------------------------------------- r2 ports: remaining goldens
+
+
+def test_full_schema_with_subquery_view(spark, fx):
+    # filter in a view + outer narrow select (:104-113)
+    spark.read.parquet(fx["sample_parquet"]).filter("someLong = 5").createOrReplaceTempView(
+        "filtered_v"
+    )
+    df = spark.sql("SELECT someStr FROM filtered_v")
+    assert schema_of(df, fx) == st(f("someStr", STR), f("someLong", LONG))
+
+
+def test_full_schema_with_subquery_no_alias(spark, fx):
+    # API chain select -> filter -> select (:115-124)
+    df = (
+        spark.read.parquet(fx["sample_parquet"])
+        .select("someLong", "someStr")
+        .filter("someLong = 5")
+        .select("someStr")
+    )
+    # emission follows source-schema field order
+    assert schema_of(df, fx) == st(f("someStr", STR), f("someLong", LONG))
+
+
+def test_sql_broadcast_hint_form(spark, fx):
+    # /*+ BROADCAST(b) */ SQL hint: two views over the same file merge into
+    # one relation; hint node is a passthrough (:1042-1070)
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v2")
+    q = (
+        "SELECT /*+ BROADCAST(b) */ a.someLong, a.someStr, b.struct.col1 "
+        "FROM sample_v a JOIN sample_v2 b ON a.someLong = b.someLong"
+    )
+    df = spark.sql(q)
+    sor = gen(df)
+    expected = st(f("someStr", STR), f("someLong", LONG), struct_field(f("col1", LONG)))
+    assert sor.for_paths(fx["sample_parquet"]) == expected
+    assert sor.for_view("sample_v") == expected
+    assert sor.for_view("sample_v2") == expected
+    # re-execution with the pruned schema still answers the query (:1714-1717)
+    spark.read.schema(expected).parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    spark.read.schema(expected).parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v2")
+    assert spark.sql(q).count() == 2
+
+
+def test_alias_name_like_existing_column_exprid_exact(spark, fx):
+    # DELIBERATE DEVIATION from (:1680-1711): the reference's SQL-string
+    # parser can't tell alias `struct` from the real `struct` column and
+    # over-includes BOTH; exprId tracking includes only what the query reads.
+    # This test pins the improved behaviour AND proves the pruned re-read
+    # still answers the query (the regression the deviation must not cause).
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    q = "SELECT nestedStruct AS struct FROM sample_v"
+    df = spark.sql(q)
+    got = schema_of(df, fx)
+    assert got == st(f("nestedStruct", SAMPLE_SCHEMA["nestedStruct"].dataType))
+    assert "struct" not in got.fieldNames()
+    spark.read.schema(got).parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    full_rows = sorted(map(str, spark.sql(q).collect()))
+    assert len(full_rows) == 2
+
+
+def test_window_complex_order_key_mandatory_full(spark, fx):
+    # ORDER BY complex inside a window spec -> full subtree (:386-403)
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    df = spark.sql(
+        "WITH base AS (SELECT first(someStr) OVER w AS s FROM sample_v "
+        "WINDOW w AS (PARTITION BY someStr ORDER BY someComplexArray DESC)) "
+        "SELECT s FROM base"
+    )
+    assert schema_of(df, fx) == st(
+        f("someStr", STR),
+        f("someComplexArray", SAMPLE_SCHEMA["someComplexArray"].dataType),
+    )
+
+
+def test_aggregate_with_order_on_complex_alias(spark, fx):
+    # ORDER BY an aggregated alias of a complex column -> mandatory-full
+    # through the alias chain (:426-446)
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    df = spark.sql(
+        "WITH base AS (SELECT someStr, first(someComplexArray) AS cmplx FROM sample_v "
+        "GROUP BY 1 ORDER BY cmplx) SELECT someStr FROM base"
+    )
+    assert schema_of(df, fx) == st(
+        f("someStr", STR),
+        f("someComplexArray", SAMPLE_SCHEMA["someComplexArray"].dataType),
+    )
+
+
+def test_struct_aggregation_over_window_subquery(spark, fx):
+    # FIRST(complex) OVER w in a CTE, outer FIRST(alias) at the upper-most
+    # aggregate -> full complex subtree via the exprId chain (:339-359)
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    df = spark.sql(
+        "WITH base AS (SELECT someStr, first(someComplexArray) OVER w AS complexArray "
+        "FROM sample_v WINDOW w AS (PARTITION BY someStr ORDER BY someStr DESC)) "
+        "SELECT first(complexArray) AS myArray FROM base GROUP BY someStr"
+    )
+    assert schema_of(df, fx) == st(
+        f("someStr", STR),
+        f("someComplexArray", SAMPLE_SCHEMA["someComplexArray"].dataType),
+    )
+
+
+@pytest.fixture(scope="session")
+def crazy_window_fx(spark, tmp_path_factory):
+    """Fixture shaped like the reference's crazy-sample for the
+    veryComplexWindow case (:1126-1159): struct carries a `condition` bool
+    plus a subArray that the query never touches (so pruning is visible)."""
+    schema = st(
+        f("someStr", STR),
+        f("someBoolean", T.BooleanType()),
+        f("someDouble", T.DoubleType()),
+        f("someLong", LONG),
+        f(
+            "struct",
+            st(
+                f("col1", LONG),
+                f("col2", LONG),
+                f("col3", LONG),
+                f("condition", T.BooleanType()),
+                f("subArray", T.ArrayType(LONG)),
+            ),
+        ),
+    )
+    rows = [
+        ("a", True, 1.5, 1, (10, 20, 30, True, [1, 2])),
+        ("b", True, 2.5, 2, (11, 21, 31, True, [3])),
+    ]
+    path = str(tmp_path_factory.mktemp("crazy_window") / "crazy.parquet")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_very_complex_window_lacking_window_columns_from_project(spark, crazy_window_fx):
+    # window partition/order cols absent from SELECT; filter over nested
+    # bool; FIRST_VALUE/LAST_VALUE with a frame (:1126-1159)
+    spark.read.parquet(crazy_window_fx).createOrReplaceTempView("crazy_v")
+    q = (
+        "SELECT someLong, struct.col1 AS col1, "
+        "FIRST_VALUE(struct.col3) OVER w AS firstCol3, "
+        "LAST_VALUE(struct.col2) OVER w AS lastCol2 "
+        "FROM crazy_v WHERE someBoolean = true AND struct.condition = true "
+        "WINDOW w AS (PARTITION BY someStr, someDouble "
+        "ORDER BY struct.col1 ASC ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+    )
+    df = spark.sql(q)
+    got = gen(df).for_paths(crazy_window_fx)
+    assert got == st(
+        f("someStr", STR),
+        f("someBoolean", T.BooleanType()),
+        f("someDouble", T.DoubleType()),
+        f("someLong", LONG),
+        f(
+            "struct",
+            st(f("col1", LONG), f("col2", LONG), f("col3", LONG), f("condition", T.BooleanType())),
+        ),
+    )
+    spark.read.schema(got).parquet(crazy_window_fx).createOrReplaceTempView("crazy_v")
+    assert spark.sql(q).count() == 2
+
+
+def test_multiple_sources_join_sql_views(spark, fx):
+    # SQL join of a parquet view and a json view — per-source pruned schemas
+    # (:1246-1275)
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("pq_v")
+    spark.read.option("multiline", True).json(fx["sample_json"]).createOrReplaceTempView("js_v")
+    df = spark.sql(
+        "SELECT a.someLong, a.someStr, b.struct.col3 FROM pq_v a JOIN js_v b ON a.someLong = b.someLong"
+    )
+    sor = gen(df)
+    assert sor.for_paths(fx["sample_parquet"]) == st(f("someStr", STR), f("someLong", LONG))
+    js = sor.for_paths(fx["sample_json"])
+    assert [fl.name for fl in js] == ["someLong", "struct"]
+    assert js["struct"].dataType.fieldNames() == ["col3"]
+
+
+def test_group_struct_part_by_full_struct_sql(spark, fx):
+    # first(nestedStruct.str) GROUP BY nestedStruct: grouping mandatory-full
+    # (:1592-1610)
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    df = spark.sql("SELECT first(nestedStruct.str) FROM sample_v GROUP BY nestedStruct")
+    assert schema_of(df, fx) == st(f("nestedStruct", SAMPLE_SCHEMA["nestedStruct"].dataType))
+
+
+def test_group_full_struct_by_struct_part_sql(spark, fx):
+    # first(nestedStruct) GROUP BY nestedStruct.str: agg expr at upper-most
+    # -> full struct; grouping leaf adds nothing extra (:1612-1629)
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    df = spark.sql("SELECT first(nestedStruct) FROM sample_v GROUP BY nestedStruct.str")
+    assert schema_of(df, fx) == st(f("nestedStruct", SAMPLE_SCHEMA["nestedStruct"].dataType))
+
+
+def test_group_struct_part_by_full_struct_subquery(spark, fx):
+    # same, through a view + outer narrow re-projection (:1632-1653)
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    spark.sql(
+        "SELECT first(nestedStruct.str) AS str FROM sample_v GROUP BY nestedStruct"
+    ).createOrReplaceTempView("base_v")
+    df = spark.sql("SELECT str FROM base_v")
+    assert schema_of(df, fx) == st(f("nestedStruct", SAMPLE_SCHEMA["nestedStruct"].dataType))
+
+
+def test_group_full_struct_by_struct_part_subquery(spark, fx):
+    # outer narrows into the aggregated struct alias: childStruct.col1 +
+    # grouping leaf str (:1656-1677)
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    spark.sql(
+        "SELECT first(nestedStruct) AS mystruct FROM sample_v GROUP BY nestedStruct.str"
+    ).createOrReplaceTempView("base_v")
+    df = spark.sql("SELECT mystruct.childStruct.col1 FROM base_v")
+    got = schema_of(df, fx)
+    assert [fl.name for fl in got] == ["nestedStruct"]
+    inner = got["nestedStruct"].dataType
+    assert set(inner.fieldNames()) == {"childStruct", "str"}
+    assert inner["childStruct"].dataType.fieldNames() == ["col1"]
+
+
+# --------------------------------- r2: Intersect / Except / Expand goldens
+
+
+def test_intersect_links_both_branches(spark, fx):
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    df = spark.sql(
+        "SELECT someStr, struct.col1 AS c FROM sample_v "
+        "INTERSECT SELECT someStr, struct.col2 AS c FROM sample_v"
+    )
+    got = schema_of(df, fx)
+    assert got == st(f("someStr", STR), struct_field(f("col1", LONG), f("col2", LONG)))
+
+
+def test_except_links_both_branches(spark, fx):
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    df = spark.sql(
+        "SELECT struct.col1 AS c FROM sample_v "
+        "EXCEPT SELECT struct.col3 AS c FROM sample_v"
+    )
+    got = schema_of(df, fx)
+    assert got == st(struct_field(f("col1", LONG), f("col3", LONG)))
+
+
+def test_expand_rollup_grouping_paths(spark, fx):
+    # ROLLUP -> Expand node. Catalyst's rollup analysis inserts an
+    # all-columns passthrough Project under Expand, and under reference
+    # "touch" semantics (conditional columns of a non-upper-most Project:
+    # primitives latch, complex stay prunable — SchemaElementImpl.java:46-51)
+    # that keeps every primitive and skeletons for untouched complex types.
+    # What the Expand handler itself must guarantee: the grouping paths
+    # (someStr, struct.col1) narrow `struct` to col1 through the positional
+    # projection links — pinned here.
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    df = spark.sql(
+        "SELECT someStr, struct.col1 AS c, count(1) AS n FROM sample_v "
+        "GROUP BY ROLLUP(someStr, struct.col1)"
+    )
+    got = schema_of(df, fx)
+    assert "someStr" in got.fieldNames()
+    assert got["struct"].dataType.fieldNames() == ["col1"]  # narrowed, not full
+    assert got["nestedStruct"].dataType.fieldNames() == []  # skeleton, not full
+
+
+def test_expand_cube_runs_with_pruned_schema(spark, fx):
+    spark.read.parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    q = (
+        "SELECT someStr, nestedStruct.str AS s2, count(1) AS n FROM sample_v "
+        "GROUP BY CUBE(someStr, nestedStruct.str)"
+    )
+    full_rows = sorted(map(str, spark.sql(q).collect()))
+    got = gen(spark.sql(q)).for_paths(fx["sample_parquet"])
+    assert got["nestedStruct"].dataType.fieldNames() == ["str"]  # narrowed
+    spark.read.schema(got).parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
+    assert sorted(map(str, spark.sql(q).collect())) == full_rows

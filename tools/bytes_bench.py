@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Pruned-vs-full input-bytes benchmark — measures the reference's headline
+claim (input-size reduction from schema-on-read pruning, README.md:6) on a
+deterministic wide-nested fixture.
+
+For each query shape: build the query on a full read, run SchemaOnRead to get
+the minimal read schema, then audit the compressed column-chunk bytes a
+parquet scan must fetch under the full vs pruned schema (see
+score_spark/schema_on_read/bytes_audit.py for why footers, not runtime task
+metrics). A JSON copy of the fixture measures the wall-clock effect instead
+(JSON always reads all bytes; the pruned schema skips parse work).
+
+Every pruned re-read is verified to return the same rows as the full-schema
+run before its numbers are reported.
+
+Usage: python tools/bytes_bench.py   # prints one JSON dict
+Wired into bench.py (the driver's per-round entry point) as the
+"bytes_pruning" section + the BYTES.json artifact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from score_spark.schema_on_read.bytes_audit import pruning_ratio
+from score_spark.schema_on_read.generator import SchemaOnRead
+
+FIXTURE_DIR = os.environ.get("SCORE_SPARK_BYTES_DIR", "/root/repo/.bench_fixtures")
+N_ROWS = 120_000
+
+
+def build_fixture_df(spark: SparkSession, n_rows: int) -> DataFrame:
+    """Deterministic wide-nested rows: a few narrow leaves buried between fat
+    string columns — the data shape ScORe was built for."""
+    return spark.range(n_rows).select(
+        F.col("id"),
+        F.struct(
+            (F.col("id") % 50).alias("a"),
+            F.concat(F.lit("key-"), F.col("id")).alias("b"),
+        ).alias("meta"),
+        F.struct(
+            # sha-chained text: incompressible, so chunk sizes reflect width
+            F.sha2(F.concat(F.lit("p1-"), F.col("id")), 256).alias("big1"),
+            F.concat(*[F.sha2(F.concat(F.lit(f"p2-{i}-"), F.col("id")), 256) for i in range(4)]).alias("big2"),
+            F.struct(
+                F.sha2(F.concat(F.lit("p3-"), F.col("id")), 512).alias("big3"),
+                (F.col("id") % 7).alias("small"),
+            ).alias("nested"),
+        ).alias("payload"),
+        F.expr(
+            "transform(sequence(1, 3), i -> struct(id * i as x, sha2(concat('a-', id, '-', i), 256) as fat))"
+        ).alias("arr"),
+    )
+
+
+def ensure_fixture(spark: SparkSession) -> tuple[str, str]:
+    pq_path = os.path.join(FIXTURE_DIR, "nested_wide.parquet")
+    js_path = os.path.join(FIXTURE_DIR, "nested_wide.json")
+    marker = os.path.join(FIXTURE_DIR, f"nested_wide.ok.{N_ROWS}")
+    if not os.path.exists(marker):
+        df = build_fixture_df(spark, N_ROWS)
+        df.repartition(8).write.mode("overwrite").parquet(pq_path)
+        df.repartition(8).write.mode("overwrite").json(js_path)
+        open(marker, "w").close()
+    return pq_path, js_path
+
+
+QUERY_SHAPES = {
+    # shapes from the reference's own surface (SURVEY.md §2B): aggregate,
+    # window, generate, filter+project — each touching narrow leaves only
+    "nested_agg": lambda d: d.groupBy(F.col("meta.a").alias("a")).agg(
+        F.sum("payload.nested.small").alias("s")
+    ),
+    "window_nested": lambda d: d.select(
+        F.col("meta.a").alias("a"),
+        F.row_number()
+        .over(Window.partitionBy("payload.nested.small").orderBy("meta.a", "id"))
+        .alias("rk"),
+    ).groupBy("a").agg(F.max("rk").alias("m")),
+    "explode_field": lambda d: d.select(F.explode("arr").alias("e"))
+    .groupBy()
+    .agg(F.sum("e.x").alias("sx")),
+    "filter_project": lambda d: d.filter(F.col("payload.nested.small") > 3)
+    .groupBy(F.col("meta.a").alias("a"))
+    .agg(F.count(F.lit(1)).alias("n")),
+}
+
+
+def _rows(df: DataFrame) -> list:
+    return sorted(map(tuple, df.collect()))
+
+
+def run_parquet_audit(spark: SparkSession, pq_path: str) -> dict:
+    out = {}
+    full_df = spark.read.parquet(pq_path)
+    full_schema = full_df.schema
+    for name, build in QUERY_SHAPES.items():
+        q = build(full_df)
+        sor = SchemaOnRead.generate(q)
+        pruned_schema = sor.for_paths(pq_path)
+        # equivalence: the pruned re-read answers the query identically
+        pruned_q = build(spark.read.schema(pruned_schema).parquet(pq_path))
+        if _rows(q) != _rows(pruned_q):
+            raise AssertionError(f"pruned rerun diverged for {name}")
+        rep = pruning_ratio(pq_path, full_schema, pruned_schema)
+        rep["analyzer_sec"] = round(sor.duration, 4)
+        out[name] = rep
+    return out
+
+
+def run_json_wall(spark: SparkSession, js_path: str, full_schema) -> dict:
+    """JSON: bytes are constant; the pruned read schema skips tokenizing the
+    fat fields — report wall-clock for the same aggregate both ways."""
+    build = QUERY_SHAPES["nested_agg"]
+
+    def timed(df) -> tuple[float, list]:
+        q = build(df)
+        t0 = time.monotonic()
+        rows = _rows(q)
+        return time.monotonic() - t0, rows
+
+    full_df = spark.read.schema(full_schema).json(js_path)
+    sor = SchemaOnRead.generate(build(full_df))
+    pruned_schema = sor.for_paths(js_path)
+    # warmup then measure, median-of-3 each
+    full_times, pruned_times = [], []
+    for _ in range(3):
+        t, full_rows = timed(spark.read.schema(full_schema).json(js_path))
+        full_times.append(t)
+        t, pruned_rows = timed(spark.read.schema(pruned_schema).json(js_path))
+        pruned_times.append(t)
+    if full_rows != pruned_rows:
+        raise AssertionError("pruned JSON rerun diverged")
+    full_t, pruned_t = sorted(full_times)[1], sorted(pruned_times)[1]
+    return {
+        "full_sec": round(full_t, 3),
+        "pruned_sec": round(pruned_t, 3),
+        "speedup": round(full_t / pruned_t, 2) if pruned_t else None,
+    }
+
+
+def run(spark: SparkSession) -> dict:
+    pq_path, js_path = ensure_fixture(spark)
+    parquet = run_parquet_audit(spark, pq_path)
+    js = run_json_wall(spark, js_path, spark.read.parquet(pq_path).schema)
+    ratios = [v["ratio"] for v in parquet.values()]
+    return {
+        "fixture_rows": N_ROWS,
+        "parquet": parquet,
+        "json_nested_agg": js,
+        "max_parquet_ratio": max(ratios),
+        "gate_ratio_le_050": max(ratios) <= 0.5,
+    }
+
+
+def main() -> None:
+    from score_spark.session import get_session
+
+    spark = get_session(app_name="score-spark-bytes", master="local[8]", shuffle_partitions=8)
+    print(json.dumps(run(spark), indent=2))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
