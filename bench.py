@@ -45,6 +45,13 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.monotonic() - t0, 3)
+        # untimed inter-query cleanup: drop the previous query's cache /
+        # checkpoint blocks and let ContextCleaner reap dead shuffles, so a
+        # heavy query's garbage doesn't show up as GC pauses in the next
+        # query's wall-clock (measured: 5-7s random spikes otherwise)
+        del df
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
 
     # the reference's headline metric: input-bytes reduction from the pruned
     # read schema (BASELINE.md gate: ratio <= 0.5). Full report -> BYTES.json.

@@ -108,9 +108,12 @@ def extract_binary_features(
 
 def frame_sample_plan(df: DataFrame, id_col: str, binary_col: str, every_n: int = 30) -> DataFrame:
     """Plumbing for video frame sampling: emits (doc_id, frame_idx) rows with
-    a stubbed frame count derived from payload size. Real decoders replace
-    ``n_frames``; partitioning/explode shape is what matters at scale."""
-    n_frames = (F.length(F.col(binary_col)) / 100).cast("int") + 1
+    a stubbed frame count derived from payload size (floor(bytes/100)+1 —
+    explicit floor so the DuckDB mirror is unambiguous). Real decoders
+    replace ``n_frames``; partitioning/explode shape is what matters at
+    scale: the payload is dropped before the explode, so only (id, idx)
+    pairs fan out."""
+    n_frames = F.floor(F.length(F.col(binary_col)) / 100).cast("int") + 1
     return df.select(
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_idx"),
@@ -158,5 +161,41 @@ ORDER BY source
 """
 
 
-QUERIES = {"m01_binary_features": m01_binary_features}
-ORACLE = {"m01_binary_features": ORACLE_M01}
+def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over the binary payload (documents' text
+    re-encoded, as in m01): every 30th stub frame per blob, summarized per
+    source so the result is small but every exploded row is counted."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.encode("text", "UTF-8").alias("payload")
+    )
+    frames = frame_sample_plan(d, "doc_id", "payload", every_n=30)
+    return (
+        frames.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.countDistinct("doc_id").alias("n_blobs"),
+            F.sum("frame_idx").alias("sum_idx"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_M02 = """
+WITH frames AS (
+  SELECT doc_id, source,
+         unnest(range(0, CAST(floor(octet_length(encode(text)) / 100) AS INT) + 1, 30)) AS frame_idx
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_frames,
+       count(DISTINCT doc_id) AS n_blobs,
+       CAST(sum(frame_idx) AS BIGINT) AS sum_idx
+FROM frames
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES = {"m01_binary_features": m01_binary_features, "m02_frame_sample": m02_frame_sample}
+ORACLE = {"m01_binary_features": ORACLE_M01, "m02_frame_sample": ORACLE_M02}

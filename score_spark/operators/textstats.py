@@ -160,11 +160,68 @@ ORDER BY source
 """
 
 
+# GPT-2-style pre-tokenizer shape, simplified to a class alphabet both Java
+# regex (Spark) and RE2 (DuckDB) treat identically: letter runs, single
+# digits, and single punctuation marks each count as one subword unit.
+_BPE_PATTERN = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+
+def bpe_token_estimate(text_col, pattern: str = _BPE_PATTERN):
+    """Estimated subword token count: regex unit count (JVM-side
+    regexp_count) — the standard cheap proxy for BPE token budgeting."""
+    return F.regexp_count(F.lower(text_col), F.lit(pattern))
+
+
+def t05_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting per language: BPE-ish unit counts next to
+    whitespace word counts and the chars/4 rule of thumb."""
+    d = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    per_doc = fan_out(d).select(
+        "lang",
+        bpe_token_estimate(c).alias("bpe"),
+        TX.token_count(c).alias("words"),
+        (F.length(c) / 4).alias("chars4"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("bpe").alias("total_bpe_tokens"),
+            F.round(F.avg("bpe"), 4).alias("avg_bpe_tokens"),
+            F.round(F.avg(F.col("bpe") / F.col("words")), 4).alias("bpe_per_word"),
+            F.round(F.avg("chars4"), 4).alias("avg_chars4"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_T05 = f"""
+WITH per_doc AS (
+  SELECT lang,
+         len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS bpe,
+         {_NTOK} AS words,
+         strlen(text) / 4.0 AS chars4
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(bpe) AS BIGINT) AS total_bpe_tokens,
+       round(avg(bpe), 4) AS avg_bpe_tokens,
+       round(avg(bpe / CAST(words AS DOUBLE)), 4) AS bpe_per_word,
+       round(avg(chars4), 4) AS avg_chars4
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_language_id": t02_language_id,
     "t03_quality_buckets": t03_quality_buckets,
     "t04_fingerprint_summary": t04_fingerprint_summary,
+    "t05_bpe_token_estimate": t05_bpe_token_estimate,
 }
 
 ORACLE = {
@@ -172,4 +229,5 @@ ORACLE = {
     "t02_language_id": ORACLE_T02,
     "t03_quality_buckets": ORACLE_T03,
     "t04_fingerprint_summary": ORACLE_T04,
+    "t05_bpe_token_estimate": ORACLE_T05,
 }

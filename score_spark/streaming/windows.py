@@ -87,6 +87,23 @@ def run_stream_once(
     return q
 
 
+def stream_dedup(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once-per-key dedup, batch and streaming from one definition.
+
+    Streaming (watermark set): dropDuplicatesWithinWatermark keeps state only
+    for the watermark horizon — bounded memory at any scale, duplicates
+    arriving within the horizon are dropped, older ones age out of state.
+    Batch: plain dropDuplicates (a hash-shuffle on the keys)."""
+    if watermark is not None and events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+    return events.dropDuplicates(list(keys))
+
+
 # ------------------------------------------------------------------ queries
 
 
@@ -149,11 +166,37 @@ ORDER BY window_start, event_type
 """
 
 
+def w03_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming dedup: a doubled event feed (every row
+    twice) collapses back to the original distinct rows. distinct() rather
+    than per-key arbitrary-row dropDuplicates keeps the oracle deterministic;
+    the per-key streaming variant is exercised in tests/test_streaming.py."""
+    e = load_events(spark, sf_dir)
+    doubled = e.unionAll(e)
+    return (
+        doubled.distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("event_type")
+    )
+
+
+ORACLE_W03 = """
+WITH dd AS (SELECT DISTINCT * FROM events)
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM dd
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "w01_session_windows": w01_session_windows,
     "w02_sliding_windows": w02_sliding_windows,
+    "w03_dedup_counts": w03_dedup_counts,
 }
 ORACLE = {
     "w01_session_windows": ORACLE_W01,
     "w02_sliding_windows": ORACLE_W02,
+    "w03_dedup_counts": ORACLE_W03,
 }

@@ -945,3 +945,37 @@ def test_expand_cube_runs_with_pruned_schema(spark, fx):
     assert got["nestedStruct"].dataType.fieldNames() == ["str"]  # narrowed
     spark.read.schema(got).parquet(fx["sample_parquet"]).createOrReplaceTempView("sample_v")
     assert sorted(map(str, spark.sql(q).collect())) == full_rows
+
+
+# ------------------------------------- r2: CSV / ORC scan coverage (stock)
+
+
+def test_orc_scan_pruning(spark, tmp_path_factory):
+    """ORC rides the same HadoopFsRelation path the reference matches
+    (TreeNodeProcessingRegistry.java:25-30) — nested pruning included."""
+    path = str(tmp_path_factory.mktemp("orc") / "sample.orc")
+    spark.createDataFrame(
+        [("a", 1, (10, 20)), ("b", 2, (30, 40))],
+        st(f("s", STR), f("n", LONG), f("inner", st(f("x", LONG), f("y", LONG)))),
+    ).coalesce(1).write.mode("overwrite").orc(path)
+    df = spark.read.orc(path).select("s", "inner.x")
+    got = gen(df).for_paths(path)
+    assert got == st(f("s", STR), f("inner", st(f("x", LONG))))
+    rows = spark.read.schema(got).orc(path).select("s", "inner.x").collect()
+    assert sorted((r.s, r.x) for r in rows) == [("a", 10), ("b", 30)]
+
+
+def test_csv_scan_pruning(spark, tmp_path_factory):
+    """CSV is flat; top-level column pruning still applies and the pruned
+    re-read must resolve by header name."""
+    path = str(tmp_path_factory.mktemp("csv") / "sample.csv")
+    spark.createDataFrame(
+        [("a", 1, 1.5), ("b", 2, 2.5)], st(f("s", STR), f("n", LONG), f("d", T.DoubleType()))
+    ).coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    df = spark.read.option("header", True).csv(path).select("s", "n")
+    got = gen(df).for_paths(path)
+    assert [fl.name for fl in got] == ["s", "n"]
+    rows = (
+        spark.read.schema(got).option("header", True).csv(path).collect()
+    )
+    assert sorted((r.s, r.n) for r in rows) == [("a", "1"), ("b", "2")]

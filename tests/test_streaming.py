@@ -10,7 +10,12 @@ from __future__ import annotations
 import pytest
 
 from score_spark.io import load_events
-from score_spark.streaming.windows import run_stream_once, session_stats, tumbling_counts
+from score_spark.streaming.windows import (
+    run_stream_once,
+    session_stats,
+    stream_dedup,
+    tumbling_counts,
+)
 
 
 @pytest.fixture(scope="module")
@@ -50,6 +55,32 @@ def test_stream_session_windows_equals_batch(spark, events_dir, tmp_path):
         tmp_path,
         "stream_sessions",
     )
+
+
+def test_stream_dedup_drops_within_watermark_duplicates(spark, events_dir, tmp_path):
+    """Streaming per-key dedup: a feed where every event arrives twice
+    (union of the directory with itself via two listings in one batch)
+    collapses to one row per event_id, matching batch dropDuplicates."""
+    schema = spark.read.parquet(events_dir).schema
+    dup_dir = str(tmp_path / "dup")
+    base = spark.read.parquet(events_dir)
+    base.unionAll(base).write.mode("overwrite").parquet(dup_dir)
+
+    transform = lambda s: stream_dedup(s, keys=("event_id",), watermark="2 hours")
+    q = run_stream_once(
+        spark,
+        dup_dir,
+        transform,
+        schema,
+        checkpoint=str(tmp_path / "ckpt"),
+        table_name="stream_dedup_t",
+        output_mode="append",
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("stream_dedup_t")
+    n_batch = base.dropDuplicates(["event_id"]).count()
+    assert streamed.count() == n_batch
+    assert streamed.select("event_id").distinct().count() == n_batch
 
 
 def test_append_mode_watermark_drops_late_rows(spark, tmp_path):
