@@ -39,12 +39,37 @@ def main() -> None:
 
     spark.range(int(cpus) * 4, numPartitions=int(cpus)).mapInPandas(_warm, "id long").count()
 
+    # the constant per-query floor: plan + schedule + noop-write a minimal
+    # one-stage query. Median of 5 — published so per-query ratios against
+    # an in-process engine can be judged net of engine fixed cost
+    # (VERDICT r2 "Next round" #2).
+    import pyspark.sql.functions as F  # noqa: N812
+
+    floor_runs = []
+    for _ in range(5):
+        f0 = time.monotonic()
+        spark.read.parquet(f"{sf_dir}/region.parquet").select(
+            F.col("r_regionkey")
+        ).write.format("noop").mode("overwrite").save()
+        floor_runs.append(time.monotonic() - f0)
+    floor_sec = round(sorted(floor_runs)[len(floor_runs) // 2], 3)
+
+    from score_spark import xcheck
+
+    xcheck.drain_oracle_sec()  # reset any warmup residue
     times: dict[str, float] = {}
+    oracle_channel: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):
         t0 = time.monotonic()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.monotonic() - t0, 3)
+        elapsed = time.monotonic() - t0
+        # oracle-channel cost (xcheck parquet writes that exist only so
+        # DuckDB can verify the run) is billed separately from query time
+        osec = xcheck.drain_oracle_sec()
+        if osec > 0:
+            oracle_channel[name] = round(osec, 3)
+        times[name] = round(elapsed - osec, 3)
         # untimed inter-query cleanup: drop the previous query's cache /
         # checkpoint blocks and let ContextCleaner reap dead shuffles, so a
         # heavy query's garbage doesn't show up as GC pauses in the next
@@ -73,11 +98,14 @@ def main() -> None:
     # judgeable baseline: DuckDB wall-clock for the same oracle SQL on the
     # same parquet (VERDICT r1: "within 2x of BASELINE" needs a number).
     # The quadratic-oracle queries (d02/d03/s02: all-pairs CTEs that exist
-    # for checking, not as a fair engine baseline) are excluded; the xcheck-
-    # dependent ones run AFTER the Spark loop wrote their parquet above.
+    # for checking, not as a fair engine baseline) are excluded. Spark is
+    # STOPPED first: an idle 32-thread JVM contends with DuckDB's own
+    # threading and was measured inflating duckdb_sec up to 5x on the
+    # stopword-heavy text oracles.
+    spark.stop()
     baseline_summary = None
     try:
-        baseline_summary = _duckdb_baseline(sf_dir, times)
+        baseline_summary = _duckdb_baseline(sf_dir, times, floor_sec)
     except Exception as e:
         baseline_summary = {"error": str(e)[:200]}
 
@@ -89,13 +117,14 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "oracle_channel_sec": oracle_channel,
+                "floor_sec": floor_sec,
                 "sf": sf,
                 "bytes_pruning": bytes_summary,
                 "duckdb_baseline": baseline_summary,
             }
         )
     )
-    spark.stop()
 
 
 _BASELINE_SKIP = {
@@ -104,10 +133,15 @@ _BASELINE_SKIP = {
     "d02_ngram_jaccard",
     "d03_minhash_lsh",
     "s02_embedding_near_dups",
+    # oracle reads a pre-written xcheck intermediate (signatures / candidate
+    # pairs) that Spark computed — the two engines don't do the same work in
+    # either direction, so the ratio is meaningless (ADVICE r2)
+    "d04_simhash",
+    "s03_ann_lsh",
 }
 
 
-def _duckdb_baseline(sf_dir: str, spark_times: dict[str, float]) -> dict:
+def _duckdb_baseline(sf_dir: str, spark_times: dict[str, float], floor_sec: float) -> dict:
     import duckdb
 
     from score_spark.io import TABLES
@@ -126,24 +160,36 @@ def _duckdb_baseline(sf_dir: str, spark_times: dict[str, float]) -> dict:
         con.execute(sql).fetchall()
         d = round(time.monotonic() - t0, 3)
         s = spark_times.get(name)
+        net = max(0.0, round(s - floor_sec, 3)) if s is not None else None
         per_query[name] = {
             "duckdb_sec": d,
             "spark_sec": s,
             "ratio": round(s / d, 2) if s and d else None,
+            # ratio with the constant Spark plan+schedule floor removed — the
+            # per-query engine cost a cluster amortizes (floor published below)
+            "ratio_net_floor": round(net / d, 2) if net and d else None,
         }
     con.close()
     duck_total = round(sum(v["duckdb_sec"] for v in per_query.values()), 3)
     spark_total = round(
         sum(v["spark_sec"] for v in per_query.values() if v["spark_sec"]), 3
     )
+    spark_net_total = round(
+        sum(v["spark_sec"] - floor_sec for v in per_query.values() if v["spark_sec"]), 3
+    )
     report = {
         "sf_dir": sf_dir,
+        "floor_sec": floor_sec,
         "queries": per_query,
         "duckdb_total_sec": duck_total,
         "spark_total_sec_same_queries": spark_total,
         "spark_vs_duckdb_ratio": round(spark_total / duck_total, 2) if duck_total else None,
-        "note": "single-node sf0.1; Spark pays per-query planning+JVM overhead "
-        "that amortizes at cluster scale — per-query ratios matter more than the total",
+        "spark_vs_duckdb_ratio_net_floor": (
+            round(spark_net_total / duck_total, 2) if duck_total else None
+        ),
+        "note": "single-node sf0.1; floor_sec is the measured constant per-query "
+        "Spark plan+schedule+noop cost (median of 5 minimal queries) — it "
+        "amortizes at cluster scale, so net-floor ratios are the design signal",
     }
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_DUCKDB.json"), "w"
@@ -153,6 +199,7 @@ def _duckdb_baseline(sf_dir: str, spark_times: dict[str, float]) -> dict:
         "duckdb_total_sec": duck_total,
         "spark_total_sec_same_queries": spark_total,
         "spark_vs_duckdb_ratio": report["spark_vs_duckdb_ratio"],
+        "spark_vs_duckdb_ratio_net_floor": report["spark_vs_duckdb_ratio_net_floor"],
         "n_queries": len(per_query),
     }
 
