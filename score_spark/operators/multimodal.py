@@ -43,24 +43,36 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, str]:
+try:  # decoder availability probed once per process, not once per row
+    from PIL import Image as _PIL_Image  # pragma: no cover - not in this container
+except Exception:
+    _PIL_Image = None
+
+
+def _fake_decode(payload: bytes, sha_hex: str | None = None) -> tuple[int, int, str]:
     """Deterministic stand-in for image decoding: pseudo-dimensions derived
-    from the content hash. Replace with a real decoder (PIL/libvips) in
-    production; the (width, height) contract is identical."""
-    h = hashlib.sha256(payload).digest()
-    return 64 + h[0] % 192, 64 + h[1] % 192, "fake"
+    from the content hash. Accepts the already-computed sha256 hex (the JVM
+    scan stage emits it) so the stand-in never re-hashes the payload. Replace
+    with a real decoder (PIL/libvips) in production; the (width, height)
+    contract is identical."""
+    if sha_hex is not None:
+        b0, b1 = int(sha_hex[0:2], 16), int(sha_hex[2:4], 16)
+    else:
+        h = hashlib.sha256(payload).digest()
+        b0, b1 = h[0], h[1]
+    return 64 + b0 % 192, 64 + b1 % 192, "fake"
 
 
-def decode_image(payload: bytes) -> tuple[int, int, str]:
-    try:
-        import io
+def decode_image(payload: bytes, sha_hex: str | None = None) -> tuple[int, int, str]:
+    if _PIL_Image is not None:
+        try:
+            import io
 
-        from PIL import Image  # pragma: no cover - not installed in this container
-
-        img = Image.open(io.BytesIO(payload))
-        return img.width, img.height, "pil"
-    except Exception:
-        return _fake_decode(payload)
+            img = _PIL_Image.open(io.BytesIO(payload))
+            return img.width, img.height, "pil"
+        except Exception:
+            pass
+    return _fake_decode(payload, sha_hex)
 
 
 def extract_binary_features(
@@ -92,7 +104,10 @@ def extract_binary_features(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [decode_image(p) for p in pdf[binary_col]]
+            dims = [
+                decode_image(p, s)
+                for p, s in zip(pdf[binary_col], pdf["content_sha256"])
+            ]
             out = {id_col: pdf[id_col]}
             for c in carry_cols:
                 out[c] = pdf[c]

@@ -1,0 +1,50 @@
+"""io helpers: byte-size conf parsing and fan_out's packed-task estimate."""
+
+from __future__ import annotations
+
+import pytest
+
+from score_spark.io import fan_out, parse_byte_size
+
+
+def test_parse_byte_size_full_suffix_set():
+    assert parse_byte_size("134217728") == 134217728
+    assert parse_byte_size("128m") == 128 << 20
+    assert parse_byte_size("128MB") == 128 << 20
+    assert parse_byte_size("1g") == 1 << 30
+    assert parse_byte_size("2k") == 2 << 10
+    assert parse_byte_size("1t") == 1 << 40
+    assert parse_byte_size("1p") == 1 << 50
+    assert parse_byte_size("1.5m") == int(1.5 * (1 << 20))
+
+
+def test_parse_byte_size_rejects_garbage():
+    with pytest.raises(ValueError, match="unparseable"):
+        parse_byte_size("12 parsecs")
+    assert parse_byte_size("12 parsecs", default=7) == 7
+
+
+def test_fan_out_repartitions_small_single_file(spark, tmp_path):
+    """One tiny file bin-packs into one scan task -> fan_out must widen it
+    even though len(inputFiles) == 1 < target was already true; the point is
+    the packing estimate, not the raw file count."""
+    p = str(tmp_path / "small.parquet")
+    spark.range(1000).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = fan_out(df, min_partitions=8)
+    assert out.rdd.getNumPartitions() == 8
+
+
+def test_fan_out_many_tiny_files_still_widens(spark, tmp_path):
+    """Many tiny files pack into FEW scan tasks (size + openCost binning), so
+    fan_out must still repartition — the r2 heuristic (raw file count >=
+    target) no-op'd here and under-parallelized (ADVICE r2)."""
+    p = str(tmp_path / "tiny.parquet")
+    spark.range(100, numPartitions=10).write.parquet(p)  # 10 files, ~500 B each
+    df = spark.read.parquet(p)
+    # 10 files x (500 B + 4 MB open cost) ≈ 40 MB padded; bytes_per_core on
+    # local[32] ≈ 1.25 MB -> max_split = max(openCost, bpc) = 4 MB -> ~10
+    # estimated tasks... with openCost padding the estimate stays >= target
+    # only when it truly packs wide. Ask for more than the packed estimate:
+    out = fan_out(df, min_partitions=16)
+    assert out.rdd.getNumPartitions() == 16
