@@ -27,11 +27,22 @@ def asof_join(
     right_ts: str = "ts",
     right_value_cols: list[str] | None = None,
     suffix: str = "_right",
+    time_buckets: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row (right_ts <=
     left_ts) with the same key. Right values arrive as <col><suffix>;
     right_ts arrives as <right_ts><suffix>. Left rows with no prior right row
-    keep nulls (ASOF LEFT JOIN semantics)."""
+    keep nulls (ASOF LEFT JOIN semantics).
+
+    ``time_buckets``: skew escape hatch (VERDICT r2 "Next round" #7). The
+    plain path partitions by key only, so one hyperactive key serializes its
+    whole timeline into a single window task — and AQE's skew splitting does
+    not apply to window exchanges. With time_buckets=N each key's timeline
+    splits into N contiguous time ranges: the window pass runs per
+    (key, bucket) — max task is 1/N of the hot key — and a second, tiny
+    per-(key, bucket) pass carries the last right row across bucket
+    boundaries. Costs one extra scalar min/max job + one narrow join; use it
+    when a key can dominate a partition (see ``key_skew_report``)."""
     right_value_cols = right_value_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
@@ -51,21 +62,109 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
         F.col(right_ts).alias("_r_ts"),
     )
-    # right rows sort before left rows at equal _ts → right_ts <= left_ts
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_ts", "_is_left")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = l_tagged.unionByName(r_tagged).select(
-        "*",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_last_{c}") for c in right_value_cols],
-        F.last("_r_ts", ignorenulls=True).over(w).alias("_last_ts"),
-    )
+    tagged = l_tagged.unionByName(r_tagged)
+    carry_cols = [*right_value_cols]
+    if time_buckets is None:
+        # right rows sort before left rows at equal _ts → right_ts <= left_ts
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_ts", "_is_left")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = tagged.select(
+            "*",
+            *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_last_{c}") for c in carry_cols],
+            F.last("_r_ts", ignorenulls=True).over(w).alias("_last_ts"),
+        )
+    else:
+        carried = _bucketed_carry(tagged, carry_cols, time_buckets)
     out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
     out_cols += [F.col(f"_last_{c}").alias(f"{c}{suffix}") for c in right_value_cols]
     out_cols.append(F.col("_last_ts").alias(f"{right_ts}{suffix}"))
     return carried.filter(F.col("_is_left") == 1).select(*out_cols)
+
+
+def _bucketed_carry(tagged: DataFrame, carry_cols: list[str], n_buckets: int) -> DataFrame:
+    """Two-phase last-value carry: window within (key, time bucket), then a
+    per-bucket carry-in computed over the tiny (key, bucket) spine.
+
+    Phase 1 bounds every window task at ~1/n_buckets of the hottest key.
+    Phase 2's spine has |keys| x n_buckets rows — broadcast-size — so the
+    carry-in join adds no meaningful shuffle. Works for any row-to-bucket
+    assignment that is monotone in _ts; contiguous equal-width ranges from
+    one scalar min/max job keep it deterministic."""
+    lo, hi = tagged.select(F.min("_ts"), F.max("_ts")).first()
+    if lo is None or lo == hi:
+        bkt = F.lit(0)
+    else:
+        span = (F.unix_micros(F.col("_ts")) - F.lit(_micros(lo))) if _is_ts(tagged) else (
+            F.col("_ts") - F.lit(lo)
+        )
+        total = (_micros(hi) - _micros(lo)) if _is_ts(tagged) else (hi - lo)
+        bkt = F.least(F.lit(n_buckets - 1), F.floor(span * n_buckets / F.lit(total + 1)))
+    b = tagged.withColumn("_bkt", bkt.cast("int"))
+    w_in = (
+        Window.partitionBy("_k", "_bkt")
+        .orderBy("_ts", "_is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_bucket = b.select(
+        "*",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w_in).alias(f"_in_{c}") for c in carry_cols],
+        F.last("_r_ts", ignorenulls=True).over(w_in).alias("_in_ts"),
+    )
+    # last right row per (key, bucket): max_by over right rows only
+    right_rows = b.filter(F.col("_is_left") == 0)
+    summary = right_rows.groupBy("_k", "_bkt").agg(
+        F.max_by(
+            F.struct(*[F.col(f"_r_{c}").alias(c) for c in carry_cols], F.col("_r_ts").alias("ts_v")),
+            F.struct(F.col("_ts"), F.col("_is_left")),
+        ).alias("_lastrow")
+    )
+    spine = b.select("_k", "_bkt").distinct()
+    w_prev = (
+        Window.partitionBy("_k")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry_in = (
+        spine.join(summary, ["_k", "_bkt"], "left")
+        .select(
+            "_k",
+            "_bkt",
+            *[F.last(F.col(f"_lastrow.{c}"), ignorenulls=True).over(w_prev).alias(f"_ci_{c}") for c in carry_cols],
+            F.last(F.col("_lastrow.ts_v"), ignorenulls=True).over(w_prev).alias("_ci_ts"),
+        )
+    )
+    joined = in_bucket.join(F.broadcast(carry_in), ["_k", "_bkt"])
+    return joined.select(
+        *[c for c in tagged.columns],
+        *[F.coalesce(F.col(f"_in_{c}"), F.col(f"_ci_{c}")).alias(f"_last_{c}") for c in carry_cols],
+        F.coalesce(F.col("_in_ts"), F.col("_ci_ts")).alias("_last_ts"),
+    )
+
+
+def _is_ts(df: DataFrame) -> bool:
+    return dict(df.dtypes).get("_ts", "").startswith("timestamp")
+
+
+def _micros(v) -> int:
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return int((v - epoch).total_seconds() * 1_000_000)
+    return int(v)
+
+
+def key_skew_report(df: DataFrame, key: str, top: int = 10) -> list[tuple]:
+    """Diagnostic: (key, row_count) for the `top` heaviest keys plus the
+    total — one aggregation job. Use before choosing ``time_buckets`` for
+    ``asof_join`` / deciding whether a windowed operator needs the salted
+    path: a key holding >> total/partitions rows will serialize its window
+    task on the plain path."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n")).orderBy(F.desc("n")).limit(top)
+    return [(r[key], r["n"]) for r in counts.collect()]
 
 
 # ------------------------------------------------------------------ queries

@@ -14,7 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from score_spark.operators import asof, dedup, multimodal, similarity, textstats
-from score_spark.queries import relational
+from score_spark.queries import pruned, relational
 from score_spark.streaming import windows as streaming_windows
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -26,5 +26,5 @@ def _register(mod) -> None:
     ORACLE.update(mod.ORACLE)
 
 
-for _mod in (relational, textstats, dedup, similarity, asof, multimodal, streaming_windows):
+for _mod in (relational, textstats, dedup, similarity, asof, multimodal, streaming_windows, pruned):
     _register(_mod)

@@ -57,6 +57,21 @@ def write_xcheck(df: DataFrame, name: str) -> DataFrame:
     return cached
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def channel_time(name: str):
+    """Bill a block's wall-clock to the oracle channel — for shared-input
+    materialization (fixtures both engines read) that is setup, not the
+    operator under measurement."""
+    t0 = time.monotonic()
+    try:
+        yield
+    finally:
+        _ORACLE_SEC[name] = _ORACLE_SEC.get(name, 0.0) + (time.monotonic() - t0)
+
+
 def drain_oracle_sec() -> float:
     """Total oracle-channel seconds recorded since the last drain (bench.py
     calls this after each timed query to split query vs oracle cost)."""

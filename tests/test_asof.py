@@ -9,7 +9,59 @@ from score_spark.operators.asof import asof_join
 
 
 def ts(m):
-    return dt.datetime(2024, 1, 1, 0, m)
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+
+def test_asof_salted_equals_plain_on_skewed_keys(spark):
+    """time_buckets path must return exactly the plain path's answer on a
+    planted 100x-skewed fixture (one hyperactive key vs many normal keys),
+    including bucket-boundary carry-over and never-matched keys."""
+    import random
+
+    rng = random.Random(11)
+    left_rows, right_rows = [], []
+    for i in range(1000):  # hot key 0: 100x the rows of each normal key
+        left_rows.append((0, ts(i % 600), f"hot-l{i}"))
+        right_rows.append((0, ts((i * 7) % 600), i))
+    for k in range(1, 11):
+        for i in range(10):
+            left_rows.append((k, ts(rng.randrange(600)), f"k{k}-l{i}"))
+            right_rows.append((k, ts(rng.randrange(600)), k * 1000 + i))
+    left_rows.append((99, ts(5), "never-matched"))
+    left = spark.createDataFrame(left_rows, ["k", "ts", "name"])
+    right = spark.createDataFrame(right_rows, ["k", "ts", "v"])
+
+    def key(rows):
+        return sorted((r.k, r.ts, r.name, r.v_right, r.ts_right) for r in rows)
+
+    plain = asof_join(left, right, on="k", right_value_cols=["v"])
+    salted = asof_join(left, right, on="k", right_value_cols=["v"], time_buckets=8)
+    assert key(salted.collect()) == key(plain.collect())
+
+
+def test_asof_salted_bounds_window_group_size(spark):
+    """The point of the salt: no (key, bucket) window group holds more than
+    ~1/n_buckets of the hot key's timeline (the plain path would put all
+    2000 hot rows in ONE ordered task)."""
+    import pyspark.sql.functions as F
+
+    n_hot, buckets = 2000, 8
+    left = spark.createDataFrame([(0, ts(i % 600), i) for i in range(n_hot)], ["k", "ts", "i"])
+    right = spark.createDataFrame([(0, ts((i * 3) % 600), i) for i in range(n_hot)], ["k", "ts", "v"])
+    # reproduce the operator's bucket assignment over the union and measure
+    # the biggest (key, bucket) group the window pass would sort
+    union = left.select("k", "ts").unionByName(right.select("k", "ts"))
+    lo, hi = union.select(F.min("ts"), F.max("ts")).first()
+    span = F.unix_micros(F.col("ts")) - F.lit(int(lo.timestamp() * 1_000_000))
+    total = int((hi - lo).total_seconds() * 1_000_000)
+    bkt = F.least(F.lit(buckets - 1), F.floor(span * buckets / F.lit(total + 1)))
+    biggest = (
+        union.groupBy(F.col("k"), bkt.alias("b")).count().agg(F.max("count")).first()[0]
+    )
+    assert biggest <= (2 * n_hot) // buckets * 1.5  # bounded, not serialized
+    # and the salted operator still answers correctly at this size
+    got = asof_join(left, right, on="k", right_value_cols=["v"], time_buckets=buckets)
+    assert got.count() == n_hot
 
 
 def test_asof_backward_with_equal_ts_and_missing(spark):
