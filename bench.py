@@ -53,6 +53,24 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
         floor_runs.append(time.monotonic() - f0)
     floor_sec = round(sorted(floor_runs)[len(floor_runs) // 2], 3)
+    # multi-stage floor: minimal join + aggregate + global sort over the two
+    # 25-row dimension tables — the fixed cost of a 3-stage plan shape
+    # (scan, shuffle/broadcast, agg, sort). Queries like the supplier
+    # self-join sit at THIS floor, not the single-stage one.
+    floor_multi_runs = []
+    for _ in range(5):
+        f0 = time.monotonic()
+        (
+            spark.read.parquet(f"{sf_dir}/nation.parquet")
+            .join(spark.read.parquet(f"{sf_dir}/region.parquet"),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("r_name")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("r_name")
+            .write.format("noop").mode("overwrite").save()
+        )
+        floor_multi_runs.append(time.monotonic() - f0)
+    floor_multi_sec = round(sorted(floor_multi_runs)[len(floor_multi_runs) // 2], 3)
 
     from score_spark import xcheck
 
@@ -119,7 +137,7 @@ def main() -> None:
     spark.stop()
     baseline_summary = None
     try:
-        baseline_summary = _duckdb_baseline(sf_dir, times, floor_sec)
+        baseline_summary = _duckdb_baseline(sf_dir, times, floor_sec, floor_multi_sec)
     except Exception as e:
         baseline_summary = {"error": str(e)[:200]}
 
@@ -133,6 +151,7 @@ def main() -> None:
                 "queries": times,
                 "oracle_channel_sec": oracle_channel,
                 "floor_sec": floor_sec,
+                "floor_multi_stage_sec": floor_multi_sec,
                 "sf": sf,
                 "bytes_pruning": bytes_summary,
                 "duckdb_baseline": baseline_summary,
@@ -148,14 +167,18 @@ _BASELINE_SKIP = {
     "d03_minhash_lsh",
     "s02_embedding_near_dups",
     # oracle reads a pre-written xcheck intermediate (signatures / candidate
-    # pairs) that Spark computed — the two engines don't do the same work in
-    # either direction, so the ratio is meaningless (ADVICE r2)
+    # pairs / materialized fixture) that Spark computed — the two engines
+    # don't do the same work in either direction, so the ratio is
+    # meaningless (ADVICE r2)
     "d04_simhash",
     "s03_ann_lsh",
+    "p01_pruned_rewrite",
 }
 
 
-def _duckdb_baseline(sf_dir: str, spark_times: dict[str, float], floor_sec: float) -> dict:
+def _duckdb_baseline(
+    sf_dir: str, spark_times: dict[str, float], floor_sec: float, floor_multi_sec: float = 0.0
+) -> dict:
     import duckdb
 
     from score_spark.io import TABLES
@@ -199,6 +222,7 @@ def _duckdb_baseline(sf_dir: str, spark_times: dict[str, float], floor_sec: floa
     report = {
         "sf_dir": sf_dir,
         "floor_sec": floor_sec,
+        "floor_multi_stage_sec": floor_multi_sec,
         "queries": per_query,
         "duckdb_total_sec": duck_total,
         "spark_total_sec_same_queries": spark_total,
