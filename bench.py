@@ -172,6 +172,7 @@ _BASELINE_SKIP = {
     # meaningless (ADVICE r2)
     "d04_simhash",
     "s03_ann_lsh",
+    "s04_ann_ivf",
     "p01_pruned_rewrite",
 }
 

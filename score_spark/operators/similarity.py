@@ -367,6 +367,136 @@ def near_dup_pairs_lsh(
     )
 
 
+# ------------------------------------------------------------- IVF (ANN v2)
+
+
+def _dot_lit(vec_col: Column, v: list[float]) -> Column:
+    return dot(vec_col, F.array(*[F.lit(float(x)) for x in v]))
+
+
+def _nearest_centroid(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid (max cosine ~ max dot over normalized
+    centroids), computed per-row JVM-side: K (dist, idx) structs, array_min
+    on (-dot, idx) — deterministic tie-break on the lower index, no join."""
+    entries = [
+        F.struct((-_dot_lit(vec_col, c)).alias("d"), F.lit(i).alias("i"))
+        for i, c in enumerate(centroids)
+    ]
+    return F.array_min(F.array(*entries))["i"]
+
+
+def _normalize(v) -> list[float]:
+    import math
+
+    n = math.sqrt(sum(x * x for x in v)) or 1.0
+    return [x / n for x in v]
+
+
+def ivf_train_centroids(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int | None = None,
+) -> list[list[float]]:
+    """K spherical-kmeans-lite centroids, deterministically.
+
+    Seeds = the vectors whose xxhash64(id) ranks lowest (a deterministic
+    K-sample), then ``n_iters`` Lloyd iterations: per-row nearest-centroid
+    assignment (JVM-side, no join), per-dimension means via posexplode +
+    groupBy(cluster, pos). Each iteration reduces K x dim values to the
+    driver — model fitting, same reduction shape as any distributed kmeans.
+    At 100 TB train on a hash-sample (``sample_mod=m`` keeps ~1/m of rows):
+    centroid quality needs a sample, not the corpus."""
+    base = fan_out(emb).select(id_col, vec_col)
+    if sample_mod is not None and sample_mod > 1:
+        base = base.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+    seeds = (
+        base.select(id_col, vec_col, F.xxhash64(F.col(id_col)).alias("_h"))
+        .orderBy("_h", id_col)
+        .limit(n_clusters)
+        .collect()
+    )
+    centroids = [_normalize(list(r[vec_col])) for r in seeds]
+    for _ in range(max(0, n_iters)):
+        # two selects: mixing the struct-array argmin with a generator in one
+        # projection makes generator extraction strip the struct field names
+        assigned = base.select(
+            _nearest_centroid(F.col(vec_col), centroids).alias("_c"),
+            F.col(vec_col).alias("_v"),
+        ).select("_c", F.posexplode("_v").alias("_pos", "_x"))
+        means = (
+            assigned.groupBy("_c", "_pos")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()  # K x dim scalars — the model, not the data
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["_c"], {})[r["_pos"]] = r["_m"]
+        centroids = [
+            _normalize([vals[p] for p in sorted(vals)]) if (vals := by_cluster.get(i)) else c
+            for i, c in enumerate(centroids)
+        ]
+    return centroids
+
+
+def ivf_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id) pairs from the ``nprobe`` clusters nearest to
+    each query. The corpus maps to cluster ids in the scan stage (per-row
+    JVM argmin, no join, no vectors shuffled); candidates join on one small
+    int key. At scale, persist the assignment (or write cluster-partitioned
+    parquet) once and reuse across query batches."""
+    assign = fan_out(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        _nearest_centroid(F.col(vec_col), centroids).alias("_c"),
+    )
+    k_entries = [
+        F.struct((-_dot_lit(F.col(vec_col), c)).alias("d"), F.lit(i).alias("i"))
+        for i, c in enumerate(centroids)
+    ]
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(F.slice(F.array_sort(F.array(*k_entries)), 1, nprobe)).alias("_p"),
+        )
+        .select("query_id", F.col("_p.i").alias("_c"))
+    )
+    return (
+        F.broadcast(probes)
+        .join(assign, "_c")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: train centroids, probe the nearest nprobe
+    inverted lists, exact-score only those candidates — the centroid-based
+    alternative to ``ann_lsh_topk`` (coarser, data-adaptive partitions vs
+    data-oblivious hyperplanes)."""
+    cents = ivf_train_centroids(corpus, n_clusters, n_iters, id_col, vec_col, sample_mod)
+    cand = ivf_candidates(corpus, queries, cents, nprobe, id_col, vec_col)
+    return score_candidates(cand, corpus, k, id_col, vec_col, queries=queries)
+
+
 # ------------------------------------------------------------------ queries
 
 
@@ -450,14 +580,49 @@ ORDER BY query_id, rk
 """
 
 
+def s04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN cross-checked the same way as s03: the candidate pair set
+    (Spark-trained centroids are engine-specific) is materialized via
+    xcheck; BOTH engines exact-score the shared candidates and rank top-k.
+    Centroid training determinism + recall are pinned in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = ivf_train_centroids(emb, n_clusters=16, n_iters=2)
+    cand = write_xcheck(
+        ivf_candidates(emb, queries, cents, nprobe=2), "s04_candidates"
+    )
+    return score_candidates(cand, emb, k=5, queries=queries).orderBy("query_id", "rk")
+
+
+ORACLE_S04 = f"""
+WITH cand AS (SELECT * FROM read_parquet('{xcheck_path("s04_candidates")}/*.parquet')),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(q.embedding, n.embedding) AS sim_raw,
+         row_number() OVER (PARTITION BY c.query_id
+                            ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
+                                     c.neighbor_id) AS rk
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, round(sim_raw, 4) AS sim, CAST(rk AS INT) AS rk
+FROM scored WHERE rk <= 5
+ORDER BY query_id, rk
+"""
+
+
 QUERIES = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_embedding_near_dups": s02_embedding_near_dups,
     "s03_ann_lsh": s03_ann_lsh,
+    "s04_ann_ivf": s04_ann_ivf,
 }
 
 ORACLE = {
     "s01_cosine_topk": ORACLE_S01,
     "s02_embedding_near_dups": ORACLE_S02,
     "s03_ann_lsh": ORACLE_S03,
+    "s04_ann_ivf": ORACLE_S04,
 }

@@ -109,6 +109,67 @@ def test_block_bound_asserts_on_missized_blocks(clustered):
         df.collect()
 
 
+def test_ivf_recalls_planted_clusters(clustered):
+    """IVF with enough clusters must recover the planted structure: top-k
+    neighbors of a cluster member are same-cluster, matching exact top-k."""
+    from score_spark.operators.similarity import ivf_topk
+
+    queries = clustered.filter(F.col("vec_id").isin([0, 20, 40]))
+    exact = cosine_topk(clustered, queries, k=5).collect()
+    approx = ivf_topk(clustered, queries, k=5, n_clusters=8, nprobe=2).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_ivf_training_is_deterministic(clustered):
+    from score_spark.operators.similarity import ivf_train_centroids
+
+    a = ivf_train_centroids(clustered, n_clusters=8, n_iters=2)
+    b = ivf_train_centroids(clustered, n_clusters=8, n_iters=2)
+    assert a == b
+    assert len(a) == 8 and all(len(c) == 64 for c in a)
+
+
+def test_ivf_candidate_shuffle_is_ids_only(clustered):
+    """Corpus-to-cluster assignment happens in the scan stage (per-row JVM
+    argmin over literal centroids) — the candidate join moves only
+    (query_id, neighbor_id, cluster int), never embedding vectors."""
+    from score_spark.operators.similarity import ivf_candidates, ivf_train_centroids
+
+    cents = ivf_train_centroids(clustered, n_clusters=4, n_iters=1)
+    queries = clustered.filter(F.col("vec_id") == 0)
+    cand = ivf_candidates(clustered, queries, cents, nprobe=2)
+    assert cand.columns == ["query_id", "neighbor_id"]
+    # precise check: the candidate Join's input attributes are ids + cluster
+    # ints only — embedding may appear INSIDE scan-stage expressions that
+    # compute the cluster id, but never as a column flowing INTO the join
+    jplan = cand._jdf.queryExecution().optimizedPlan()
+
+    def find_join(node):
+        if "Join" in node.getClass().getName().rsplit(".", 1)[-1]:
+            return node
+        ch = node.children()
+        for i in range(ch.length()):
+            if (j := find_join(ch.apply(i))) is not None:
+                return j
+        return None
+
+    join = find_join(jplan)
+    assert join is not None
+    ch = join.children()
+    for i in range(ch.length()):
+        out = ch.apply(i).output()
+        names = [out.apply(k).name() for k in range(out.length())]
+        assert all("embedding" not in n and not n.startswith("_v") for n in names), names
+
+
 def test_lsh_pair_candidate_shuffle_is_ids_only(clustered):
     """The bucket join + dedup must move ONLY scalar ids — r2 shuffled both
     full embedding vectors through dropDuplicates (VERDICT r2 'What's wrong'
