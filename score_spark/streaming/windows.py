@@ -116,6 +116,90 @@ def stream_dedup(
     return events.dropDuplicates(list(keys))
 
 
+# ------------------------------------- custom stateful operator (funnel)
+
+
+CONVERSION_SCHEMA = (
+    "user_id long, click_ts timestamp, purchase_ts timestamp, value double"
+)
+
+
+def conversion_attribution_stateful(
+    events: DataFrame, horizon_minutes: int = 30, state_ttl_minutes: int = 120
+) -> DataFrame:
+    """Streaming click→purchase funnel as a CUSTOM stateful operator
+    (applyInPandasWithState): per user, state = timestamp of the most recent
+    click; a purchase arriving within ``horizon_minutes`` of it emits a
+    conversion row. Not expressible with session/tumbling windows — the
+    pattern crosses window boundaries and needs per-key evolving state.
+
+    Scale posture: state is ONE timestamp per active user (bounded), evicted
+    by a processing-time TTL (``state_ttl_minutes``) so abandoned keys age
+    out; rows are processed in event-time order within each micro-batch
+    (ties: click before purchase, matching the batch twin's <=). Cross-batch
+    disorder follows the usual Structured Streaming contract — pair with a
+    watermark-driven source for production.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    horizon_s = horizon_minutes * 60
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_click = pd.Timestamp(state.get[0]) if state.exists else None
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # event-time order; at equal ts a click is visible to the purchase
+        order = batch["event_type"].map({"click": 0, "purchase": 1}).fillna(2)
+        batch = batch.assign(_o=order).sort_values(["ts", "_o"])
+        out = []
+        for r in batch.itertuples():
+            if r.event_type == "click":
+                if last_click is None or r.ts > last_click:
+                    last_click = r.ts
+            elif r.event_type == "purchase" and last_click is not None:
+                gap = (r.ts - last_click).total_seconds()
+                if 0 <= gap <= horizon_s:
+                    out.append((key[0], last_click, r.ts, r.value))
+        if last_click is not None:
+            state.update((last_click.to_pydatetime(),))
+            state.setTimeoutDuration(state_ttl_minutes * 60 * 1000)
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "click_ts", "purchase_ts", "value"])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        CONVERSION_SCHEMA,
+        "last_click_ts timestamp",
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def conversion_attribution_batch(events: DataFrame, horizon_minutes: int = 30) -> DataFrame:
+    """Batch twin of the stateful funnel: as-of join each purchase to the
+    user's most recent prior click, keep those within the horizon. Must emit
+    exactly what the streaming operator emits over the same rows (pinned in
+    tests/test_streaming.py)."""
+    from score_spark.operators.asof import asof_join
+
+    purchases = events.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    j = asof_join(purchases, clicks, on="user_id", right_value_cols=[])
+    gap = F.unix_timestamp("ts") - F.unix_timestamp("ts_right")
+    return (
+        j.filter(F.col("ts_right").isNotNull() & (gap <= horizon_minutes * 60))
+        .select(
+            "user_id",
+            F.col("ts_right").alias("click_ts"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+    )
+
+
 # ------------------------------------------------------------------ queries
 
 
@@ -202,13 +286,54 @@ ORDER BY event_type
 """
 
 
+def w04_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the custom stateful funnel (purchases attributed to the
+    user's last click within 30 minutes), summarized per user so the result
+    is small while every conversion row is counted. The streaming
+    applyInPandasWithState operator is proven equal to the twin in
+    tests/test_streaming.py."""
+    e = load_events(spark, sf_dir)
+    return (
+        conversion_attribution_batch(e, horizon_minutes=30)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(F.sum("value"), 2).alias("converted_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_W04 = """
+WITH purchases AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+),
+attributed AS (
+  SELECT p.user_id, p.value
+  FROM purchases p ASOF JOIN clicks c
+    ON p.user_id = c.user_id AND c.ts <= p.ts
+  WHERE date_diff('second', c.ts, p.ts) <= 1800
+)
+SELECT user_id, count(*) AS n_conversions,
+       round(sum(value), 2) AS converted_value
+FROM attributed
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "w01_session_windows": w01_session_windows,
     "w02_sliding_windows": w02_sliding_windows,
     "w03_dedup_counts": w03_dedup_counts,
+    "w04_conversion_funnel": w04_conversion_funnel,
 }
 ORACLE = {
     "w01_session_windows": ORACLE_W01,
     "w02_sliding_windows": ORACLE_W02,
     "w03_dedup_counts": ORACLE_W03,
+    "w04_conversion_funnel": ORACLE_W04,
 }

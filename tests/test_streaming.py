@@ -83,6 +83,62 @@ def test_stream_dedup_drops_within_watermark_duplicates(spark, events_dir, tmp_p
     assert streamed.select("event_id").distinct().count() == n_batch
 
 
+def test_stateful_funnel_stream_equals_batch_twin(spark, events_dir, tmp_path):
+    """The custom stateful operator (applyInPandasWithState conversion
+    funnel) must emit exactly the batch twin's conversions over the same
+    rows — per-user click state, 30-minute horizon, click-before-purchase
+    tie order all exercised by the real events feed."""
+    from score_spark.streaming.windows import (
+        conversion_attribution_batch,
+        conversion_attribution_stateful,
+    )
+
+    batch = conversion_attribution_batch(spark.read.parquet(events_dir), 30).collect()
+    schema = spark.read.parquet(events_dir).schema
+    q = run_stream_once(
+        spark,
+        events_dir,
+        lambda s: conversion_attribution_stateful(s, 30),
+        schema,
+        checkpoint=str(tmp_path / "funnel_ckpt"),
+        table_name="stream_funnel",
+        output_mode="append",  # applyInPandasWithState emits in append mode
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("stream_funnel").collect()
+    assert len(streamed) > 0
+    key = lambda r: (r.user_id, r.click_ts, r.purchase_ts, round(r.value, 6))
+    assert sorted(map(key, streamed)) == sorted(map(key, batch))
+
+
+def test_stateful_funnel_state_is_one_timestamp_per_user(spark):
+    """State contract: a user with interleaved clicks keeps only the latest
+    click; purchases outside the horizon emit nothing; a purchase with no
+    prior click emits nothing."""
+    import datetime as dt
+
+    from score_spark.streaming.windows import conversion_attribution_batch
+
+    def t(m):
+        return dt.datetime(2026, 1, 1, 10) + dt.timedelta(minutes=m)
+
+    rows = [
+        (1, t(0), "click", 0.0),
+        (1, t(5), "click", 0.0),      # supersedes the first click
+        (1, t(20), "purchase", 10.0), # within 30m of t(5) -> converts
+        (1, t(90), "purchase", 20.0), # 85m after last click -> no
+        (2, t(0), "purchase", 5.0),   # no prior click -> no
+        (3, t(0), "click", 0.0),
+        (3, t(30), "purchase", 7.0),  # exactly 30m -> converts (<=)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "value"])
+    got = {
+        (r.user_id, r.click_ts, r.purchase_ts, r.value)
+        for r in conversion_attribution_batch(df, 30).collect()
+    }
+    assert got == {(1, t(5), t(20), 10.0), (3, t(0), t(30), 7.0)}
+
+
 def test_append_mode_watermark_drops_late_rows(spark, tmp_path):
     """Pins the late-data semantic difference (VERDICT r1 missing #5):
     complete mode never evicts, append mode finalizes a window when the
