@@ -1,0 +1,108 @@
+"""Interval (range) join — an operator Spark SQL executes as a broadcast
+nested loop / cartesian product when written naively as
+``l.join(r, (l.ts >= r.start) & (l.ts < r.end))``.
+
+The scale-correct shape: quantize time into fixed buckets, explode each
+interval into the buckets it covers, hash-join on bucket (+ optional keys),
+then filter exact containment. Every event lives in exactly ONE bucket, so
+each (event, interval) pair meets exactly once — no post-join dedup. The
+shuffle is |events| + sum(interval_len / bucket) rows instead of an
+|events| x |intervals| loop.
+
+Tuning: ``bucket_seconds`` ~ the median interval length keeps the explode
+factor ~2-3x. Buckets holding both many events and many overlapping
+intervals are the irreducible hot spots of any interval join — shrink the
+bucket or pre-split by key when that happens (see
+``operators.asof.key_skew_report``).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from score_spark.io import load_events
+
+
+def interval_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_seconds: int = 1800,
+    keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Rows of ``left`` matched to every interval containing their timestamp
+    (start inclusive, end exclusive), optionally also matching on ``keys``.
+    Output: left columns + the interval's columns."""
+    lb = left.withColumn("_b", F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds))
+    ib = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / bucket_seconds),
+                # end is exclusive: an interval ending exactly on a bucket
+                # boundary does not reach into that bucket
+                F.floor((F.unix_timestamp(F.col(end_col)) - 1) / bucket_seconds),
+            )
+        ),
+    )
+    return (
+        lb.join(ib, ["_b", *keys])
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
+        .drop("_b")
+    )
+
+
+# ------------------------------------------------------------------ queries
+
+
+def j01_busy_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events range-joined to the 5 busiest (deterministically chosen) hours,
+    shifted by 30 minutes so the intervals do NOT align with any truncation
+    boundary — the join must prove real containment, not date_trunc
+    equality. Summarized per interval."""
+    e = load_events(spark, sf_dir)
+    busy = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "h")
+        .limit(5)
+    )
+    intervals = busy.select(
+        (F.col("h") + F.expr("INTERVAL 30 MINUTES")).alias("start"),
+        (F.col("h") + F.expr("INTERVAL 90 MINUTES")).alias("end"),
+    )
+    return (
+        interval_join(e, intervals, bucket_seconds=1800)
+        .groupBy("start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("start")
+    )
+
+
+ORACLE_J01 = """
+WITH busy AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY 1 ORDER BY n DESC, h LIMIT 5
+),
+intervals AS (
+  SELECT h + INTERVAL 30 MINUTE AS istart, h + INTERVAL 90 MINUTE AS iend FROM busy
+)
+SELECT i.istart AS start,
+       count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users,
+       round(sum(e.value), 2) AS total_value
+FROM events e JOIN intervals i
+  ON e.ts >= i.istart AND e.ts < i.iend
+GROUP BY i.istart
+ORDER BY start
+"""
+
+QUERIES = {"j01_busy_window_join": j01_busy_window_join}
+ORACLE = {"j01_busy_window_join": ORACLE_J01}

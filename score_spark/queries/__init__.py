@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from score_spark.operators import asof, dedup, multimodal, similarity, textstats
+from score_spark.operators import asof, dedup, multimodal, rangejoin, similarity, textstats
 from score_spark.queries import pruned, relational
 from score_spark.streaming import windows as streaming_windows
 
@@ -26,5 +26,15 @@ def _register(mod) -> None:
     ORACLE.update(mod.ORACLE)
 
 
-for _mod in (relational, textstats, dedup, similarity, asof, multimodal, streaming_windows, pruned):
+for _mod in (
+    relational,
+    textstats,
+    dedup,
+    similarity,
+    asof,
+    multimodal,
+    rangejoin,
+    streaming_windows,
+    pruned,
+):
     _register(_mod)
