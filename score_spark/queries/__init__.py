@@ -13,7 +13,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from score_spark.operators import asof, dedup, multimodal, rangejoin, similarity, textstats
+from score_spark.operators import (
+    asof,
+    dedup,
+    multimodal,
+    rangejoin,
+    rollup,
+    similarity,
+    textstats,
+)
 from score_spark.queries import pruned, relational
 from score_spark.streaming import windows as streaming_windows
 
@@ -34,6 +42,7 @@ for _mod in (
     asof,
     multimodal,
     rangejoin,
+    rollup,
     streaming_windows,
     pruned,
 ):

@@ -1,0 +1,54 @@
+"""time_rollup: hierarchical merge correctness + exchange reuse."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from score_spark.operators.rollup import time_rollup
+
+
+def test_hierarchical_equals_direct(spark):
+    rows = [
+        (dt.datetime(2026, 4, 1, h, m), float(v))
+        for h, m, v in [
+            (0, 5, 10), (0, 55, 20), (1, 10, 5), (1, 20, 1),
+            (23, 59, 7), (3, 0, 100),
+        ]
+    ] + [(dt.datetime(2026, 4, 2, 0, 1), 2.0)]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    r = time_rollup(df, grains=("hour", "day"))
+    got = {
+        (x.grain, x.bucket_start, x.n, x.total_value, x.min_value, x.max_value)
+        for x in r.collect()
+    }
+    direct_day = {
+        ("day", x.b, x.n, x.s, x.mn, x.mx)
+        for x in df.groupBy(F.date_trunc("day", "ts").alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert {g for g in got if g[0] == "day"} == direct_day
+    assert len([g for g in got if g[0] == "hour"]) == 5
+    # sanity: a day's n equals the sum of its hours' n
+    day1_n = next(g[2] for g in got if g[0] == "day" and g[1].day == 1)
+    assert day1_n == sum(g[2] for g in got if g[0] == "hour" and g[1].day == 1)
+
+
+def test_day_grain_aggregates_hour_output_and_reuses_exchange(spark):
+    """Plan shape: exactly ONE scan-side shuffle feeds both union branches
+    (the hour branch is emitted AND consumed by the day branch) — the
+    executed plan must show a ReusedExchange, and the day branch's input is
+    the hour aggregate, not the raw relation."""
+    rows = [(dt.datetime(2026, 4, 1, h, 0), 1.0) for h in range(24)]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    r = time_rollup(df, grains=("hour", "day"))
+    r.collect()
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan or "TableCacheQueryStage" in plan, plan
