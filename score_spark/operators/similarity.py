@@ -51,6 +51,25 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_pd(a: Column, b: Column) -> Column:
+    """Vectorized pair cosine: one einsum + two norms per Arrow batch, in
+    float64 like the interpreted ``cosine``. Use on pair-heavy rerank paths
+    where per-row interpreted HOF evaluation dominates; the vectors are
+    already co-located by the preceding join, so this adds no shuffle."""
+
+    @F.pandas_udf("double")
+    def _cos(x: pd.Series, y: pd.Series) -> pd.Series:
+        if len(x) == 0:
+            return pd.Series([], dtype="float64")
+        A, B = _stack(x), _stack(y)
+        return pd.Series(
+            np.einsum("ij,ij->i", A, B)
+            / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
+        )
+
+    return _cos(a, b)
+
+
 _DIM_CACHE: dict[tuple[int, str], int] = {}
 
 
@@ -192,7 +211,7 @@ def score_candidates(
     qsrc = corpus if queries is None else queries
     qv = qsrc.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
-    sim = cosine(F.col("_qv"), F.col("_nv"))
+    sim = cosine_pd(F.col("_qv"), F.col("_nv"))
     w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.col("neighbor_id"))
     return (
         cand.join(qv, "query_id")
@@ -372,6 +391,7 @@ def near_dup_pairs_lsh(
     multi_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cand: DataFrame | None = None,
 ) -> DataFrame:
     """The 100 TB near-dup path: LSH-bucket candidate pairs, exact cosine
     rerank of ONLY those pairs. Linear-ish candidate generation (bucket
@@ -379,11 +399,14 @@ def near_dup_pairs_lsh(
     grid; recall depends on n_planes/multi_probe vs the threshold (high-sim
     pairs land in the same or adjacent buckets with high probability).
     Vectors rejoin the deduped id pairs for the cosine — two hash joins keyed
-    by scalar id, exactly the score_candidates shape."""
-    cand = lsh_pair_candidates(emb, n_planes, dim, multi_probe, id_col, vec_col)
+    by scalar id, exactly the score_candidates shape. Pass a precomputed
+    ``cand`` (v1, v2) frame to rerank an externally materialized candidate
+    set instead."""
+    if cand is None:
+        cand = lsh_pair_candidates(emb, n_planes, dim, multi_probe, id_col, vec_col)
     e1 = emb.select(F.col(id_col).alias("v1"), F.col(vec_col).alias("_v1"))
     e2 = emb.select(F.col(id_col).alias("v2"), F.col(vec_col).alias("_v2"))
-    sim = cosine(F.col("_v1"), F.col("_v2"))
+    sim = cosine_pd(F.col("_v1"), F.col("_v2"))
     return (
         cand.join(e1, "v1")
         .join(e2, "v2")
@@ -657,11 +680,38 @@ ORDER BY query_id, rk
 """
 
 
+def s05_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-path near-dup operator under the driver gate: LSH bucket
+    candidate pairs (ids only through the dedup exchange) materialized via
+    xcheck; BOTH engines exact-cosine the shared pairs and apply the
+    threshold, so the rerank math and filtering are fully oracle-verified.
+    Candidate recall vs the exact all-pairs path is pinned in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = write_xcheck(
+        lsh_pair_candidates(emb, n_planes=8, multi_probe=1), "s05_candidates"
+    )
+    return near_dup_pairs_lsh(emb, threshold=0.4, cand=cand).orderBy("v1", "v2")
+
+
+ORACLE_S05 = f"""
+WITH cand AS (SELECT * FROM read_parquet('{xcheck_path("s05_candidates")}/*.parquet'))
+SELECT c.v1, c.v2,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.v1
+JOIN embeddings b ON b.vec_id = c.v2
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.4
+ORDER BY c.v1, c.v2
+"""
+
+
 QUERIES = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_embedding_near_dups": s02_embedding_near_dups,
     "s03_ann_lsh": s03_ann_lsh,
     "s04_ann_ivf": s04_ann_ivf,
+    "s05_near_dup_lsh": s05_near_dup_lsh,
 }
 
 ORACLE = {
@@ -669,4 +719,5 @@ ORACLE = {
     "s02_embedding_near_dups": ORACLE_S02,
     "s03_ann_lsh": ORACLE_S03,
     "s04_ann_ivf": ORACLE_S04,
+    "s05_near_dup_lsh": ORACLE_S05,
 }
