@@ -1,0 +1,104 @@
+"""Write-path semantics: partitioned layout file bounds; bucketed tables
+join exchange-free (the co-location contract)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from score_spark.io import load_table
+from score_spark.sinks import write_bucketed, write_partitioned
+
+
+def test_write_partitioned_bounds_files_per_partition(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "prio", F.col("o_orderpriority")
+    )
+    out = str(tmp_path / "orders_part")
+    write_partitioned(orders, out, partition_by=("prio",), files_per_partition=1)
+    part_dirs = [p for p in glob.glob(f"{out}/prio=*") if os.path.isdir(p)]
+    assert part_dirs, "no partition directories written"
+    for d in part_dirs:
+        files = glob.glob(f"{d}/*.parquet")
+        assert len(files) == 1, f"{d}: expected 1 file, got {len(files)}"
+    # round-trips with partition discovery
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    assert "prio" in back.columns
+
+
+def test_write_partitioned_salt_spreads_hot_partition(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").withColumn("one", F.lit("all"))
+    out = str(tmp_path / "orders_hot")
+    write_partitioned(orders, out, partition_by=("one",), files_per_partition=4)
+    files = glob.glob(f"{out}/one=all/*.parquet")
+    # the single hot partition value spreads across multiple files
+    assert len(files) > 1
+    assert spark.read.parquet(out).count() == orders.count()
+
+
+@pytest.fixture()
+def bucketed_pair(spark, sf_dir, tmp_path_factory):
+    """orders + lineitem bucketed on the join key into the session catalog."""
+    warehouse = tmp_path_factory.mktemp("warehouse")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(
+        orders, "orders_b", ("o_orderkey",), 4,
+        sort_by=("o_orderkey",), path=str(warehouse / "orders_b"),
+    )
+    write_bucketed(
+        lineitem, "lineitem_b", ("l_orderkey",), 4,
+        sort_by=("l_orderkey",), path=str(warehouse / "lineitem_b"),
+    )
+    yield orders, lineitem
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_bucketed_join_is_exchange_free(spark, bucketed_pair):
+    orders, lineitem = bucketed_pair
+    # force the sort-merge path so the assertion is about bucketing, not a
+    # runtime broadcast hiding the exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("orders_b")
+            .join(
+                spark.table("lineitem_b"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        join_section = plan.split("HashAggregate")[-1]  # below the final agg
+        assert "SortMergeJoin" in plan
+        # the join's inputs come straight from the bucketed scans — no
+        # exchange between scan and join on either side
+        before_join = plan.split("SortMergeJoin")[-1]
+        assert "Exchange" not in before_join, plan
+        # and the result matches the plain (shuffled) join
+        expected = (
+            orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        got = {(r["o_orderpriority"], r["n"]) for r in joined.collect()}
+        want = {(r["o_orderpriority"], r["n"]) for r in expected.collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+
+
+def test_bucketed_aggregation_skips_exchange(spark, bucketed_pair):
+    agg = spark.table("lineitem_b").groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
