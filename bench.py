@@ -211,6 +211,10 @@ def _duckdb_baseline(
             # ratio with the constant Spark plan+schedule floor removed — the
             # per-query engine cost a cluster amortizes (floor published below)
             "ratio_net_floor": round(net / d, 2) if net and d else None,
+            # spark_sec at or under the measured multi-stage floor means the
+            # whole cost is fixed plan/schedule overhead, not the operator —
+            # its ratio carries no design signal at this SF
+            "at_floor": s is not None and s <= floor_multi_sec,
         }
     con.close()
     duck_total = round(sum(v["duckdb_sec"] for v in per_query.values()), 3)
