@@ -83,6 +83,7 @@ def main() -> None:
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     times: dict[str, float] = {}
     oracle_channel: dict[str, float] = {}
+    multi_stage: dict[str, bool] = {}
     for name, fn in sorted(QUERIES.items()):
         best, best_osec = None, 0.0
         for _ in range(runs):
@@ -90,6 +91,13 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             elapsed = time.monotonic() - t0
+            # stage shape for floor attribution: any exchange (shuffle or
+            # broadcast) means the query pays the multi-stage schedule floor,
+            # not the single-stage one
+            try:
+                multi_stage[name] = "Exchange" in df._jdf.queryExecution().executedPlan().toString()
+            except Exception:
+                multi_stage[name] = True
             # oracle-channel cost (xcheck parquet writes that exist only so
             # DuckDB can verify the run) is billed separately from query time
             osec = xcheck.drain_oracle_sec()
@@ -137,7 +145,7 @@ def main() -> None:
     spark.stop()
     baseline_summary = None
     try:
-        baseline_summary = _duckdb_baseline(sf_dir, times, floor_sec, floor_multi_sec)
+        baseline_summary = _duckdb_baseline(sf_dir, times, floor_sec, floor_multi_sec, multi_stage)
     except Exception as e:
         baseline_summary = {"error": str(e)[:200]}
 
@@ -173,12 +181,17 @@ _BASELINE_SKIP = {
     "d04_simhash",
     "s03_ann_lsh",
     "s04_ann_ivf",
+    "s05_near_dup_lsh",
     "p01_pruned_rewrite",
 }
 
 
 def _duckdb_baseline(
-    sf_dir: str, spark_times: dict[str, float], floor_sec: float, floor_multi_sec: float = 0.0
+    sf_dir: str,
+    spark_times: dict[str, float],
+    floor_sec: float,
+    floor_multi_sec: float = 0.0,
+    multi_stage: dict[str, bool] | None = None,
 ) -> dict:
     import duckdb
 
@@ -203,18 +216,25 @@ def _duckdb_baseline(
             d = dt if d is None else min(d, dt)
         d = round(d, 3)
         s = spark_times.get(name)
-        net = max(0.0, round(s - floor_sec, 3)) if s is not None else None
+        # stage-aware floor: a query whose executed plan had an exchange pays
+        # the measured multi-stage schedule floor; a map-only query pays the
+        # single-stage one. (Attributing only the single-stage floor to a
+        # 3-stage 25-row join made pure-floor queries read as 100x+ ratios.)
+        is_multi = True if multi_stage is None else multi_stage.get(name, True)
+        floor_used = floor_multi_sec if is_multi else floor_sec
+        net = max(0.0, round(s - floor_used, 3)) if s is not None else None
         per_query[name] = {
             "duckdb_sec": d,
             "spark_sec": s,
             "ratio": round(s / d, 2) if s and d else None,
             # ratio with the constant Spark plan+schedule floor removed — the
             # per-query engine cost a cluster amortizes (floor published below)
-            "ratio_net_floor": round(net / d, 2) if net and d else None,
-            # spark_sec at or under the measured multi-stage floor means the
-            # whole cost is fixed plan/schedule overhead, not the operator —
-            # its ratio carries no design signal at this SF
-            "at_floor": s is not None and s <= floor_multi_sec,
+            "ratio_net_floor": round(net / d, 2) if net is not None and d else None,
+            "floor_basis": "multi" if is_multi else "single",
+            # spark_sec at or under its stage-shape floor means the whole cost
+            # is fixed plan/schedule overhead, not the operator — its ratio
+            # carries no design signal at this SF
+            "at_floor": s is not None and s <= floor_used,
         }
     con.close()
     duck_total = round(sum(v["duckdb_sec"] for v in per_query.values()), 3)
@@ -222,7 +242,12 @@ def _duckdb_baseline(
         sum(v["spark_sec"] for v in per_query.values() if v["spark_sec"]), 3
     )
     spark_net_total = round(
-        sum(v["spark_sec"] - floor_sec for v in per_query.values() if v["spark_sec"]), 3
+        sum(
+            max(0.0, v["spark_sec"] - (floor_multi_sec if v["floor_basis"] == "multi" else floor_sec))
+            for v in per_query.values()
+            if v["spark_sec"]
+        ),
+        3,
     )
     report = {
         "sf_dir": sf_dir,
@@ -235,9 +260,12 @@ def _duckdb_baseline(
         "spark_vs_duckdb_ratio_net_floor": (
             round(spark_net_total / duck_total, 2) if duck_total else None
         ),
-        "note": "single-node sf0.1; floor_sec is the measured constant per-query "
-        "Spark plan+schedule+noop cost (median of 5 minimal queries) — it "
-        "amortizes at cluster scale, so net-floor ratios are the design signal",
+        "note": "single-node sf0.1; floor_sec / floor_multi_stage_sec are the "
+        "measured constant per-query Spark plan+schedule+noop costs (median of "
+        "5 minimal one-stage / three-stage queries); each query's net ratio "
+        "subtracts the floor matching its executed stage shape (floor_basis). "
+        "The floor amortizes at cluster scale, so net ratios are the design "
+        "signal; at_floor rows carry none at this SF",
     }
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_DUCKDB.json"), "w"

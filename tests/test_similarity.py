@@ -79,7 +79,7 @@ def test_near_dup_pairs_lsh_finds_planted_dups(clustered, spark):
     }
     got = {
         (r.v1, r.v2)
-        for r in near_dup_pairs_lsh(clustered, threshold=0.95, multi_probe=1).collect()
+        for r in near_dup_pairs_lsh(clustered, threshold=0.95).collect()
     }
     assert got <= exact  # rerank is exact: no false positives ever
     assert len(got) / len(exact) >= 0.8  # high-sim pairs share buckets
@@ -178,7 +178,7 @@ def test_lsh_pair_candidate_shuffle_is_ids_only(clustered):
     dedup aggregate groups on those two longs."""
     from score_spark.operators.similarity import lsh_pair_candidates
 
-    cand = lsh_pair_candidates(clustered, n_planes=8, multi_probe=1)
+    cand = lsh_pair_candidates(clustered, n_tables=4, n_planes=12)
     assert cand.columns == ["v1", "v2"]
     optimized = cand._jdf.queryExecution().optimizedPlan().toString()
     # exactly one Aggregate (the dedup); it must group on the id pair, and no
@@ -221,3 +221,30 @@ def test_derived_n_blocks_bounds_block_rows(clustered):
     assert {(r.v1, r.v2, r.sim) for r in small.collect()} == {
         (r.v1, r.v2, r.sim) for r in ref.collect()
     }
+
+
+def test_pandas_udfs_evaluate_once_in_executed_plans(clustered):
+    """Catalyst duplicates an ArrowEvalPython when a pandas-UDF output feeds
+    a join key (inferred isnotnull below the projection) or a pushed-down
+    filter — the whole matmul/einsum then runs twice per batch. The UDFs are
+    marked nondeterministic to block that; pin the executed plans here.
+
+    Each branch of a self-join legitimately evaluates its own UDF, so the
+    bound is one ArrowEvalPython per *branch*: 2 for the banded candidate
+    self-join, 1 for the rerank's cosine (threshold filter must NOT add a
+    second)."""
+    from score_spark.operators.similarity import lsh_pair_candidates, near_dup_pairs_lsh
+
+    cand = lsh_pair_candidates(clustered, n_tables=2, n_planes=8)
+    cand.write.format("noop").mode("overwrite").save()
+    cand_plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert cand_plan.count("ArrowEvalPython") <= 2, cand_plan
+
+    # truncate lineage so the rerank plan contains ONLY the rerank: the one
+    # cosine eval, with the threshold filter reading its output instead of
+    # instantiating a second copy
+    frozen = cand.localCheckpoint(eager=True)
+    pairs = near_dup_pairs_lsh(clustered, threshold=0.95, cand=frozen)
+    pairs.write.format("noop").mode("overwrite").save()
+    rerank_plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert rerank_plan.count("ArrowEvalPython") <= 1, rerank_plan
