@@ -1,0 +1,197 @@
+"""Training-data pipeline operators: document chunking, deterministic
+train/eval hash splits, and benchmark decontamination.
+
+These are the plumbing every large-scale LLM data pipeline needs between
+"raw documents" and "training batches" (reference has no counterpart —
+beyond-reference surface per BASELINE.json's north star):
+
+- ``chunk_documents``: token-bounded overlapping windows per document.
+  Map-only — split, sequence of chunk starts, explode, slice — all JVM
+  built-ins, so at 100 TB it's one codegen'd scan stage with zero shuffle;
+  the explode fans out rows only (the word array never crosses a stage
+  boundary).
+- ``hash_split``: content-stable train/eval assignment from a hash of the
+  id, as a lexicographic threshold on the md5 hex string. Deterministic
+  across runs/engines (no rand()), no shuffle, and the split survives
+  re-partitioning/backfills because it depends only on the row id.
+- ``decontamination_report``: documents sharing word n-grams with a
+  benchmark/eval set. The benchmark side is small by definition, so its
+  distinct shingle set is BROADCAST: the corpus pass stays map-only + one
+  small aggregate — never a corpus x corpus join.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from score_spark.functions.text import shingles
+from score_spark.io import fan_out, load_table
+
+# train share ~0.8 of the md5 hex space: 'c'*32 / 16^32 = 12/16 + 12/256 + ...
+_TRAIN_HEX = "c" * 32
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, chunk_idx, chunk_text, n_words) overlapping word windows.
+
+    Chunk i covers words [i*stride, i*stride + chunk_size) with
+    stride = chunk_size - overlap; every word index < n starts at most one
+    chunk, so the final chunk may be short. Pure built-ins: the sequence of
+    starts is computed per row and exploded, the slice+concat happen on the
+    exploded rows — one whole-stage-codegen scan, no Python, no shuffle."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(f"need 0 <= overlap < chunk_size, got {overlap}/{chunk_size}")
+    stride = chunk_size - overlap
+    words = F.split(F.col(text_col), " ")
+    base = fan_out(df).select(
+        F.col(id_col), words.alias("_w"), F.size(words).alias("_n")
+    )
+    starts = F.sequence(F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(stride))
+    return base.select(F.col(id_col), F.explode(starts).alias("_start"), "_w", "_n").select(
+        F.col(id_col),
+        (F.col("_start") / stride).cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", F.slice("_w", F.col("_start") + 1, chunk_size)).alias("chunk_text"),
+        F.least(F.lit(chunk_size), F.col("_n") - F.col("_start")).cast("int").alias("n_words"),
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_hex_threshold: str = _TRAIN_HEX,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic content-stable split: md5 of the stringified id compared
+    lexicographically against a hex threshold (both engines produce identical
+    lowercase hex, so the assignment is reproducible anywhere). ~0.8/0.2 at
+    the default threshold."""
+    h = F.md5(F.col(id_col).cast("string"))
+    return df.withColumn(
+        split_col,
+        F.when(h < F.lit(train_hex_threshold), F.lit("train")).otherwise(F.lit("eval")),
+    )
+
+
+def decontamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_shared) for corpus documents sharing >= min_shared distinct
+    word n-grams with ANY benchmark document — the standard pre-training
+    decontamination check. The benchmark's distinct shingle set is broadcast
+    (eval sets are thousands of rows, not billions), so the corpus side is
+    one shingling scan + a broadcast semi-structured join + a small count
+    aggregate; nothing corpus-sized shuffles besides the (id, count) rows."""
+    bench_sh = (
+        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("sh")).distinct()
+    )
+    doc_sh = fan_out(docs).select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+# ------------------------------------------------------------------ queries
+
+
+def c01_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_size=32, overlap=8).orderBy("doc_id", "chunk_idx")
+
+
+# DuckDB: range(0, n, stride) enumerates exactly the starts < n that Spark's
+# sequence(0, n-1, stride) does (n >= 1 always: string_split('') = ['']);
+# list slicing l[a:b] is 1-based inclusive, mirroring F.slice(l, a, size)
+ORACLE_C01 = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 24)) AS start FROM w)
+SELECT doc_id,
+       CAST(start // 24 AS INT) AS chunk_idx,
+       array_to_string(w[start + 1 : start + 32], ' ') AS chunk_text,
+       CAST(least(32, len(w) - start) AS INT) AS n_words
+FROM s
+ORDER BY doc_id, chunk_idx
+"""
+
+
+def c02_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(d)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+ORACLE_C02 = f"""
+SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{_TRAIN_HEX}' THEN 'train' ELSE 'eval' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1
+ORDER BY split
+"""
+
+
+def c03_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark set = every 101st document; report corpus docs (benchmark
+    excluded) sharing >= 2 distinct 3-gram shingles with it."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 101 == 0)
+    corpus = d.filter(F.col("doc_id") % 101 != 0)
+    return decontamination_report(corpus, bench, n=3, min_shared=2).orderBy("doc_id")
+
+
+# mirrors functions/text.py::shingles via dedup._SHINGLE_SQL's construction
+_SH = (
+    "list_distinct(list_transform(range(len(string_split(text,' ')) - 2), "
+    "i -> concat_ws(' ', string_split(text,' ')[i+1], string_split(text,' ')[i+2], "
+    "string_split(text,' ')[i+3])))"
+)
+
+ORACLE_C03 = f"""
+WITH bsh AS (
+  SELECT DISTINCT unnest({_SH}) AS sh FROM documents WHERE doc_id % 101 = 0
+),
+dsh AS (
+  SELECT doc_id, unnest({_SH}) AS sh FROM documents WHERE doc_id % 101 <> 0
+)
+SELECT doc_id, count(*) AS n_shared
+FROM dsh JOIN bsh USING (sh)
+GROUP BY doc_id
+HAVING count(*) >= 2
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "c01_chunking": c01_chunking,
+    "c02_hash_split": c02_hash_split,
+    "c03_decontamination": c03_decontamination,
+}
+
+ORACLE = {
+    "c01_chunking": ORACLE_C01,
+    "c02_hash_split": ORACLE_C02,
+    "c03_decontamination": ORACLE_C03,
+}

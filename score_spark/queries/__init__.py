@@ -17,6 +17,7 @@ from score_spark.operators import (
     asof,
     dedup,
     multimodal,
+    pipeline,
     rangejoin,
     rollup,
     similarity,
@@ -45,5 +46,6 @@ for _mod in (
     rollup,
     streaming_windows,
     pruned,
+    pipeline,
 ):
     _register(_mod)

@@ -1,0 +1,105 @@
+"""Training-data pipeline operators: chunk boundaries vs a pure-Python
+reference, hash-split determinism/stability, decontamination on planted
+overlap."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from score_spark.operators.pipeline import (
+    chunk_documents,
+    decontamination_report,
+    hash_split,
+)
+
+
+def _ref_chunks(text: str, size: int, overlap: int):
+    words = text.split(" ")
+    stride = size - overlap
+    out = []
+    for idx, start in enumerate(range(0, len(words), stride)):
+        w = words[start : start + size]
+        out.append((idx, " ".join(w), len(w)))
+    return out
+
+
+def test_chunks_match_python_reference(spark):
+    docs = [
+        (0, "a"),  # shorter than one chunk
+        (1, " ".join(f"w{i}" for i in range(10))),  # exactly one chunk
+        (2, " ".join(f"w{i}" for i in range(24))),  # exact stride multiple
+        (3, " ".join(f"w{i}" for i in range(25))),  # one word past a boundary
+        (4, " ".join(f"w{i}" for i in range(100))),  # many chunks
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = chunk_documents(df, chunk_size=10, overlap=2).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text, r.n_words))
+    for doc_id, text in docs:
+        expected = _ref_chunks(text, 10, 2)
+        assert sorted(by_doc[doc_id]) == expected, f"doc {doc_id}"
+
+
+def test_chunks_cover_all_words_with_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(57))
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, chunk_size=16, overlap=4).collect(), key=lambda r: r.chunk_idx
+    )
+    stride = 12
+    seen = set()
+    for r in rows:
+        words = r.chunk_text.split(" ")
+        assert r.n_words == len(words) <= 16
+        start = r.chunk_idx * stride
+        assert words == [f"w{i}" for i in range(start, min(start + 16, 57))]
+        seen.update(words)
+    assert seen == {f"w{i}" for i in range(57)}  # full coverage, no gaps
+
+
+def test_chunking_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=8, overlap=8)
+
+
+def test_hash_split_is_deterministic_and_stable(spark):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in hash_split(df).collect()}
+    b = {r.doc_id: r.split for r in hash_split(df.repartition(7)).collect()}
+    assert a == b  # content-stable: survives physical re-layout
+    frac = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.75 <= frac <= 0.85  # ~0.8 by hex-threshold construction
+
+
+def test_decontamination_finds_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [
+            # shares shingles "alpha beta gamma" + "beta gamma delta" -> 2
+            (0, "alpha beta gamma delta unrelated tail here"),
+            # shares exactly one 3-gram with the benchmark -> below min_shared
+            (1, "alpha beta gamma completely different continuation"),
+            (2, "nothing in common with anything at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.n_shared for r in decontamination_report(docs, bench).collect()}
+    assert 0 in got and got[0] >= 2
+    assert 1 not in got and 2 not in got
+
+
+def test_decontamination_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set must broadcast — a corpus-sized shuffle on
+    the shingle key would defeat the operator's 100 TB shape."""
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i + 1} w{i + 2} w{i + 3}") for i in range(50)], ["doc_id", "text"]
+    )
+    bench = docs.filter(F.col("doc_id") < 2)
+    plan = decontamination_report(docs, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastQueryStage" in plan, plan
