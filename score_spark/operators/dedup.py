@@ -88,17 +88,22 @@ def ngram_jaccard_pairs(
     """Exact Jaccard over word n-grams for every pair sharing >=1 (uncommon)
     shingle. Returns (d1, d2, jac).
 
-    The exploded shingle table feeds four consumers (doc-freq filter, both
-    self-join branches, per-doc sizes); persist() materializes it once instead
-    of re-scanning + re-exploding per consumer — at 100 TB this intermediate
-    is the same order as the token stream and belongs on MEMORY_AND_DISK.
+    Pair generation is an inverted index, not a self-join: the freq-capped
+    (doc_id, sh) table aggregates to one sorted doc-id list per shingle
+    (bounded by max_doc_freq, so no giant rows), and the id pairs fall out of
+    a JVM higher-order combination expansion — map-only after the
+    collect_list, which itself rides the freq join's existing partitioning
+    on ``sh``. vs the r2 self-join this removes two full shuffles of the
+    token-stream-sized exploded table (the a/b branches).
 
-    Join strategy is deliberately unhinted: freq (the shingle vocabulary) and
-    sizes (one row per document) both grow linearly with the corpus, so a
-    broadcast hint would OOM at scale. The shingle self-join already shuffles
-    on ``sh``, so the freq join on ``sh`` co-partitions for free, and the
-    sizes joins ride the groupBy(d1, d2) shuffle; AQE still broadcasts them
-    at small scale when their runtime size warrants it.
+    The doc-freq cap stays a separate count aggregate + join (NOT a filter on
+    size(collect_list)): counting partial-aggregates map-side, so a
+    hyper-common shingle never materializes an unbounded doc list anywhere —
+    the skew-safe order of operations at 100 TB. Join strategy is
+    deliberately unhinted: freq (the shingle vocabulary) and sizes (one row
+    per document) both grow linearly with the corpus, so a broadcast hint
+    would OOM at scale; AQE still broadcasts them at small scale when their
+    runtime size warrants it.
 
     eager=True materializes the (small) result via localCheckpoint and
     unpersists the shingle cache before returning — use from long-lived
@@ -109,11 +114,25 @@ def ngram_jaccard_pairs(
     # exploded table (an extra shuffle) to count what size(_shs) already knows
     sizes = sh0.select("doc_id", F.size("_shs").alias("sz"))
     g = shingle_table(max_doc_freq=max_doc_freq, shingle_df=sh0)
-    a = g.alias("a")
-    b = g.alias("b")
+    lists = (
+        g.groupBy("sh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    ds = F.col("ds")
+    combos = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.greatest(F.size(ds) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        lists.select(F.explode(combos).alias("_p"))
+        .select("_p.d1", "_p.d2")
+        .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
