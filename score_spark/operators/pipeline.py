@@ -107,6 +107,68 @@ def decontamination_report(
     )
 
 
+# backslash-free patterns: identical semantics under Java regex (Spark) and
+# RE2 (DuckDB) with no string-literal escaping divergence between engines
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+", "[EMAIL]"),
+    ("ipv4", "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}", "[IP]"),
+    ("phone", "[+][0-9][0-9 ()-]{7,}[0-9]", "[PHONE]"),
+)
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+    count_cols: bool = True,
+) -> DataFrame:
+    """Redact PII-shaped spans in place, sequentially per pattern (each
+    pattern counts against the text the previous one already scrubbed, so a
+    span never double-counts). Map-only codegen'd regexp_replace chain — at
+    100 TB this fuses into the scan stage with zero shuffle. Returns the
+    frame with ``text_col`` scrubbed plus n_<kind> counters."""
+    out = df
+    scrubbed = F.col(text_col)
+    counters = []
+    for kind, pat, token in patterns:
+        counters.append(F.regexp_count(scrubbed, F.lit(pat)).alias(f"n_{kind}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    cols = [c for c in df.columns if c != text_col]
+    sel = [*cols, scrubbed.alias(text_col)] + (counters if count_cols else [])
+    return out.select(*sel)
+
+
+def pack_token_stream(
+    chunks: DataFrame,
+    budget: int = 512,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    order_col: str = "chunk_idx",
+    size_col: str = "n_words",
+) -> DataFrame:
+    """GPT-style stream packing: chunks concatenate in (id, chunk_idx) order
+    into a token stream per shard, and each chunk lands in the pack holding
+    its first token (pack_id = floor(stream_offset / budget)); the training
+    slicer cuts exactly at the budget, so chunks may straddle boundaries.
+    Sharding by id hash keeps the window (the only shuffle) parallel at
+    scale instead of a single global cumsum partition. Returns per-pack
+    (shard, pack_id, n_chunks, pack_tokens)."""
+    from pyspark.sql import Window
+
+    shard = (F.col(id_col) % n_shards).alias("shard")
+    w = Window.partitionBy("shard").orderBy(id_col, order_col)
+    offset = F.sum(size_col).over(w) - F.col(size_col)
+    return (
+        chunks.select(shard, id_col, order_col, size_col)
+        .select("*", (offset / budget).cast("long").alias("pack_id"))
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(size_col).cast("long").alias("pack_tokens"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ queries
 
 
@@ -184,14 +246,110 @@ ORDER BY doc_id
 """
 
 
+def c04_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction proven end-to-end: deterministic PII (email + IP derived
+    from doc_id) is planted into every document, scrubbed, and the aggregate
+    pins redaction counts AND the scrubbed text itself (min/max md5), so the
+    replacement byte-for-byte matches the oracle's."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    s = scrub_pii(planted)
+    return s.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").cast("long").alias("total_email"),
+        F.sum("n_ipv4").cast("long").alias("total_ipv4"),
+        F.sum("n_phone").cast("long").alias("total_phone"),
+        F.min(F.md5("text")).alias("min_fp"),
+        F.max(F.md5("text")).alias("max_fp"),
+    )
+
+
+_EMAIL, _IPV4, _PHONE = (p[1] for p in PII_PATTERNS)
+
+ORACLE_C04 = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, len(regexp_extract_all(text, '{_EMAIL}')) AS n_email,
+         regexp_replace(text, '{_EMAIL}', '[EMAIL]', 'g') AS text
+  FROM planted
+),
+s2 AS (
+  SELECT doc_id, n_email, len(regexp_extract_all(text, '{_IPV4}')) AS n_ipv4,
+         regexp_replace(text, '{_IPV4}', '[IP]', 'g') AS text
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_email, n_ipv4, len(regexp_extract_all(text, '{_PHONE}')) AS n_phone,
+         regexp_replace(text, '{_PHONE}', '[PHONE]', 'g') AS text
+  FROM s2
+)
+SELECT count(*) AS n_docs,
+       CAST(sum(n_email) AS BIGINT) AS total_email,
+       CAST(sum(n_ipv4) AS BIGINT) AS total_ipv4,
+       CAST(sum(n_phone) AS BIGINT) AS total_phone,
+       min(md5(text)) AS min_fp,
+       max(md5(text)) AS max_fp
+FROM s3
+"""
+
+
+def c05_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(d, chunk_size=32, overlap=8)
+    return pack_token_stream(chunks, budget=512, n_shards=8).orderBy("shard", "pack_id")
+
+
+ORACLE_C05 = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 24)) AS start FROM w),
+chunks AS (
+  SELECT doc_id,
+         CAST(start // 24 AS INT) AS chunk_idx,
+         CAST(least(32, len(w) - start) AS INT) AS n_words
+  FROM s
+),
+offs AS (
+  SELECT doc_id % 8 AS shard, doc_id, chunk_idx, n_words,
+         sum(n_words) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_idx
+                            ROWS UNBOUNDED PRECEDING) - n_words AS off
+  FROM chunks
+)
+SELECT shard, CAST(off // 512 AS BIGINT) AS pack_id,
+       count(*) AS n_chunks,
+       CAST(sum(n_words) AS BIGINT) AS pack_tokens
+FROM offs
+GROUP BY shard, CAST(off // 512 AS BIGINT)
+ORDER BY shard, pack_id
+"""
+
+
 QUERIES = {
     "c01_chunking": c01_chunking,
     "c02_hash_split": c02_hash_split,
     "c03_decontamination": c03_decontamination,
+    "c04_pii_scrub": c04_pii_scrub,
+    "c05_sequence_packing": c05_sequence_packing,
 }
 
 ORACLE = {
     "c01_chunking": ORACLE_C01,
     "c02_hash_split": ORACLE_C02,
     "c03_decontamination": ORACLE_C03,
+    "c04_pii_scrub": ORACLE_C04,
+    "c05_sequence_packing": ORACLE_C05,
 }

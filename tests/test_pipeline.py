@@ -103,3 +103,67 @@ def test_decontamination_broadcasts_benchmark_side(spark):
     bench = docs.filter(F.col("doc_id") < 2)
     plan = decontamination_report(docs, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastQueryStage" in plan, plan
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from score_spark.operators.pipeline import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at jo.doe+x@sub.example.org or call +1 (555) 123-4567 now"),
+            (1, "server 192.168.10.7 and 10.0.0.1 are up"),
+            # an email whose local/domain parts look IP-ish: the email pattern
+            # scrubs it FIRST, so the ipv4 counter must not double-count it
+            (2, "a1.2.3.4@x.com"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert got[0].n_email == 1 and got[0].n_phone == 1
+    assert "[EMAIL]" in got[0].text and "[PHONE]" in got[0].text
+    assert "@" not in got[0].text and "555" not in got[0].text
+    assert got[1].n_ipv4 == 2 and got[1].text.count("[IP]") == 2
+    assert got[2].n_email == 1 and got[2].n_ipv4 == 0  # sequential, no double count
+    assert got[3].text == "nothing sensitive here"
+    assert (got[3].n_email, got[3].n_ipv4, got[3].n_phone) == (0, 0, 0)
+
+
+def test_pack_token_stream_matches_reference(spark):
+    from score_spark.operators.pipeline import pack_token_stream
+
+    # one shard (all ids even), chunk sizes chosen to straddle the budget:
+    # stream offsets 0,30,60,90,... -> pack changes where offset//64 does
+    rows = [(2 * i, j, 30) for i in range(3) for j in range(2)]  # 6 chunks x 30 tok
+    df = spark.createDataFrame(rows, ["doc_id", "chunk_idx", "n_words"])
+    got = sorted(
+        pack_token_stream(df, budget=64, n_shards=1).collect(),
+        key=lambda r: (r.shard, r.pack_id),
+    )
+    # offsets 0,30 -> pack0; 60,90 -> pack0? 60//64=0, 90//64=1; 120,150 -> 1,2
+    # reference: pack of chunk = offset // 64 for offsets 0,30,60,90,120,150
+    expected = {}
+    off = 0
+    for _ in rows:
+        expected.setdefault(off // 64, [0, 0])
+        expected[off // 64][0] += 1
+        expected[off // 64][1] += 30
+        off += 30
+    assert [(r.pack_id, r.n_chunks, r.pack_tokens) for r in got] == [
+        (k, v[0], v[1]) for k, v in sorted(expected.items())
+    ]
+
+
+def test_pack_token_stream_shards_independently(spark):
+    from score_spark.operators.pipeline import pack_token_stream
+
+    rows = [(i, 0, 100) for i in range(16)]  # ids 0..15 spread over 8 shards
+    df = spark.createDataFrame(rows, ["doc_id", "chunk_idx", "n_words"])
+    got = pack_token_stream(df, budget=128, n_shards=8).collect()
+    # each shard gets 2 chunks of 100 tokens: offsets 0 and 100 -> packs 0, 0
+    by_shard = {}
+    for r in got:
+        by_shard.setdefault(r.shard, []).append((r.pack_id, r.n_chunks, r.pack_tokens))
+    assert set(by_shard) == set(range(8))
+    for shard, packs in by_shard.items():
+        assert sorted(packs) == [(0, 2, 200)], (shard, packs)
