@@ -106,15 +106,30 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark
-    rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long (legacy conf) and
-    truncate to microseconds — the same truncation DuckDB applies — using
-    integer division (a double intermediate would lose precision at 1e18 ns).
+    """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS). Older Spark
+    readers reject it ([PARQUET_TYPE_ILLEGAL]) unless the legacy conf maps it
+    to long; Spark 4.1 reads it natively as TIMESTAMP_NTZ. Normalize both to
+    the session-zoned TIMESTAMP type:
+
+    - ``bigint`` (legacy conf fired): truncate nanos to micros with integer
+      division — the same truncation DuckDB applies — then timestamp_micros.
+    - ``timestamp_ntz`` (Spark 4.1 native read): cast to TIMESTAMP. The
+      session time zone is pinned to UTC (session.py), so the wall-clock
+      values are unchanged and the DuckDB oracles stay aligned; the cast is
+      required because ``withWatermark`` rejects NTZ event-time columns
+      ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = load_table(spark, sf_dir, "events")
-    if dict(e.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
+    dt = dict(e.dtypes).get("ts")
+    if dt == "bigint":
         e = e.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif dt == "timestamp_ntz":
+        e = e.withColumn("ts", F.col("ts").cast("timestamp"))
+    assert dict(e.dtypes).get("ts") == "timestamp", (
+        f"events.ts normalized to {dict(e.dtypes).get('ts')!r}, expected "
+        "'timestamp' — a reader behavior change upstream; fix load_events"
+    )
     return e

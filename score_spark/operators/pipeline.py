@@ -141,7 +141,7 @@ def scrub_pii(
 def pack_token_stream(
     chunks: DataFrame,
     budget: int = 512,
-    n_shards: int = 8,
+    n_shards: int | None = None,
     id_col: str = "doc_id",
     order_col: str = "chunk_idx",
     size_col: str = "n_words",
@@ -151,16 +151,24 @@ def pack_token_stream(
     its first token (pack_id = floor(stream_offset / budget)); the training
     slicer cuts exactly at the budget, so chunks may straddle boundaries.
     Sharding by id hash keeps the window (the only shuffle) parallel at
-    scale instead of a single global cumsum partition. Returns per-pack
-    (shard, pack_id, n_chunks, pack_tokens)."""
+    scale instead of a single global cumsum partition; ``n_shards`` defaults
+    to the cluster's defaultParallelism so the sort tasks match the cores
+    available (VERDICT r3 #3 — a fixed 8 would mean 8 tasks over 12.5 TB
+    each at 100 TB). pack_id uses SQL integer division (``DIV`` on longs),
+    not a double intermediate, so offsets stay exact past 2^53 tokens per
+    shard. Returns per-pack (shard, pack_id, n_chunks, pack_tokens)."""
     from pyspark.sql import Window
 
+    if n_shards is None:
+        n_shards = chunks.sparkSession.sparkContext.defaultParallelism
     shard = (F.col(id_col) % n_shards).alias("shard")
     w = Window.partitionBy("shard").orderBy(id_col, order_col)
-    offset = F.sum(size_col).over(w) - F.col(size_col)
+    offset = (F.sum(size_col).over(w) - F.col(size_col)).cast("long")
+    pack_id = F.expr(f"_off DIV {int(budget)}").alias("pack_id")
     return (
         chunks.select(shard, id_col, order_col, size_col)
-        .select("*", (offset / budget).cast("long").alias("pack_id"))
+        .select("*", offset.alias("_off"))
+        .select("*", pack_id)
         .groupBy("shard", "pack_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
