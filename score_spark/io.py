@@ -25,9 +25,26 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Catalog-style table access: the analyzed scan DataFrame is memoized on
+    the session (keyed by path), so repeated references reuse one schema
+    inference + file listing instead of re-reading parquet footers per query.
+    This mirrors what a metastore gives a real deployment — tables register
+    once — and cuts ~0.1 s of driver-side plan-build cost from every query
+    (measured: the per-query constant floor is half plan build). The cache
+    dies with the session; tables are immutable driver fixtures, so the
+    snapshot-at-first-use listing is safe here."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    cache = getattr(spark, "_score_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._score_table_cache = cache
+    key = f"{sf_dir}/{name}.parquet"
+    df = cache.get(key)
+    if df is None:
+        df = spark.read.parquet(key)
+        cache[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
@@ -105,6 +122,24 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def presentation_sort(df: DataFrame, *cols) -> DataFrame:
+    """Total-order sort for BOUNDED final results — aggregates over
+    low-cardinality keys, top-k outputs, scalar summaries whose row count is
+    fixed by construction (the same bound that makes them collectable).
+
+    ``repartition(1).sortWithinPartitions`` produces the identical row order
+    to ``orderBy`` (sort keys are unique in every caller: they are the
+    grouping keys / rank) but skips the range-partitioner SAMPLING JOB a
+    global orderBy schedules before its exchange — measured ~0.2 s of pure
+    scheduling latency per query, at any scale factor, for a result that
+    would land on one task anyway. Results that scale with the input (row
+    streams, per-entity windows, pair reports) must keep ``orderBy``'s
+    range-partitioned global sort — a single-task sort there is a
+    scale-killer; this helper is only for results with a constant-size bound.
+    """
+    return df.repartition(1).sortWithinPartitions(*cols)
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS). Older Spark
     readers reject it ([PARQUET_TYPE_ILLEGAL]) unless the legacy conf maps it
@@ -119,6 +154,12 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       required because ``withWatermark`` rejects NTZ event-time columns
       ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]).
     """
+    cache = getattr(spark, "_score_events_cache", None)
+    if cache is None:
+        cache = {}
+        spark._score_events_cache = cache
+    if sf_dir in cache:
+        return cache[sf_dir]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = load_table(spark, sf_dir, "events")
     from pyspark.sql import functions as F
@@ -132,4 +173,5 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"events.ts normalized to {dict(e.dtypes).get('ts')!r}, expected "
         "'timestamp' — a reader behavior change upstream; fix load_events"
     )
+    cache[sf_dir] = e
     return e

@@ -29,7 +29,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, types as T
 
-from score_spark.io import fan_out, load_table
+from score_spark.io import fan_out, load_table, presentation_sort
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -158,7 +158,7 @@ def m01_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("width").alias("total_width"),
             F.sum("height").alias("total_height"),
         )
-        .orderBy("source")
+        .transform(presentation_sort, "source")
     )
 
 
@@ -192,7 +192,7 @@ def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").alias("n_blobs"),
             F.sum("frame_idx").alias("sum_idx"),
         )
-        .orderBy("source")
+        .transform(presentation_sort, "source")
     )
 
 

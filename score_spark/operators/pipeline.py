@@ -26,7 +26,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from score_spark.functions.text import shingles
-from score_spark.io import fan_out, load_table
+from score_spark.io import fan_out, load_table, presentation_sort
 
 # train share ~0.8 of the md5 hex space: 'c'*32 / 16^32 = 12/16 + 12/256 + ...
 _TRAIN_HEX = "c" * 32
@@ -209,7 +209,7 @@ def c02_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
         )
-        .orderBy("split")
+        .transform(presentation_sort, "split")
     )
 
 

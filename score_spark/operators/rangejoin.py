@@ -21,7 +21,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from score_spark.io import load_events
+from score_spark.io import load_events, presentation_sort
 
 
 def interval_join(
@@ -82,7 +82,7 @@ def j01_busy_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
-        .orderBy("start")
+        .transform(presentation_sort, "start")
     )
 
 

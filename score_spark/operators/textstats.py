@@ -13,7 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from score_spark.functions import text as TX
-from score_spark.io import fan_out, load_table
+from score_spark.io import fan_out, load_table, presentation_sort
 
 # DuckDB mirrors of functions/text.py (1-indexed lists; list_* HOFs)
 _TOKENS = "string_split(text, ' ')"
@@ -73,7 +73,7 @@ def t02_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_language(d)
         .groupBy("lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("lang", "predicted_lang")
+        .transform(presentation_sort, "lang", "predicted_lang")
     )
 
 
@@ -119,7 +119,7 @@ def t03_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("length_band", "stopword_band", "purity")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("length_band", "stopword_band", "purity")
+        .transform(presentation_sort, "length_band", "stopword_band", "purity")
     )
 
 
@@ -145,7 +145,7 @@ def t04_fingerprint_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("fingerprint").alias("n_unique"),
             F.min("fingerprint").alias("min_fp"),
         )
-        .orderBy("source")
+        .transform(presentation_sort, "source")
     )
 
 
@@ -192,7 +192,7 @@ def t05_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.col("bpe") / F.col("words")), 4).alias("bpe_per_word"),
             F.round(F.avg("chars4"), 4).alias("avg_chars4"),
         )
-        .orderBy("lang")
+        .transform(presentation_sort, "lang")
     )
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from score_spark.io import load_events, load_table
+from score_spark.io import load_events, load_table, presentation_sort
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -56,7 +56,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(presentation_sort, "l_returnflag", "l_linestatus")
     )
 
 
@@ -119,7 +119,7 @@ def q07_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
             F.count(F.lit(1)).alias("n_orders"),
         )
-        .orderBy("o_orderpriority")
+        .transform(presentation_sort, "o_orderpriority")
     )
 
 
@@ -148,7 +148,7 @@ def q11_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_partkey").alias("n_parts"),
             F.count(F.lit(1)).alias("n_rows"),
         )
-        .orderBy("l_returnflag")
+        .transform(presentation_sort, "l_returnflag")
     )
 
 
@@ -176,7 +176,7 @@ def q17_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.grouping_id("l_returnflag", "l_linestatus").alias("gid"),
         )
-        .orderBy(F.col("gid"), F.col("l_returnflag"), F.col("l_linestatus"))
+        .transform(presentation_sort, F.col("gid"), F.col("l_returnflag"), F.col("l_linestatus"))
     )
 
 
@@ -252,7 +252,7 @@ def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-        .orderBy("r_name", "n_name")
+        .transform(presentation_sort, "r_name", "n_name")
     )
 
 
@@ -284,7 +284,7 @@ def q04_order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
-        .orderBy("o_orderpriority")
+        .transform(presentation_sort, "o_orderpriority")
     )
 
 
@@ -312,7 +312,7 @@ def q16_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_customers"))
-        .orderBy("c_mktsegment")
+        .transform(presentation_sort, "c_mktsegment")
     )
 
 
@@ -340,7 +340,7 @@ def q14_supplier_pairs_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("s1.s_nationkey").alias("nationkey"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
-        .orderBy("nationkey")
+        .transform(presentation_sort, "nationkey")
     )
 
 
@@ -378,7 +378,7 @@ def q19_broadcast_part_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue"),
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"),
         )
-        .orderBy("p_brand")
+        .transform(presentation_sort, "p_brand")
     )
 
 
@@ -505,7 +505,7 @@ def q12_union_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         high.unionAll(urgent)
         .groupBy("bucket", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("bucket", "o_orderpriority")
+        .transform(presentation_sort, "bucket", "o_orderpriority")
     )
 
 
@@ -605,7 +605,7 @@ def q15_scalar_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("balance_band", "segment")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("balance_band", "segment")
+        .transform(presentation_sort, "balance_band", "segment")
     )
 
 
@@ -632,7 +632,7 @@ def q18_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.month("o_orderdate").alias("order_month"),
         )
         .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("month_value"))
-        .orderBy("order_year", "order_month")
+        .transform(presentation_sort, "order_year", "order_month")
     )
 
 
@@ -692,7 +692,7 @@ def q22_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("sum_k"),
             F.max("k").alias("max_k"),
         )
-        .orderBy("event_type")
+        .transform(presentation_sort, "event_type")
     )
 
 

@@ -18,7 +18,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from score_spark.io import load_events
+from score_spark.io import load_events, presentation_sort
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str | None = None) -> DataFrame:
@@ -273,7 +273,7 @@ def w03_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         doubled.distinct()
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
-        .orderBy("event_type")
+        .transform(presentation_sort, "event_type")
     )
 
 
