@@ -45,28 +45,35 @@ def main() -> None:
     # (VERDICT r2 "Next round" #2).
     import pyspark.sql.functions as F  # noqa: N812
 
+    # floor queries are built the same way real queries now are — memoized
+    # load_table + presentation_sort for the bounded result — so the floor
+    # tracks the fixed cost queries actually pay (measuring an un-memoized
+    # orderBy floor against memoized presentation-sorted queries would
+    # overstate the floor and flatter every net ratio)
+    from score_spark.io import load_table, presentation_sort
+
     floor_runs = []
     for _ in range(5):
         f0 = time.monotonic()
-        spark.read.parquet(f"{sf_dir}/region.parquet").select(
+        load_table(spark, sf_dir, "region").select(
             F.col("r_regionkey")
         ).write.format("noop").mode("overwrite").save()
         floor_runs.append(time.monotonic() - f0)
     floor_sec = round(sorted(floor_runs)[len(floor_runs) // 2], 3)
-    # multi-stage floor: minimal join + aggregate + global sort over the two
-    # 25-row dimension tables — the fixed cost of a 3-stage plan shape
-    # (scan, shuffle/broadcast, agg, sort). Queries like the supplier
+    # multi-stage floor: minimal join + aggregate + bounded-result sort over
+    # the two 25-row dimension tables — the fixed cost of a multi-stage plan
+    # shape (scan, shuffle/broadcast, agg, sort). Queries like the supplier
     # self-join sit at THIS floor, not the single-stage one.
     floor_multi_runs = []
     for _ in range(5):
         f0 = time.monotonic()
         (
-            spark.read.parquet(f"{sf_dir}/nation.parquet")
-            .join(spark.read.parquet(f"{sf_dir}/region.parquet"),
+            load_table(spark, sf_dir, "nation")
+            .join(load_table(spark, sf_dir, "region"),
                   F.col("n_regionkey") == F.col("r_regionkey"))
             .groupBy("r_name")
             .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy("r_name")
+            .transform(presentation_sort, "r_name")
             .write.format("noop").mode("overwrite").save()
         )
         floor_multi_runs.append(time.monotonic() - f0)
@@ -75,12 +82,14 @@ def main() -> None:
     from score_spark import xcheck
 
     xcheck.drain_oracle_sec()  # reset any warmup residue
-    # best-of-N (default 2): the first execution of a query pays one-time
+    # best-of-N (default 3): the first execution of a query pays one-time
     # expression-codegen compilation (~1-2 s for wide window/agg plans) that
     # a long-lived cluster session amortizes across thousands of runs; the
-    # warm time is the engine cost that scales. The DuckDB baseline below
-    # gets the identical best-of-N treatment, so the comparison stays fair.
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # warm time is the engine cost that scales. N=3 rather than 2 because
+    # single-run GC/thermal spikes of 2x were observed on both engines; the
+    # DuckDB baseline below gets the identical best-of-N treatment, so the
+    # comparison stays fair.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     times: dict[str, float] = {}
     oracle_channel: dict[str, float] = {}
     multi_stage: dict[str, bool] = {}
