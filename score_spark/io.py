@@ -122,22 +122,33 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
-def presentation_sort(df: DataFrame, *cols) -> DataFrame:
+def presentation_sort(df: DataFrame, *cols, shuffle: bool = False) -> DataFrame:
     """Total-order sort for BOUNDED final results — aggregates over
     low-cardinality keys, top-k outputs, scalar summaries whose row count is
     fixed by construction (the same bound that makes them collectable).
 
-    ``repartition(1).sortWithinPartitions`` produces the identical row order
-    to ``orderBy`` (sort keys are unique in every caller: they are the
-    grouping keys / rank) but skips the range-partitioner SAMPLING JOB a
-    global orderBy schedules before its exchange — measured ~0.2 s of pure
-    scheduling latency per query, at any scale factor, for a result that
-    would land on one task anyway. Results that scale with the input (row
-    streams, per-entity windows, pair reports) must keep ``orderBy``'s
-    range-partitioned global sort — a single-task sort there is a
-    scale-killer; this helper is only for results with a constant-size bound.
+    Produces the identical row order to ``orderBy`` (sort keys are unique in
+    every caller: they are the grouping keys / rank) but skips the
+    range-partitioner SAMPLING JOB a global orderBy schedules before its
+    exchange — measured ~0.2 s of pure scheduling latency per query, at any
+    scale factor, for a result that would land on one task anyway. Results
+    that scale with the input (row streams, per-entity windows, pair
+    reports) must keep ``orderBy``'s range-partitioned global sort — a
+    single-task sort there is a scale-killer; this helper is only for
+    results with a constant-size bound.
+
+    Default ``coalesce(1)``: merges the final (bounded) reduce stage into a
+    single task with NO extra exchange — safe when that stage is a hash
+    aggregate, because partial aggregation bounds its input to #map_tasks x
+    #groups rows regardless of data size. Pass ``shuffle=True`` when the
+    stage feeding the sort does real per-row work that must stay parallel
+    (e.g. a window rank over a corpus-sized candidate set): that inserts a
+    round-robin exchange so only the bounded sorted result, not the work
+    above it, collapses to one task.
     """
-    return df.repartition(1).sortWithinPartitions(*cols)
+    if shuffle:
+        return df.repartition(1).sortWithinPartitions(*cols)
+    return df.coalesce(1).sortWithinPartitions(*cols)
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

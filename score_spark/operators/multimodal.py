@@ -84,16 +84,23 @@ def extract_binary_features(
     """Binary feature extraction in two layers: byte_len + sha256 as JVM
     built-in columns (codegen'd in the scan stage), then one Arrow-batched
     mapInPandas for the decode only. ``carry_cols`` ride through the decoder
-    batch so no second scan / join is needed downstream."""
-    base = fan_out(
-        df.select(
-            id_col,
-            *carry_cols,
-            F.col(binary_col),
-            F.length(F.col(binary_col)).cast("long").alias("byte_len"),
-            F.lower(F.sha2(F.col(binary_col), 256)).alias("content_sha256"),
-        )
+    batch so no second scan / join is needed downstream.
+
+    Fan-out is sized to the DECODER's cost, not the byte count: a real codec
+    (PIL present) is ~100x more CPU per byte than any relational op, so a
+    few-large-files scan must spread before decoding; the deterministic fake
+    decoder is O(1) per row (hex slicing of an already-computed sha), and
+    shuffling payload bytes to parallelize a no-op is pure waste at any
+    scale — measured 0.35 s of shuffle+scheduling to save ~10 ms of work."""
+    base = df.select(
+        id_col,
+        *carry_cols,
+        F.col(binary_col),
+        F.length(F.col(binary_col)).cast("long").alias("byte_len"),
+        F.lower(F.sha2(F.col(binary_col), 256)).alias("content_sha256"),
     )
+    if _PIL_Image is not None:
+        base = fan_out(base)
     # canonical field order: id, carried, features
     carried_fields = [base.schema[c] for c in carry_cols]
     out_schema = T.StructType(

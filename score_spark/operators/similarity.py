@@ -586,7 +586,7 @@ def ivf_topk(
 def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return cosine_topk(emb, queries, k=5).transform(presentation_sort, "query_id", "rk")
+    return cosine_topk(emb, queries, k=5).transform(presentation_sort, "query_id", "rk", shuffle=True)
 
 
 ORACLE_S01 = """
@@ -642,7 +642,7 @@ def s03_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = write_xcheck(
         lsh_candidates(emb, queries, n_planes=8, multi_probe=1), "s03_candidates"
     )
-    return score_candidates(cand, emb, k=5, queries=queries).transform(presentation_sort, "query_id", "rk")
+    return score_candidates(cand, emb, k=5, queries=queries).transform(presentation_sort, "query_id", "rk", shuffle=True)
 
 
 ORACLE_S03 = f"""
@@ -675,7 +675,7 @@ def s04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = write_xcheck(
         ivf_candidates(emb, queries, cents, nprobe=2), "s04_candidates"
     )
-    return score_candidates(cand, emb, k=5, queries=queries).transform(presentation_sort, "query_id", "rk")
+    return score_candidates(cand, emb, k=5, queries=queries).transform(presentation_sort, "query_id", "rk", shuffle=True)
 
 
 ORACLE_S04 = f"""

@@ -216,12 +216,94 @@ ORDER BY lang
 """
 
 
+# backslash-free patterns (Java regex == RE2, same rationale as
+# pipeline.PII_PATTERNS): URLs and emails — the spans a linkification /
+# reference-extraction pass pulls out of web text before training
+_URL_PATTERN = "https?://[a-zA-Z0-9./_-]+"
+_EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+
+
+def extract_span_counts(
+    df: DataFrame, text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Per-row counts of extractable spans (URLs, emails by default) as
+    codegen'd JVM regexp_count columns — the first half of a link/reference
+    extraction pass (the second half, regexp_extract_all + explode, has the
+    same plan shape as q20's token explode). Map-only: fuses into the scan
+    stage, zero shuffle at any scale."""
+    patterns = patterns or {"urls": _URL_PATTERN, "emails": _EMAIL_PATTERN}
+    out = df
+    for name, pat in patterns.items():
+        out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
+    return out
+
+
+def t06_span_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span extraction proven end-to-end like c04: deterministic URLs/emails
+    planted per doc_id (every 3rd doc gets an email, every 3rd+1 a URL), then
+    counted per source with docs-with-any-span coverage. The planting makes
+    the counts non-trivial (raw synthetic text contains neither)."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" reach u"), F.col("doc_id").cast("string"), F.lit("@example.org")))
+            .when(F.col("doc_id") % 3 == 1,
+                  F.concat(F.lit(" via https://ex.org/p/"), F.col("doc_id").cast("string")))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    s = extract_span_counts(planted)
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_urls").cast("long").alias("total_urls"),
+            F.sum("n_emails").cast("long").alias("total_emails"),
+            F.sum(F.when((F.col("n_urls") + F.col("n_emails")) > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("docs_with_spans"),
+        )
+        .transform(presentation_sort, "source")
+    )
+
+
+ORACLE_T06 = f"""
+WITH planted AS (
+  SELECT doc_id, source,
+         text || CASE WHEN doc_id % 3 = 0 THEN ' reach u' || CAST(doc_id AS VARCHAR) || '@example.org'
+                      WHEN doc_id % 3 = 1 THEN ' via https://ex.org/p/' || CAST(doc_id AS VARCHAR)
+                      ELSE '' END AS text
+  FROM documents
+),
+counted AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{_URL_PATTERN}')) AS n_urls,
+         len(regexp_extract_all(text, '{_EMAIL_PATTERN}')) AS n_emails
+  FROM planted
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_urls) AS BIGINT) AS total_urls,
+       CAST(sum(n_emails) AS BIGINT) AS total_emails,
+       CAST(sum(CASE WHEN n_urls + n_emails > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_spans
+FROM counted
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_language_id": t02_language_id,
     "t03_quality_buckets": t03_quality_buckets,
     "t04_fingerprint_summary": t04_fingerprint_summary,
     "t05_bpe_token_estimate": t05_bpe_token_estimate,
+    "t06_span_extraction": t06_span_extraction,
 }
 
 ORACLE = {
@@ -230,4 +312,5 @@ ORACLE = {
     "t03_quality_buckets": ORACLE_T03,
     "t04_fingerprint_summary": ORACLE_T04,
     "t05_bpe_token_estimate": ORACLE_T05,
+    "t06_span_extraction": ORACLE_T06,
 }
