@@ -62,6 +62,17 @@ def test_asof_salted_bounds_window_group_size(spark):
     # and the salted operator still answers correctly at this size
     got = asof_join(left, right, on="k", right_value_cols=["v"], time_buckets=buckets)
     assert got.count() == n_hot
+    # executed-plan pin (VERDICT r3 #8): the in-bucket window's exchange must
+    # hash on (_k, _bkt) — i.e. the hot key's timeline really is split across
+    # bucket partitions in the plan that ran, not just in this test's
+    # re-derivation — while the plain path partitions on _k alone.
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_k" in plan and "_bkt" in plan.split("hashpartitioning(_k", 1)[1][:80]
+    plain_plan = (
+        asof_join(left, right, on="k", right_value_cols=["v"])
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "_bkt" not in plain_plan
 
 
 def test_asof_backward_with_equal_ts_and_missing(spark):
