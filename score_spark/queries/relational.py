@@ -400,18 +400,24 @@ ORDER BY p_brand
 # --------------------------------------------------------------------------
 
 def q09_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking window: top-3 orders by value per customer. One shuffle on
-    o_custkey, sort within partitions; rank filter applies before any further
-    join so the row explosion never leaves the stage. Parity: window
-    PARTITION BY/ORDER BY (tests :1105-1124).
+    """Ranking window: top-3 orders by value per customer. ONE exchange
+    total: the input is range-partitioned on o_custkey up front, which (a)
+    satisfies the window's clustering requirement (equal keys never split
+    across a range boundary) and (b) makes partitions ordered key ranges, so
+    the final total order is a free sortWithinPartitions instead of a second
+    range exchange + sampling job — same trick on q10/q21; rows identical to
+    orderBy, pinned in tests. Skew profile matches hash partitioning (a hot
+    key fills one partition either way). Parity: window PARTITION BY/ORDER
+    BY (tests :1105-1124).
     """
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
-        o.withColumn("rk", F.row_number().over(w))
+        o.repartitionByRange("o_custkey")
+        .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rk")
-        .orderBy("o_custkey", "rk")
+        .sortWithinPartitions("o_custkey", "rk")
     )
 
 
@@ -436,15 +442,18 @@ def q10_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_order = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     w_tail = w_order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # one exchange: range-partition on the window key feeds the window AND
+    # makes the final total order a free in-partition sort (see q09)
     return (
-        o.select(
+        o.repartitionByRange("o_custkey")
+        .select(
             "o_custkey",
             "o_orderkey",
             F.first("o_orderkey").over(w_order).alias("first_orderkey"),
             F.last("o_orderkey").over(w_tail).alias("last_orderkey"),
             F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_spend"),
         )
-        .orderBy("o_custkey", "o_orderkey")
+        .sortWithinPartitions("o_custkey", "o_orderkey")
     )
 
 
@@ -465,13 +474,15 @@ def q21_lag_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # one exchange: range-partition on the window key (see q09)
     return (
-        o.select(
+        o.repartitionByRange("o_custkey")
+        .select(
             "o_custkey",
             "o_orderkey",
             F.datediff(F.col("o_orderdate"), F.lag("o_orderdate", 1).over(w)).alias("days_since_prev"),
         )
-        .orderBy("o_custkey", "o_orderkey")
+        .sortWithinPartitions("o_custkey", "o_orderkey")
     )
 
 

@@ -205,9 +205,18 @@ def conversion_attribution_batch(events: DataFrame, horizon_minutes: int = 30) -
 
 def w01_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch session windows (30-min gap) per user — the streaming operator's
-    batch twin; DuckDB oracle is the classic gaps-and-islands rewrite."""
+    batch twin; DuckDB oracle is the classic gaps-and-islands rewrite.
+
+    One exchange (batch-only fusion, the streaming path is untouched): the
+    input is range-partitioned on user_id, which satisfies the session
+    merge's clustering requirement AND orders partitions by the leading
+    output key, so the total order is a free sortWithinPartitions instead
+    of a second range exchange + sampling job (row order pinned equal to
+    orderBy in tests/test_streaming.py)."""
     e = load_events(spark, sf_dir)
-    return session_stats(e, gap="30 minutes").orderBy("user_id", "session_start")
+    return session_stats(e.repartitionByRange("user_id"), gap="30 minutes").sortWithinPartitions(
+        "user_id", "session_start"
+    )
 
 
 ORACLE_W01 = """

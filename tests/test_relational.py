@@ -15,3 +15,29 @@ def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
         pytest.skip(f"{name} has no SQL oracle (rows-only check)")
     df = QUERIES[name](spark, sf_dir)
     assert_matches_oracle(df, oracle_con, ORACLE[name])
+
+
+def test_fused_range_window_order_matches_global_sort(spark, sf_dir):
+    """q09/q10/q21 fuse the window exchange with the output order (ONE
+    range exchange; final order via sortWithinPartitions). The collected row
+    ORDER must be byte-identical to a true global orderBy — canonicalized
+    oracle checks would not catch an ordering regression here."""
+    from score_spark.queries.relational import (
+        q09_top_orders_per_customer,
+        q10_window_frames,
+        q21_lag_lead_gap,
+    )
+
+    cases = {
+        q09_top_orders_per_customer: ("o_custkey", "rk"),
+        q10_window_frames: ("o_custkey", "o_orderkey"),
+        q21_lag_lead_gap: ("o_custkey", "o_orderkey"),
+    }
+    for fn, keys in cases.items():
+        df = fn(spark, sf_dir)
+        assert df.collect() == df.orderBy(*keys).collect(), fn.__name__
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the only exchange is the range partition (the AQE plan string may
+        # render the tree twice, so assert presence/absence, not count)
+        assert "Exchange rangepartitioning" in plan, fn.__name__
+        assert "Exchange hashpartitioning" not in plan, fn.__name__

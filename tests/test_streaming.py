@@ -205,3 +205,15 @@ def test_append_mode_watermark_drops_late_rows(spark, tmp_path):
         for r in tumbling_counts(spark.read.parquet(src), width="1 hour").collect()
     }
     assert (t(10), 3) in batch
+
+
+def test_w01_fused_order_matches_global_sort(spark, sf_dir):
+    """w01's one-exchange fusion must produce byte-identical row order to a
+    true global orderBy (see w01_session_windows docstring)."""
+    from score_spark.streaming.windows import w01_session_windows
+
+    df = w01_session_windows(spark, sf_dir)
+    assert df.collect() == df.orderBy("user_id", "session_start").collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" in plan
+    assert "Exchange hashpartitioning" not in plan
