@@ -28,6 +28,7 @@ def asof_join(
     right_value_cols: list[str] | None = None,
     suffix: str = "_right",
     time_buckets: int | None = None,
+    ranged_by_key: bool = False,
 ) -> DataFrame:
     """For each left row, attach the most recent right row (right_ts <=
     left_ts) with the same key. Right values arrive as <col><suffix>;
@@ -42,7 +43,17 @@ def asof_join(
     (key, bucket) — max task is 1/N of the hot key — and a second, tiny
     per-(key, bucket) pass carries the last right row across bucket
     boundaries. Costs one extra scalar min/max job + one narrow join; use it
-    when a key can dominate a partition (see ``key_skew_report``)."""
+    when a key can dominate a partition (see ``key_skew_report``).
+
+    ``ranged_by_key=True`` range-partitions the tagged union on the key
+    instead of letting the carry window hash-partition it. RangePartitioning
+    on the key satisfies the window's clustering requirement (equal keys
+    never split across a range boundary), and the output partitions become
+    ordered key ranges — so a caller wanting key-leading output order gets
+    it with a free sortWithinPartitions instead of a second exchange plus
+    its sampling job. Same exchange count inside the join; same skew
+    profile as hash partitioning (the time_buckets escape hatch composes —
+    the range can include the bucket)."""
     right_value_cols = right_value_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
@@ -63,6 +74,8 @@ def asof_join(
         F.col(right_ts).alias("_r_ts"),
     )
     tagged = l_tagged.unionByName(r_tagged)
+    if ranged_by_key:
+        tagged = tagged.repartitionByRange("_k")
     carry_cols = [*right_value_cols]
     if time_buckets is None:
         # right rows sort before left rows at equal _ts → right_ts <= left_ts
@@ -171,7 +184,12 @@ def key_skew_report(df: DataFrame, key: str, top: int = 10) -> list[tuple]:
 
 
 def a01_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Each purchase attributed to the user's most recent prior click."""
+    """Each purchase attributed to the user's most recent prior click.
+    Presented per user in purchase-time order (event_id tie-break), which
+    lets the output order fuse with the join's key partitioning: with
+    ``ranged_by_key`` the as-of's single exchange already yields ordered
+    user ranges, so the total order is a free in-partition sort (pinned
+    equal to a true orderBy in tests)."""
     e = load_events(spark, sf_dir)
     purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
     clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
@@ -180,14 +198,15 @@ def a01_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks.withColumnRenamed("event_id", "click_id"),
         on="user_id",
         right_value_cols=["click_id"],
+        ranged_by_key=True,
     )
-    return joined.select(
+    return joined.sortWithinPartitions("user_id", "ts", "event_id").select(
         "event_id",
         "user_id",
         F.round("value", 2).alias("purchase_value"),
         "click_id_right",
         (F.unix_timestamp("ts") - F.unix_timestamp("ts_right")).alias("gap_seconds"),
-    ).orderBy("event_id")
+    )
 
 
 ORACLE_A01 = """
@@ -203,7 +222,7 @@ SELECT p.event_id, p.user_id,
        date_diff('second', c.ts, p.ts) AS gap_seconds
 FROM purchases p ASOF LEFT JOIN clicks c
   ON p.user_id = c.user_id AND c.ts <= p.ts
-ORDER BY p.event_id
+ORDER BY p.user_id, p.ts, p.event_id
 """
 
 

@@ -86,17 +86,27 @@ def decontamination_report(
     min_shared: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ranged_by_id: bool = False,
 ) -> DataFrame:
     """(id, n_shared) for corpus documents sharing >= min_shared distinct
     word n-grams with ANY benchmark document — the standard pre-training
     decontamination check. The benchmark's distinct shingle set is broadcast
     (eval sets are thousands of rows, not billions), so the corpus side is
     one shingling scan + a broadcast semi-structured join + a small count
-    aggregate; nothing corpus-sized shuffles besides the (id, count) rows."""
+    aggregate; nothing corpus-sized shuffles besides the (id, count) rows.
+
+    ``ranged_by_id=True`` spreads the corpus by range-partitioning on the id
+    instead of round-robin fan-out. One exchange then serves three needs:
+    CPU spread for the shingling, the count aggregate's clustering (the
+    broadcast join and explode are narrow, so the partitioning survives to
+    the groupBy — no agg exchange), and an id-ordered output via a free
+    sortWithinPartitions (the caller adds it; partitions are ordered id
+    ranges). Same balance as fan-out — the range sampler equalizes rows."""
     bench_sh = (
         benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("sh")).distinct()
     )
-    doc_sh = fan_out(docs).select(
+    spread = docs.repartitionByRange(id_col) if ranged_by_id else fan_out(docs)
+    doc_sh = spread.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("sh")
     )
     return (
@@ -229,7 +239,11 @@ def c03_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 101 == 0)
     corpus = d.filter(F.col("doc_id") % 101 != 0)
-    return decontamination_report(corpus, bench, n=3, min_shared=2).orderBy("doc_id")
+    # one exchange: range spread feeds shingling, the count agg, AND the
+    # id-ordered output (see decontamination_report ranged_by_id)
+    return decontamination_report(
+        corpus, bench, n=3, min_shared=2, ranged_by_id=True
+    ).sortWithinPartitions("doc_id")
 
 
 # mirrors functions/text.py::shingles via dedup._SHINGLE_SQL's construction

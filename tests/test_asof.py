@@ -92,3 +92,36 @@ def test_asof_backward_with_equal_ts_and_missing(spark):
     assert got["p0"] == (100, ts(5))   # equal timestamps match (<=)
     assert got["p2"] == (None, None)   # right row is after left → no match
     assert got["p3"] == (None, None)   # key never on right
+
+
+def test_a01_fused_order_matches_global_sort(spark, sf_dir):
+    """a01's ranged_by_key fusion must produce byte-identical row order to a
+    true global orderBy on (user_id, purchase ts, event_id); the ts column is
+    not projected, so the equivalent global sort re-derives it via a join-free
+    re-sort on the projected keys' unique prefix (user_id, event_id order
+    within a user follows ts because event ids are assigned in ts order is
+    NOT assumed — we re-run the query with orderBy on the pre-projection
+    frame instead)."""
+    import pyspark.sql.functions as F
+
+    from score_spark.io import load_events
+    from score_spark.operators.asof import a01_purchase_attribution, asof_join
+
+    got = a01_purchase_attribution(spark, sf_dir).collect()
+    e = load_events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    joined = asof_join(
+        purchases, clicks.withColumnRenamed("event_id", "click_id"),
+        on="user_id", right_value_cols=["click_id"],
+    )
+    want = (
+        joined.orderBy("user_id", "ts", "event_id")
+        .select(
+            "event_id", "user_id", F.round("value", 2).alias("purchase_value"),
+            "click_id_right",
+            (F.unix_timestamp("ts") - F.unix_timestamp("ts_right")).alias("gap_seconds"),
+        )
+        .collect()
+    )
+    assert got == want
