@@ -101,7 +101,11 @@ def decontamination_report(
     broadcast join and explode are narrow, so the partitioning survives to
     the groupBy — no agg exchange), and an id-ordered output via a free
     sortWithinPartitions (the caller adds it; partitions are ordered id
-    ranges). Same balance as fan-out — the range sampler equalizes rows."""
+    ranges). CAVEAT, measured: the range sampler re-executes the child plan
+    to sample keys — for wide text rows that second scan costs more than
+    the two exchanges it saves (fused c03 1.76 s vs 0.98 s at sf0.1), so
+    the default stays fan_out; use ranged_by_id only when the input rows
+    are narrow or the scan is cheap relative to the aggregate."""
     bench_sh = (
         benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("sh")).distinct()
     )
@@ -239,11 +243,10 @@ def c03_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 101 == 0)
     corpus = d.filter(F.col("doc_id") % 101 != 0)
-    # one exchange: range spread feeds shingling, the count agg, AND the
-    # id-ordered output (see decontamination_report ranged_by_id)
-    return decontamination_report(
-        corpus, bench, n=3, min_shared=2, ranged_by_id=True
-    ).sortWithinPartitions("doc_id")
+    # fan_out spread + plain global sort: the ranged_by_id fusion measured
+    # SLOWER here (its range sampler re-scans the wide text rows — see
+    # decontamination_report docstring), so c03 keeps the two-exchange plan
+    return decontamination_report(corpus, bench, n=3, min_shared=2).orderBy("doc_id")
 
 
 # mirrors functions/text.py::shingles via dedup._SHINGLE_SQL's construction
