@@ -142,6 +142,87 @@ def frame_sample_plan(df: DataFrame, id_col: str, binary_col: str, every_n: int 
     )
 
 
+def resize_images(
+    df: DataFrame,
+    target_w: int = 128,
+    target_h: int = 128,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Image resize over the binary column — the third multimodal stage
+    (decode / feature-extract / RESIZE / frame-sample). Same two-layer
+    contract as extract_binary_features: metadata (sha, byte_len) stays
+    JVM-side in the scan stage, ONE Arrow-batched mapInPandas touches the
+    payload for decode+resize together (never two Python passes over the
+    bytes), carried columns ride the batch so the whole thing is a single
+    scan; only the small feature columns continue downstream.
+
+    With PIL present the batch really resizes (thumbnail semantics:
+    downscale-only into the target box) and re-emits the resized bytes'
+    sha256. Without a codec the deterministic stand-in mirrors the contract
+    shape: original dims come from the fake decoder, resized dims clamp to
+    the target box, and the "resized" content identity is
+    sha256("<content_sha>|<W>x<H>") — recomputable by DuckDB, so the
+    plumbing (schema, batch iteration, per-row derivation) is hash-verified
+    end-to-end even though no pixels exist in this container."""
+    base = df.select(
+        id_col,
+        *carry_cols,
+        F.col(binary_col),
+        F.length(F.col(binary_col)).cast("long").alias("byte_len"),
+        F.lower(F.sha2(F.col(binary_col), 256)).alias("content_sha256"),
+    )
+    if _PIL_Image is not None:
+        base = fan_out(base)  # real codecs are CPU-heavy per byte (see above)
+    carried_fields = [base.schema[c] for c in carry_cols]
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType())]
+        + carried_fields
+        + [
+            T.StructField("byte_len", T.LongType()),
+            T.StructField("content_sha256", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("resized_w", T.IntegerType()),
+            T.StructField("resized_h", T.IntegerType()),
+            T.StructField("resized_sha", T.StringType()),
+            T.StructField("decoder", T.StringType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for payload, sha in zip(pdf[binary_col], pdf["content_sha256"]):
+                w, h, dec = decode_image(payload, sha)
+                if dec == "pil":  # pragma: no cover - codec not in container
+                    import io as _io
+
+                    img = _PIL_Image.open(_io.BytesIO(payload))
+                    img.thumbnail((target_w, target_h))
+                    rw, rh = img.width, img.height
+                    rsha = hashlib.sha256(img.tobytes()).hexdigest()
+                else:
+                    rw, rh = min(w, target_w), min(h, target_h)
+                    rsha = hashlib.sha256(f"{sha}|{rw}x{rh}".encode()).hexdigest()
+                rows.append((w, h, rw, rh, rsha, dec))
+            out = {id_col: pdf[id_col]}
+            for c in carry_cols:
+                out[c] = pdf[c]
+            out["byte_len"] = pdf["byte_len"]
+            out["content_sha256"] = pdf["content_sha256"]
+            out["width"] = [r[0] for r in rows]
+            out["height"] = [r[1] for r in rows]
+            out["resized_w"] = [r[2] for r in rows]
+            out["resized_h"] = [r[3] for r in rows]
+            out["resized_sha"] = [r[4] for r in rows]
+            out["decoder"] = [r[5] for r in rows]
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(gen, out_schema)
+
+
 # ------------------------------------------------------------------ queries
 
 
@@ -219,5 +300,61 @@ ORDER BY source
 """
 
 
-QUERIES = {"m01_binary_features": m01_binary_features, "m02_frame_sample": m02_frame_sample}
-ORACLE = {"m01_binary_features": ORACLE_M01, "m02_frame_sample": ORACLE_M02}
+def m03_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage over the binary payload (documents' text re-encoded, as
+    in m01/m02): decode+resize in one Arrow batch, aggregated per source.
+    The deterministic stand-in's resized dims and content identity are
+    recomputed independently by DuckDB from the same sha derivation, so the
+    whole Python batch path is value-checked, not just row-counted."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.encode("text", "UTF-8").alias("payload")
+    )
+    r = resize_images(d, target_w=128, target_h=128, carry_cols=("source",))
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_blobs"),
+            F.sum("resized_w").alias("total_rw"),
+            F.sum("resized_h").alias("total_rh"),
+            F.countDistinct("resized_sha").alias("n_unique_resized"),
+            F.min("resized_sha").alias("min_resized_sha"),
+        )
+        .transform(presentation_sort, "source")
+    )
+
+
+ORACLE_M03 = """
+WITH dims AS (
+  SELECT source,
+         sha256(text) AS csha,
+         least(64 + CAST('0x' || substr(sha256(text), 1, 2) AS INT) % 192, 128) AS rw,
+         least(64 + CAST('0x' || substr(sha256(text), 3, 2) AS INT) % 192, 128) AS rh
+  FROM documents
+),
+resized AS (
+  SELECT source, rw, rh,
+         sha256(csha || '|' || CAST(rw AS VARCHAR) || 'x' || CAST(rh AS VARCHAR)) AS rsha
+  FROM dims
+)
+SELECT source,
+       count(*) AS n_blobs,
+       CAST(sum(rw) AS BIGINT) AS total_rw,
+       CAST(sum(rh) AS BIGINT) AS total_rh,
+       count(DISTINCT rsha) AS n_unique_resized,
+       min(rsha) AS min_resized_sha
+FROM resized
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES = {
+    "m01_binary_features": m01_binary_features,
+    "m02_frame_sample": m02_frame_sample,
+    "m03_resize": m03_resize,
+}
+ORACLE = {
+    "m01_binary_features": ORACLE_M01,
+    "m02_frame_sample": ORACLE_M02,
+    "m03_resize": ORACLE_M03,
+}

@@ -15,6 +15,8 @@ where the shuffle lands, what pushes down.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -781,6 +783,44 @@ FROM churned
 """
 
 
+def q27_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via an Arrow-vectorized pandas grouped aggregate —
+    closes SURVEY §2B's "UDAF beyond built-ins" probe. The geometric mean
+    is not a Spark built-in; the pandas_udf computes exp(mean(log(x))) per
+    group with one Arrow batch per group partition (vectorized, never
+    row-at-a-time Python). At scale this shuffles on the group key exactly
+    like a built-in agg — the only difference is the final-stage evaluator.
+    Rounded to 2 dp so cross-engine float summation order cannot move the
+    result."""
+    @F.pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v).mean()))
+
+    # Spark disallows mixing pandas and non-pandas aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a pandas agg too
+    @F.pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.round(geomean("o_totalprice"), 2).alias("geomean_price"),
+             n_rows("o_totalprice").alias("n_orders"))
+        .transform(presentation_sort, "o_orderpriority")
+    )
+
+
+ORACLE_Q27 = """
+SELECT o_orderpriority,
+       round(exp(avg(ln(o_totalprice))), 2) AS geomean_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def q22_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access: pull a field out of a JSON string column
     (events.props) — the map/nested-access analog (:1298-1332) on this
@@ -869,6 +909,7 @@ QUERIES = {
     "q24_grouping_sets": q24_grouping_sets,
     "q25_intersect": q25_intersect,
     "q26_except": q26_except,
+    "q27_udaf_geomean": q27_udaf_geomean,
 }
 
 ORACLE = {
@@ -897,4 +938,5 @@ ORACLE = {
     "q24_grouping_sets": ORACLE_Q24,
     "q25_intersect": ORACLE_Q25,
     "q26_except": ORACLE_Q26,
+    "q27_udaf_geomean": ORACLE_Q27,
 }

@@ -41,3 +41,35 @@ def test_fused_range_window_order_matches_global_sort(spark, sf_dir):
         # render the tree twice, so assert presence/absence, not count)
         assert "Exchange rangepartitioning" in plan, fn.__name__
         assert "Exchange hashpartitioning" not in plan, fn.__name__
+
+
+def test_python_udtf_lateral_matches_explode(spark, sf_dir):
+    """Python UDTF coverage (SURVEY §2B 'UDAF/UDTF beyond explode' probe,
+    tests-only twin of q27's UDAF): a table function lateral-joined per row
+    must emit exactly what the built-in explode(split()) emits. UDTFs are
+    the row-generating extension point; the built-in stays the hot-path
+    choice (JVM, codegen) — the test proves the extension point works, not
+    that it should replace explode."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import lit, udtf
+
+    from score_spark.io import load_table
+
+    @udtf(returnType="pos: int, word: string")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" ")):
+                if w:
+                    yield i, w
+
+    spark.udtf.register("split_words", SplitWords)
+    load_table(spark, sf_dir, "documents").limit(50).createOrReplaceTempView("v_udtf_docs")
+    got = spark.sql(
+        "SELECT d.doc_id, s.pos, s.word FROM v_udtf_docs d, LATERAL split_words(d.text) s"
+    )
+    want = (
+        spark.table("v_udtf_docs")
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+        .filter(F.col("word") != "")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
