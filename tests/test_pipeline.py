@@ -167,3 +167,15 @@ def test_pack_token_stream_shards_independently(spark):
     assert set(by_shard) == set(range(8))
     for shard, packs in by_shard.items():
         assert sorted(packs) == [(0, 2, 200)], (shard, packs)
+
+
+def test_c01_fused_order_matches_global_sort(spark, sf_dir):
+    """c01's ranged_by_id fusion must produce byte-identical row order to a
+    true global orderBy over the chunk output."""
+    from score_spark.io import load_table
+    from score_spark.operators.pipeline import c01_chunking, chunk_documents
+
+    got = c01_chunking(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    want = chunk_documents(d, chunk_size=32, overlap=8).orderBy("doc_id", "chunk_idx")
+    assert got.collect() == want.collect()
