@@ -23,10 +23,13 @@ _STOPLIST = "[" + ", ".join(f"'{w}'" for w in TX.ALL_STOPWORDS) + "]"
 _NSTOP = f"len(list_filter({_TOKENS}, t -> list_contains({_STOPLIST}, t)))"
 
 
-def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append per-document token statistics (all codegen'd built-ins)."""
+def with_text_stats(df: DataFrame, text_col: str = "text", spread: bool = True) -> DataFrame:
+    """Append per-document token statistics (all codegen'd built-ins).
+    ``spread=False`` skips the round-robin fan-out for callers that already
+    partitioned the input themselves (e.g. t01's range fusion)."""
     c = F.col(text_col)
-    return fan_out(df).select(
+    base = fan_out(df) if spread else df
+    return base.select(
         "*",
         TX.token_count(c).alias("n_tokens"),
         TX.distinct_token_count(c).alias("n_uniq_tokens"),
@@ -49,10 +52,14 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def t01_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One stats pass: range-partition the raw scan on doc_id (cheap for the
+    range sampler to re-read) so the HOF stats run once and the id-ordered
+    output is a free in-partition sort — a global orderBy AFTER the stats
+    would make the sampler re-execute every HOF (same fusion as c01)."""
     d = load_table(spark, sf_dir, "documents")
-    return with_text_stats(d).select(
+    return with_text_stats(d.repartitionByRange("doc_id"), spread=False).select(
         "doc_id", "n_tokens", "n_uniq_tokens", "avg_token_len", "stopword_ratio"
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 ORACLE_T01 = f"""

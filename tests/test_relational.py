@@ -73,3 +73,12 @@ def test_python_udtf_lateral_matches_explode(spark, sf_dir):
         .filter(F.col("word") != "")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_t01_fused_order_matches_global_sort(spark, sf_dir):
+    """t01's range fusion must produce byte-identical row order to a true
+    global orderBy over the stats output."""
+    from score_spark.operators.textstats import t01_text_stats
+
+    df = t01_text_stats(spark, sf_dir)
+    assert df.collect() == df.orderBy("doc_id").collect()
