@@ -16,7 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from score_spark.io import load_events
+from score_spark.io import load_events, presentation_sort
 
 MERGEABLE = ("n", "total_value", "min_value", "max_value")
 
@@ -67,14 +67,25 @@ def h01_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (counts/sums/mins over partial results) is lossless."""
     e = load_events(spark, sf_dir)
     r = time_rollup(e, grains=("hour", "day"))
-    return r.select(
+    # calendar-bounded result (#buckets x #grains — tens of thousands of
+    # rows over years of data regardless of input size), so the bounded
+    # presentation sort applies; shuffle=True isolates the single-task sort
+    # behind an exchange instead of coalescing the union's agg branches
+    # (coalesce(1) would propagate through the union and serialize both
+    # reduce stages — and break the ReusedExchange the rollup is built on)
+    return presentation_sort(
+        r.select(
+            "grain",
+            "bucket_start",
+            "n",
+            F.round("total_value", 2).alias("total_value"),
+            F.round("min_value", 2).alias("min_value"),
+            F.round("max_value", 2).alias("max_value"),
+        ),
         "grain",
         "bucket_start",
-        "n",
-        F.round("total_value", 2).alias("total_value"),
-        F.round("min_value", 2).alias("min_value"),
-        F.round("max_value", 2).alias("max_value"),
-    ).orderBy("grain", "bucket_start")
+        shuffle=True,
+    )
 
 
 ORACLE_H01 = """
