@@ -51,7 +51,7 @@ def test_python_udtf_lateral_matches_explode(spark, sf_dir):
     choice (JVM, codegen) — the test proves the extension point works, not
     that it should replace explode."""
     import pyspark.sql.functions as F
-    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.functions import udtf
 
     from score_spark.io import load_table
 
