@@ -398,6 +398,61 @@ FROM groups
 """
 
 
+def duplicate_clusters(
+    pairs: DataFrame, id1: str = "d1", id2: str = "d2", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over the near-duplicate pair graph — the step
+    between pair mining (d02/d03/d04/s05) and physical dedup: docs joined by
+    a transitive duplicate chain form one component, and the canonical
+    survivor is the component's min id. Returns (node, label) with label =
+    component min.
+
+    Iterative min-label propagation: each round every node takes the min
+    label among itself and its neighbors; labels decrease monotonically and
+    converge in graph-diameter rounds (duplicate clusters are near-cliques,
+    so 2-4 rounds in practice; ``max_iter`` bounds pathological chains).
+    Scale posture: every frame is PAIR-graph-sized (<< corpus); each round
+    is one join + one aggregate over the edge table, fully distributed —
+    the driver holds only loop control and a per-round changed-count.
+    localCheckpoint per round truncates lineage so the plan stays flat
+    instead of doubling per iteration (the standard Spark iterative
+    pattern; GraphX/GraphFrames use the same loop shape). Genuinely
+    iterative, so no single SQL oracle — the driver gate uses DuckDB's
+    recursive CTE to reach the same fixpoint independently (ORACLE_D05)."""
+    edges = (
+        pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+        .unionByName(pairs.select(F.col(id2).alias("src"), F.col(id1).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.withColumnRenamed("node", "_dst"), F.col("dst") == F.col("_dst"))
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        merged = (
+            labels.join(nbr.withColumnRenamed("src", "_node"), F.col("node") == F.col("_node"), "left")
+            .select(
+                "node",
+                F.col("label").alias("_old"),
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = merged.filter(F.col("label") != F.col("_old")).count()
+        labels = merged.select("node", "label")
+        if changed == 0:
+            break
+    return labels
+
+
 def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, n=3, threshold=0.03, max_doc_freq=50, eager=True).orderBy(
@@ -424,6 +479,53 @@ JOIN sizes s1 ON s1.doc_id = d1
 JOIN sizes s2 ON s2.doc_id = d2
 WHERE round(inter / CAST(s1.sz + s2.sz - inter AS DOUBLE), 4) >= 0.03
 ORDER BY d1, d2
+"""
+
+
+def d05_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters from the d02 pair graph: connected components +
+    canonical (min-id) survivor per component, summarized per cluster. The
+    oracle reaches the same fixpoint via DuckDB's recursive CTE transitive
+    closure — two independent algorithms, identical components."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.03, max_doc_freq=50, eager=True)
+    labels = duplicate_clusters(pairs)
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"), F.max("node").alias("max_member"))
+        .orderBy("cluster_id")
+    )
+
+
+ORACLE_D05 = f"""
+WITH RECURSIVE g0 AS (
+  SELECT doc_id, unnest({_SHINGLE_SQL}) AS sh FROM documents
+),
+freq AS (SELECT sh FROM g0 GROUP BY sh HAVING count(*) <= 50),
+g AS (SELECT g0.* FROM g0 JOIN freq USING (sh)),
+sizes AS (SELECT doc_id, len({_SHINGLE_SQL}) AS sz FROM documents),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2 FROM inter
+  JOIN sizes s1 ON s1.doc_id = d1
+  JOIN sizes s2 ON s2.doc_id = d2
+  WHERE round(inter / CAST(s1.sz + s2.sz - inter AS DOUBLE), 4) >= 0.03
+),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+labels AS (SELECT a AS node, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+SELECT cluster_id, count(*) AS n_members, max(node) AS max_member
+FROM labels
+GROUP BY cluster_id
+ORDER BY cluster_id
 """
 
 
@@ -499,6 +601,7 @@ ORDER BY d1, d2
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
+    "d05_dup_clusters": d05_dup_clusters,
     "d03_minhash_lsh": d03_minhash_lsh,
     "d04_simhash": d04_simhash,
 }
@@ -506,6 +609,7 @@ QUERIES = {
 ORACLE = {
     "d01_exact_dedup": ORACLE_D01,
     "d02_ngram_jaccard": ORACLE_D02,
+    "d05_dup_clusters": ORACLE_D05,
     "d03_minhash_lsh": ORACLE_D03,
     "d04_simhash": ORACLE_D04,
 }

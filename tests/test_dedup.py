@@ -126,3 +126,26 @@ def test_hamming_pairs_pigeonhole_scales_with_max_hamming(spark):
             if d <= max_h:
                 want[(i, j)] = d
         assert got == want, f"max_hamming={max_h}: {got} != {want}"
+
+
+def test_duplicate_clusters_transitive_and_isolated(spark):
+    """A~B and B~C must land in one cluster even though A!~C (transitive
+    chain), an isolated pair forms its own cluster, and labels are the
+    component minimum (the canonical survivor)."""
+    from score_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["d1", "d2"]
+    )
+    got = {r.node: r.label for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    """A 12-node path graph needs ~diameter rounds of label propagation —
+    proves the loop's convergence detection, not just near-clique inputs."""
+    from score_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], ["d1", "d2"])
+    got = {r.node: r.label for r in duplicate_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(13)}
