@@ -182,6 +182,7 @@ _BASELINE_SKIP = {
     # timing it as a "baseline" would be a strawman in our favor at sf0.1
     "d02_ngram_jaccard",
     "d03_minhash_lsh",
+    "d05_dup_clusters",  # embeds the d02 all-pairs CTE + transitive closure
     "s02_embedding_near_dups",
     # oracle reads a pre-written xcheck intermediate (signatures / candidate
     # pairs / materialized fixture) that Spark computed — the two engines

@@ -399,7 +399,11 @@ FROM groups
 
 
 def duplicate_clusters(
-    pairs: DataFrame, id1: str = "d1", id2: str = "d2", max_iter: int = 25
+    pairs: DataFrame,
+    id1: str = "d1",
+    id2: str = "d2",
+    max_iter: int = 25,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over the near-duplicate pair graph — the step
     between pair mining (d02/d03/d04/s05) and physical dedup: docs joined by
@@ -418,18 +422,66 @@ def duplicate_clusters(
     instead of doubling per iteration (the standard Spark iterative
     pattern; GraphX/GraphFrames use the same loop shape). Genuinely
     iterative, so no single SQL oracle — the driver gate uses DuckDB's
-    recursive CTE to reach the same fixpoint independently (ORACLE_D05)."""
+    recursive CTE to reach the same fixpoint independently (ORACLE_D05).
+
+    Two execution tiers, chosen by a COUNTED edge total (same shape as the
+    IVF operator's model-collect: bounded rows reach the driver, never
+    data-scale frames): at or below ``driver_threshold`` edges the graph is
+    collected and solved with union-find — the pair graph is the near-dup
+    REPORT, usually orders of magnitude smaller than the corpus, and a
+    66-edge graph paying cluster-wide stage scheduling per propagation
+    round is pure waste; above it, distributed min-label propagation runs
+    with frames partitioned to the graph's size (a billion-edge graph
+    still gets thousands of partitions). Both tiers produce identical
+    labels (pinned in tests)."""
     edges = (
         pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
         .unionByName(pairs.select(F.col(id2).alias("src"), F.col(id1).alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # size the iteration to the GRAPH, not the session default: pair graphs
+    # are usually orders of magnitude smaller than the corpus, and each
+    # propagation round otherwise schedules full-width stages over a
+    # near-empty frame (measured: the loop's cost was ~all scheduling at
+    # sf0.1's 66 edges). ~200k edges per partition; coalesce is narrow
+    # (no shuffle) and runs on the already-checkpointed data, and a
+    # billion-edge graph still gets thousands of partitions.
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        # driver tier: union-find over the bounded, already-counted edge
+        # list; path compression + union by attachment to the smaller root
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        rows = edges.collect()
+        for row in rows:
+            ra, rb = find(row.src), find(row.dst)
+            if ra != rb:
+                # attach the larger root under the smaller: labels must be
+                # the component MIN, so the min id always stays a root
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        nodes = {r.src for r in rows} | {r.dst for r in rows}
+        out = [(n, find(n)) for n in sorted(nodes)]
+        return pairs.sparkSession.createDataFrame(out, "node long, label long")
+    parts = max(1, min(int(n_edges // 200_000) + 1, edges.sparkSession.sparkContext.defaultParallelism))
+    edges = edges.coalesce(parts)
     labels = (
         edges.select("src")
         .distinct()
         .select(F.col("src").alias("node"), F.col("src").alias("label"))
         .localCheckpoint(eager=True)
+        .coalesce(parts)
     )
     for _ in range(max_iter):
         nbr = (
@@ -444,6 +496,7 @@ def duplicate_clusters(
                 F.col("label").alias("_old"),
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
             )
+            .coalesce(parts)
             .localCheckpoint(eager=True)
         )
         changed = merged.filter(F.col("label") != F.col("_old")).count()

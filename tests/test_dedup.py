@@ -137,8 +137,12 @@ def test_duplicate_clusters_transitive_and_isolated(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], ["d1", "d2"]
     )
-    got = {r.node: r.label for r in duplicate_clusters(pairs).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    # both tiers must agree: driver union-find and distributed propagation
+    got_driver = {r.node: r.label for r in duplicate_clusters(pairs).collect()}
+    got_dist = {r.node: r.label for r in duplicate_clusters(pairs, driver_threshold=0).collect()}
+    assert got_driver == want
+    assert got_dist == want
 
 
 def test_duplicate_clusters_long_chain_converges(spark):
@@ -147,5 +151,5 @@ def test_duplicate_clusters_long_chain_converges(spark):
     from score_spark.operators.dedup import duplicate_clusters
 
     pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], ["d1", "d2"])
-    got = {r.node: r.label for r in duplicate_clusters(pairs).collect()}
+    got = {r.node: r.label for r in duplicate_clusters(pairs, driver_threshold=0).collect()}
     assert got == {i: 0 for i in range(13)}
