@@ -49,6 +49,11 @@ def get_session(
         # unbounded broadcast hints (VERDICT r2 "Next round" #5)
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # write timestamps as INT64 micros, not the deprecated INT96: INT96
+        # row groups carry NO min/max statistics, which silently disables
+        # row-group skipping for every time-range predicate over data this
+        # engine writes (proven by footer audit in tests/test_sinks.py)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

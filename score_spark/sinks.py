@@ -99,3 +99,36 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_by: tuple[str, ...],
+    mode: str = "overwrite",
+    row_group_bytes: int | None = None,
+) -> None:
+    """Cluster-by-write: range-partition + in-partition sort on ``sort_by``
+    before writing parquet, so every row group's min/max stats cover a
+    narrow, near-disjoint key range. Downstream range predicates on those
+    keys then skip whole row groups via ordinary parquet filter pushdown —
+    the portable data-skipping layout (what Z-ordering generalizes to
+    multiple columns; for one clustering dimension a plain sort IS the
+    optimal layout). At 100 TB this converts "scan everything, filter
+    late" time-range queries into reads of a few percent of the groups,
+    with zero read-side machinery: the stats are standard parquet, so any
+    engine (DuckDB included) skips too.
+
+    One range exchange at write time (the same sampler+shuffle a global
+    sort pays), amortized over every later scan. ``row_group_bytes`` tunes
+    parquet.block.size: smaller groups = finer skipping granularity but
+    more footer overhead — leave default for production, shrink in tests
+    to force multiple groups on small data. The skipping property is
+    proven from the written footers in tests/test_sinks.py, not assumed."""
+    if not sort_by:
+        raise ValueError("sort_by must name at least one column")
+    out = df.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
+    writer = out.write.mode(mode)
+    if row_group_bytes is not None:
+        writer = writer.option("parquet.block.size", str(row_group_bytes))
+    writer.parquet(path)

@@ -102,3 +102,73 @@ def test_bucketed_aggregation_skips_exchange(spark, bucketed_pair):
     )
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_write_sorted_enables_row_group_skipping(spark, sf_dir, tmp_path):
+    """The clustered layout must make row-group min/max stats selective:
+    for a narrow ts window, the fraction of row groups whose [min, max]
+    overlaps the predicate must be small on the sorted layout and ~total on
+    the unsorted one. Measured from the written parquet footers (the stats
+    any engine's pushdown consumes), not assumed from the plan."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from score_spark.io import load_events
+    from score_spark.sinks import write_sorted
+
+    e0 = load_events(spark, str(sf_dir)).select("event_id", "ts", "value")
+    # inflate the tiny fixture ~8x (jittered copies) so the 16 KB row-group
+    # size still yields enough groups to measure skipping meaningfully
+    import functools
+
+    e = functools.reduce(
+        lambda a, b: a.unionAll(b),
+        [
+            e0.select(
+                (F.col("event_id") + i * 10_000_000).alias("event_id"),
+                (F.col("ts") + F.expr(f"INTERVAL {i * 7} SECONDS")).alias("ts"),
+                "value",
+            )
+            for i in range(8)
+        ],
+    )
+    sorted_dir = str(tmp_path / "sorted")
+    unsorted_dir = str(tmp_path / "unsorted")
+    # small groups so the (tiny) fixture still yields many row groups;
+    # repartition(4) scrambles the natural ts clustering of the source
+    write_sorted(e, sorted_dir, sort_by=("ts",), row_group_bytes=16 * 1024)
+    (e.repartition(4).sortWithinPartitions("event_id")
+     .write.mode("overwrite").option("parquet.block.size", str(16 * 1024))
+     .parquet(unsorted_dir))
+
+    lo, hi = e.select(F.min("ts"), F.max("ts")).first()
+    window_lo = lo + (hi - lo) * 45 // 100
+    window_hi = lo + (hi - lo) * 55 // 100
+
+    def overlap_fraction(d):
+        total = hits = 0
+        for f in glob.glob(f"{d}/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            sch = meta.schema.to_arrow_schema()
+            ts_idx = sch.get_field_index("ts")
+            for g in range(meta.num_row_groups):
+                st = meta.row_group(g).column(ts_idx).statistics
+                total += 1
+                gmin, gmax = st.min.replace(tzinfo=None), st.max.replace(tzinfo=None)
+                if gmax >= window_lo and gmin <= window_hi:
+                    hits += 1
+        assert total >= 8, f"fixture produced only {total} row groups"
+        return hits / total
+
+    frac_sorted = overlap_fraction(sorted_dir)
+    frac_unsorted = overlap_fraction(unsorted_dir)
+    assert frac_sorted <= 0.35, (frac_sorted, frac_unsorted)
+    assert frac_unsorted >= 0.9, (frac_sorted, frac_unsorted)
+    # and the predicate actually reaches the scan as a pushed filter
+    q = spark.read.parquet(sorted_dir).filter(
+        (F.col("ts") >= F.lit(window_lo)) & (F.col("ts") <= F.lit(window_hi))
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "ts" in plan.split("PushedFilters: [", 1)[1][:120]
