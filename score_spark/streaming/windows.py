@@ -116,6 +116,37 @@ def stream_dedup(
     return events.dropDuplicates(list(keys))
 
 
+def click_purchase_interval_join(
+    events: DataFrame, horizon_minutes: int = 30, watermark: str = "1 hour"
+) -> DataFrame:
+    """STREAM-STREAM inner interval join from one unified definition: every
+    (purchase, click) pair for the same user where the click precedes the
+    purchase by at most ``horizon_minutes``. In streaming BOTH sides carry a
+    watermark and the join condition is an event-time interval, which is
+    exactly what lets Spark bound the join state: a buffered click can be
+    evicted once the purchase-side watermark passes click_ts + horizon, so
+    state never grows beyond watermark + horizon regardless of stream
+    length. In batch the same expression is an ordinary range join. Unlike
+    the as-of funnel (most-recent click only), this emits ALL qualifying
+    pairs — the fan-out shape (e.g. multi-touch attribution), proven
+    stream==batch in tests."""
+    is_stream = events.isStreaming
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    if is_stream:
+        clicks = clicks.withWatermark("ts", watermark)
+        purchases = purchases.withWatermark("ts", watermark)
+    c = clicks.select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+    p = purchases.select("user_id", F.col("ts").alias("purchase_ts"), "value")
+    return p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {int(horizon_minutes)} MINUTES")),
+        "inner",
+    ).select("user_id", "click_ts", "purchase_ts", "value")
+
+
 # ------------------------------------- custom stateful operator (funnel)
 
 

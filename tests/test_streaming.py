@@ -217,3 +217,25 @@ def test_w01_fused_order_matches_global_sort(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange rangepartitioning" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_dir, tmp_path):
+    """Stream-stream inner interval join (watermarks on BOTH sides, event
+    time bounds in the condition — the state-bounded shape) must emit
+    exactly the batch range join's pairs under availableNow."""
+    from score_spark.streaming.windows import click_purchase_interval_join
+
+    transform = lambda df: click_purchase_interval_join(df, horizon_minutes=30)
+    batch = transform(spark.read.parquet(events_dir)).collect()
+    schema = spark.read.parquet(events_dir).schema
+    # joins emit rows once (no evolving aggregate), so append — not
+    # complete — is the only valid mode for a stream-stream join
+    q = run_stream_once(
+        spark, events_dir, transform, schema,
+        checkpoint=str(tmp_path / "ssjoin"), table_name="ssjoin",
+        output_mode="append",
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("ssjoin").collect()
+    assert len(streamed) > 0
+    assert sorted(map(str, streamed)) == sorted(map(str, batch))
