@@ -304,6 +304,102 @@ ORDER BY source
 """
 
 
+
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition signals — the Gopher/RefinedWeb-style quality
+    rule family: dup_fraction = share of word 2-grams that are repeats of an
+    earlier 2-gram in the same doc, top_fraction = share held by the single
+    most frequent 2-gram. Highly repetitive docs (boilerplate, keyword spam,
+    generation loops) score high and get filtered before training.
+
+    Shape: explode 2-grams -> count per (doc, gram) -> reaggregate per doc.
+    Both aggregates partial-combine map-side; the shuffled rows are (id,
+    gram-hash, count) — token-stream sized, same scale class as d02's
+    shingle table. xxhash64 gram identity keeps the shuffle narrow (same
+    64-bit-identity argument as shingle_table)."""
+    words = F.split(F.col(text_col), " ")
+    # all n-1 overlapping 2-grams; a 1-word doc has none (guarded — an
+    # unguarded descending sequence(0, -1) would fabricate two bogus grams)
+    grams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.xxhash64(F.concat_ws(" ", words[i], words[i + 1])),
+        ),
+    ).otherwise(F.expr("array()").cast("array<bigint>"))
+    per_gram = (
+        df.select(F.col(id_col), F.explode(grams).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return per_gram.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+    ).select(
+        id_col,
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.round(1 - F.col("n_distinct") / F.col("n_grams"), 4).alias("dup_fraction"),
+        F.round(F.col("top_cnt") / F.col("n_grams"), 4).alias("top_fraction"),
+    )
+
+
+def t07_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-quality summary per source: how repetitive the corpus is
+    and how many docs a dup-fraction filter would drop."""
+    d = load_table(spark, sf_dir, "documents")
+    r = repetition_stats(fan_out(d))
+    joined = r.join(d.select("doc_id", "source"), "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("dup_fraction"), 4).alias("avg_dup_fraction"),
+            F.round(F.avg("top_fraction"), 4).alias("avg_top_fraction"),
+            F.sum(F.when(F.col("dup_fraction") >= 0.05, 1).otherwise(0))
+            .cast("long")
+            .alias("n_repetitive"),
+        )
+        .transform(presentation_sort, "source")
+    )
+
+
+ORACLE_T07 = """
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(greatest(len(string_split(text, ' ')) - 1, 0)),
+                i -> concat_ws(' ', string_split(text, ' ')[i + 1], string_split(text, ' ')[i + 2]))) AS g
+  FROM documents
+),
+per_gram AS (
+  SELECT doc_id, g, count(*) AS cnt FROM grams GROUP BY doc_id, g
+),
+per_doc AS (
+  SELECT doc_id,
+         sum(cnt) AS n_grams,
+         count(*) AS n_distinct,
+         max(cnt) AS top_cnt
+  FROM per_gram GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id,
+         round(1 - n_distinct / CAST(n_grams AS DOUBLE), 4) AS dup_fraction,
+         round(top_cnt / CAST(n_grams AS DOUBLE), 4) AS top_fraction
+  FROM per_doc
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       round(avg(s.dup_fraction), 4) AS avg_dup_fraction,
+       round(avg(s.top_fraction), 4) AS avg_top_fraction,
+       CAST(sum(CASE WHEN s.dup_fraction >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+FROM scored s JOIN documents d USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_language_id": t02_language_id,
@@ -311,6 +407,7 @@ QUERIES = {
     "t04_fingerprint_summary": t04_fingerprint_summary,
     "t05_bpe_token_estimate": t05_bpe_token_estimate,
     "t06_span_extraction": t06_span_extraction,
+    "t07_repetition_stats": t07_repetition_stats,
 }
 
 ORACLE = {
@@ -320,4 +417,5 @@ ORACLE = {
     "t04_fingerprint_summary": ORACLE_T04,
     "t05_bpe_token_estimate": ORACLE_T05,
     "t06_span_extraction": ORACLE_T06,
+    "t07_repetition_stats": ORACLE_T07,
 }

@@ -82,3 +82,23 @@ def test_t01_fused_order_matches_global_sort(spark, sf_dir):
 
     df = t01_text_stats(spark, sf_dir)
     assert df.collect() == df.orderBy("doc_id").collect()
+
+
+def test_repetition_stats_planted_values(spark):
+    """Hand-computable repetition fixture: a doc of one repeated 2-gram, a
+    doc with no repeats, and a 1-word doc (no 2-grams at all — must not
+    fabricate grams from a descending sequence)."""
+    from score_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),       # grams: ab,ba,ab,ba,ab -> 5 total, 2 distinct, top=3
+            (2, "w x y z"),           # 3 grams, all distinct
+            (3, "solo"),              # no 2-grams -> absent from output
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].n_grams == 5 and got[1].dup_fraction == 0.6 and got[1].top_fraction == 0.6
+    assert got[2].n_grams == 3 and got[2].dup_fraction == 0.0
