@@ -301,12 +301,17 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     token hashes. One explode + one groupBy(id) — the aggregate is 64 narrow
     conditional sums, which Spark executes as a single hash-agg pass."""
     toks = fan_out(df).select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-    h = F.xxhash64("tok")
+    # hash ONCE in a projection: the 63 per-bit aggregate updates each embed
+    # the hash expression otherwise, and aggregate-update codegen does not
+    # reliably common-subexpression-eliminate across aggregate functions —
+    # that is 63 xxhash64 evaluations per token instead of 1
+    hashed = toks.select(id_col, F.xxhash64("tok").alias("_th"))
+    h = F.col("_th")
     bit_sums = [
         F.sum(F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)).alias(f"b{b}")
         for b in range(63)  # bit 63 = sign bit; skip to stay in long range
     ]
-    agg = toks.groupBy(id_col).agg(*bit_sums)
+    agg = hashed.groupBy(id_col).agg(*bit_sums)
     sim = None
     for b in range(63):
         term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
