@@ -821,6 +821,48 @@ ORDER BY o_orderpriority
 """
 
 
+def q28_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric column profiling per group — the data-profiling query every
+    warehouse user runs before modeling: count, range, mean, sample stddev,
+    and an EXACT interpolated median (F.percentile — not the approximate
+    sketch, so the DuckDB quantile_cont oracle matches bit-for-bit after
+    rounding). Single shuffle on the group key; the percentile aggregate
+    buffers per-group values, which is bounded here by the group's share of
+    rows — for truly unbounded groups switch to percentile_approx and drop
+    the oracle to rows-only. Rounding: 2 dp on magnitudes, 4 dp on stddev,
+    wide enough that parallel-vs-sequential float summation order cannot
+    move the rounded value."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("stddev_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("median_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 2).alias("p95_price"),
+        )
+        .transform(presentation_sort, "l_returnflag")
+    )
+
+
+ORACLE_Q28 = """
+SELECT l_returnflag,
+       count(*) AS n,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price,
+       round(avg(l_extendedprice), 2) AS avg_price,
+       round(stddev_samp(l_extendedprice), 4) AS stddev_price,
+       round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def q22_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access: pull a field out of a JSON string column
     (events.props) — the map/nested-access analog (:1298-1332) on this
@@ -910,6 +952,7 @@ QUERIES = {
     "q25_intersect": q25_intersect,
     "q26_except": q26_except,
     "q27_udaf_geomean": q27_udaf_geomean,
+    "q28_column_profile": q28_column_profile,
 }
 
 ORACLE = {
@@ -939,4 +982,5 @@ ORACLE = {
     "q25_intersect": ORACLE_Q25,
     "q26_except": ORACLE_Q26,
     "q27_udaf_geomean": ORACLE_Q27,
+    "q28_column_profile": ORACLE_Q28,
 }
