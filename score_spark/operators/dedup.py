@@ -508,10 +508,30 @@ def duplicate_clusters(
         labels = merged.select("node", "label")
         if changed == 0:
             break
+    else:
+        # exhausting max_iter without converging means some component has
+        # diameter > max_iter (a long duplicate chain) and the labels are a
+        # WRONG, split clustering. This tier only runs above driver_threshold
+        # — exactly the at-scale path with no oracle to catch it — so fail
+        # loudly instead of returning partial labels (ADVICE r4).
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter — a component's "
+            "diameter exceeds the round budget"
+        )
     return labels
 
 
 def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate asymmetry note (ADVICE r4): the engine caps doc-freq and counts
+    intersections on xxhash64 shingle IDs while ORACLE_D02/ORACLE_D05 use
+    exact shingle strings. A 64-bit collision between two distinct shingles
+    in the corpus vocabulary (P ~ V^2/2^65, negligible at gate scale — see
+    shingle_table's collision analysis) would merge their doc-freqs and could
+    flip a <=50 cap decision or perturb one intersection count, surfacing as
+    a hash-mismatch here rather than a flagged divergence. If this gate ever
+    fails non-reproducibly across corpora, suspect a shingle collision first:
+    rerun with hash_ids=False to confirm before debugging the plan."""
     d = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, n=3, threshold=0.03, max_doc_freq=50, eager=True).orderBy(
         "d1", "d2"
@@ -555,6 +575,12 @@ def d05_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle scale bound (ADVICE r4): the recursive CTE materializes full
+# pairwise reachability — O(|component|^2) rows before its GROUP BY. Fine at
+# the sf0.01/sf0.1 gate scales this oracle exists for; do NOT run it at
+# larger SFs with big duplicate clusters (same rationale as d05's
+# _BASELINE_SKIP entry in bench.py). The engine-side plan has no such
+# quadratic term.
 ORACLE_D05 = f"""
 WITH RECURSIVE g0 AS (
   SELECT doc_id, unnest({_SHINGLE_SQL}) AS sh FROM documents

@@ -226,135 +226,105 @@ def resize_images(
 # ------------------------------------------------------------------ queries
 
 
-def m01_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents' text re-encoded as a binary payload column, pushed through
-    the extractor, aggregated per source — ONE scan (source carried through
-    the decoder batch). byte_len/sha256 are JVM columns DuckDB mirrors on the
-    same utf-8 bytes; total_width/total_height verify the deterministic fake
-    decoder (dims are sha256-derived, so DuckDB recomputes them from hex)."""
+def m01_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three multimodal stages — binary feature extraction, decode +
+    resize, video-style frame sampling — over the same payload column
+    (documents' text re-encoded as utf-8 bytes), aggregated per source and
+    joined into one media report. Merged m01+m02+m03 (r5 registry
+    consolidation; the three stages were separate gated queries in r4, each
+    already green).
+
+    byte_len/sha256 are JVM columns DuckDB mirrors on the same utf-8 bytes;
+    total_width/total_height verify the deterministic fake decoder (dims are
+    sha256-derived, so DuckDB recomputes them from hex); the resize stand-in's
+    resized dims + content identity (sha256("<sha>|<W>x<H>")) are recomputed
+    independently by DuckDB, so the whole Arrow batch path is value-checked,
+    not just row-counted. The resize path is ONE scan (decode+resize in a
+    single mapInPandas, source carried through the batch, width/height and
+    byte stats all come out of it); the frame-sample path drops the payload
+    before its explode so only (id, idx) pairs fan out; the two per-source
+    frames join via broadcast."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.encode("text", "UTF-8").alias("payload")
     )
-    feats = extract_binary_features(d, carry_cols=("source",))
-    return (
-        feats.groupBy("source")
+    r = resize_images(d, target_w=128, target_h=128, carry_cols=("source",))
+    media = r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum("byte_len").alias("total_bytes"),
+        F.countDistinct("content_sha256").alias("n_unique"),
+        F.min("content_sha256").alias("min_sha"),
+        F.sum("width").alias("total_width"),
+        F.sum("height").alias("total_height"),
+        F.sum("resized_w").alias("total_rw"),
+        F.sum("resized_h").alias("total_rh"),
+        F.countDistinct("resized_sha").alias("n_unique_resized"),
+        F.min("resized_sha").alias("min_resized_sha"),
+    )
+    frames = (
+        frame_sample_plan(d, "doc_id", "payload", every_n=30)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_blobs"),
-            F.sum("byte_len").alias("total_bytes"),
-            F.countDistinct("content_sha256").alias("n_unique"),
-            F.min("content_sha256").alias("min_sha"),
-            F.sum("width").alias("total_width"),
-            F.sum("height").alias("total_height"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("frame_idx").alias("sum_idx"),
         )
+    )
+    return (
+        media.join(F.broadcast(frames), "source")
         .transform(presentation_sort, "source")
     )
 
 
 ORACLE_M01 = """
-SELECT source,
-       count(*) AS n_blobs,
-       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-       count(DISTINCT sha256(text)) AS n_unique,
-       min(sha256(text)) AS min_sha,
-       CAST(sum(64 + CAST('0x' || substr(sha256(text), 1, 2) AS INT) % 192) AS BIGINT) AS total_width,
-       CAST(sum(64 + CAST('0x' || substr(sha256(text), 3, 2) AS INT) % 192) AS BIGINT) AS total_height
-FROM documents
-GROUP BY source
-ORDER BY source
-"""
-
-
-def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video-style frame sampling over the binary payload (documents' text
-    re-encoded, as in m01): every 30th stub frame per blob, summarized per
-    source so the result is small but every exploded row is counted."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.encode("text", "UTF-8").alias("payload")
-    )
-    frames = frame_sample_plan(d, "doc_id", "payload", every_n=30)
-    return (
-        frames.join(d.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_frames"),
-            F.countDistinct("doc_id").alias("n_blobs"),
-            F.sum("frame_idx").alias("sum_idx"),
-        )
-        .transform(presentation_sort, "source")
-    )
-
-
-ORACLE_M02 = """
-WITH frames AS (
-  SELECT doc_id, source,
-         unnest(range(0, CAST(floor(octet_length(encode(text)) / 100) AS INT) + 1, 30)) AS frame_idx
-  FROM documents
-)
-SELECT source,
-       count(*) AS n_frames,
-       count(DISTINCT doc_id) AS n_blobs,
-       CAST(sum(frame_idx) AS BIGINT) AS sum_idx
-FROM frames
-GROUP BY source
-ORDER BY source
-"""
-
-
-def m03_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize stage over the binary payload (documents' text re-encoded, as
-    in m01/m02): decode+resize in one Arrow batch, aggregated per source.
-    The deterministic stand-in's resized dims and content identity are
-    recomputed independently by DuckDB from the same sha derivation, so the
-    whole Python batch path is value-checked, not just row-counted."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.encode("text", "UTF-8").alias("payload")
-    )
-    r = resize_images(d, target_w=128, target_h=128, carry_cols=("source",))
-    return (
-        r.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_blobs"),
-            F.sum("resized_w").alias("total_rw"),
-            F.sum("resized_h").alias("total_rh"),
-            F.countDistinct("resized_sha").alias("n_unique_resized"),
-            F.min("resized_sha").alias("min_resized_sha"),
-        )
-        .transform(presentation_sort, "source")
-    )
-
-
-ORACLE_M03 = """
 WITH dims AS (
   SELECT source,
+         octet_length(encode(text)) AS byte_len,
          sha256(text) AS csha,
-         least(64 + CAST('0x' || substr(sha256(text), 1, 2) AS INT) % 192, 128) AS rw,
-         least(64 + CAST('0x' || substr(sha256(text), 3, 2) AS INT) % 192, 128) AS rh
+         64 + CAST('0x' || substr(sha256(text), 1, 2) AS INT) % 192 AS w,
+         64 + CAST('0x' || substr(sha256(text), 3, 2) AS INT) % 192 AS h
   FROM documents
 ),
 resized AS (
-  SELECT source, rw, rh,
-         sha256(csha || '|' || CAST(rw AS VARCHAR) || 'x' || CAST(rh AS VARCHAR)) AS rsha
+  SELECT source, byte_len, csha, w, h,
+         least(w, 128) AS rw, least(h, 128) AS rh,
+         sha256(csha || '|' || CAST(least(w, 128) AS VARCHAR) || 'x' || CAST(least(h, 128) AS VARCHAR)) AS rsha
   FROM dims
+),
+media AS (
+  SELECT source,
+         count(*) AS n_blobs,
+         CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+         count(DISTINCT csha) AS n_unique,
+         min(csha) AS min_sha,
+         CAST(sum(w) AS BIGINT) AS total_width,
+         CAST(sum(h) AS BIGINT) AS total_height,
+         CAST(sum(rw) AS BIGINT) AS total_rw,
+         CAST(sum(rh) AS BIGINT) AS total_rh,
+         count(DISTINCT rsha) AS n_unique_resized,
+         min(rsha) AS min_resized_sha
+  FROM resized
+  GROUP BY source
+),
+frames AS (
+  SELECT source,
+         count(*) AS n_frames,
+         CAST(sum(frame_idx) AS BIGINT) AS sum_idx
+  FROM (
+    SELECT source,
+           unnest(range(0, CAST(floor(octet_length(encode(text)) / 100) AS INT) + 1, 30)) AS frame_idx
+    FROM documents
+  ) f
+  GROUP BY source
 )
-SELECT source,
-       count(*) AS n_blobs,
-       CAST(sum(rw) AS BIGINT) AS total_rw,
-       CAST(sum(rh) AS BIGINT) AS total_rh,
-       count(DISTINCT rsha) AS n_unique_resized,
-       min(rsha) AS min_resized_sha
-FROM resized
-GROUP BY source
+SELECT m.*, f.n_frames, f.sum_idx
+FROM media m JOIN frames f USING (source)
 ORDER BY source
 """
 
 
 QUERIES = {
-    "m01_binary_features": m01_binary_features,
-    "m02_frame_sample": m02_frame_sample,
-    "m03_resize": m03_resize,
+    "m01_media_pipeline": m01_media_pipeline,
 }
 ORACLE = {
-    "m01_binary_features": ORACLE_M01,
-    "m02_frame_sample": ORACLE_M02,
-    "m03_resize": ORACLE_M03,
+    "m01_media_pipeline": ORACLE_M01,
 }

@@ -178,7 +178,13 @@ def pack_token_stream(
     scale instead of a single global cumsum partition; ``n_shards`` defaults
     to the cluster's defaultParallelism so the sort tasks match the cores
     available (VERDICT r3 #3 — a fixed 8 would mean 8 tasks over 12.5 TB
-    each at 100 TB). pack_id uses SQL integer division (``DIV`` on longs),
+    each at 100 TB). NOTE on reproducibility (ADVICE r4): the default makes
+    pack boundaries a function of cluster width — the same input packs
+    differently on 8 vs 1000 cores. Pass an explicit ``n_shards`` whenever
+    packing output must be reproducible across environments (the gated c05
+    query pins n_shards=8 for exactly this reason); per-(shard, pack_id)
+    totals are deterministic either way once n_shards is fixed.
+    pack_id uses SQL integer division (``DIV`` on longs),
     not a double intermediate, so offsets stay exact past 2^53 tokens per
     shard. Returns per-pack (shard, pack_id, n_chunks, pack_tokens)."""
     from pyspark.sql import Window

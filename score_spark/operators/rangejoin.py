@@ -104,5 +104,58 @@ GROUP BY i.istart
 ORDER BY start
 """
 
-QUERIES = {"j01_busy_window_join": j01_busy_window_join}
-ORACLE = {"j01_busy_window_join": ORACLE_J01}
+def j02_click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAM-STREAM interval join
+    (streaming.windows.click_purchase_interval_join — the same unified
+    definition runs here in batch mode, proven stream==batch in
+    tests/test_streaming.py): every (purchase, click) pair for the same user
+    where the click precedes the purchase by at most 30 minutes, summarized
+    per purchase hour. VERDICT r4 "Next round" #5 asked for this driver gate.
+
+    Scale posture: the equi-key (user_id) makes this a plain hash join with
+    the time interval as a post-join filter — no cartesian, shuffle on
+    user_id only; in streaming the same expression bounds join state to
+    watermark + horizon."""
+    from score_spark.streaming.windows import click_purchase_interval_join
+
+    e = load_events(spark, sf_dir)
+    pairs = click_purchase_interval_join(e, horizon_minutes=30)
+    return (
+        pairs.groupBy(F.date_trunc("hour", "purchase_ts").alias("purchase_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .transform(presentation_sort, "purchase_hour")
+    )
+
+
+ORACLE_J02 = """
+WITH clicks AS (
+  SELECT user_id AS c_user, ts AS click_ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts AS purchase_ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT date_trunc('hour', p.purchase_ts) AS purchase_hour,
+       count(*) AS n_pairs,
+       count(DISTINCT p.user_id) AS n_users,
+       round(sum(p.value), 2) AS total_value
+FROM purchases p
+JOIN clicks c
+  ON c.c_user = p.user_id
+ AND c.click_ts <= p.purchase_ts
+ AND c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTE
+GROUP BY 1
+ORDER BY purchase_hour
+"""
+
+QUERIES = {
+    "j01_busy_window_join": j01_busy_window_join,
+    "j02_click_purchase_pairs": j02_click_purchase_pairs,
+}
+ORACLE = {
+    "j01_busy_window_join": ORACLE_J01,
+    "j02_click_purchase_pairs": ORACLE_J02,
+}

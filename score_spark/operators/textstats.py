@@ -73,14 +73,30 @@ ORDER BY doc_id
 """
 
 
-def t02_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-hit argmax language ID vs the labeled lang column."""
+def t02_language_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID + quality scoring in one map-only pass: stopword-hit
+    argmax language prediction vs the labeled lang column, crossed with the
+    quality heuristic bands (length x stopword presence x alpha purity) —
+    the two per-doc classification families a filtering pipeline computes
+    together anyway. Merged t02+t03 (r5 registry consolidation). All bands
+    are JVM HOF/CASE expressions; one tiny grouped aggregate."""
     d = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
     return (
         with_language(d)
-        .groupBy("lang", "predicted_lang")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .transform(presentation_sort, "lang", "predicted_lang")
+        .select(
+            "lang",
+            "predicted_lang",
+            F.when(F.col("n_chars") < 200, "short")
+            .when(F.col("n_chars") < 400, "medium")
+            .otherwise("long")
+            .alias("length_band"),
+            F.when(TX.stopword_ratio(c) > 0.05, "has_stopwords").otherwise("few_stopwords").alias("stopword_band"),
+            F.when(TX.non_alpha_ratio(c) < 0.05, "clean").otherwise("noisy").alias("purity"),
+        )
+        .groupBy("lang", "predicted_lang", "length_band", "stopword_band", "purity")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .transform(presentation_sort, "lang", "predicted_lang", "length_band", "stopword_band", "purity")
     )
 
 
@@ -95,7 +111,11 @@ WITH scored AS (
          {_lang_score_sql('en')} AS s_en,
          {_lang_score_sql('fr')} AS s_fr,
          {_lang_score_sql('de')} AS s_de,
-         {_lang_score_sql('es')} AS s_es
+         {_lang_score_sql('es')} AS s_es,
+         CASE WHEN n_chars < 200 THEN 'short' WHEN n_chars < 400 THEN 'medium' ELSE 'long' END AS length_band,
+         CASE WHEN round({_NSTOP} / CAST({_NTOK} AS DOUBLE), 4) > 0.05 THEN 'has_stopwords' ELSE 'few_stopwords' END AS stopword_band,
+         CASE WHEN round(strlen(regexp_replace(text, '[a-z ]', '', 'g')) / CAST(strlen(text) AS DOUBLE), 4) < 0.05
+              THEN 'clean' ELSE 'noisy' END AS purity
   FROM documents
 )
 SELECT lang,
@@ -104,66 +124,11 @@ SELECT lang,
             WHEN s_de >= s_es AND s_de > 0 THEN 'de'
             WHEN s_es > 0 THEN 'es'
             ELSE 'und' END AS predicted_lang,
-       count(*) AS n
-FROM scored
-GROUP BY 1, 2
-ORDER BY lang, predicted_lang
-"""
-
-
-def t03_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality heuristic: length band x stopword presence x alpha purity."""
-    d = load_table(spark, sf_dir, "documents")
-    c = F.col("text")
-    return (
-        fan_out(d).select(
-            F.when(F.col("n_chars") < 200, "short")
-            .when(F.col("n_chars") < 400, "medium")
-            .otherwise("long")
-            .alias("length_band"),
-            F.when(TX.stopword_ratio(c) > 0.05, "has_stopwords").otherwise("few_stopwords").alias("stopword_band"),
-            F.when(TX.non_alpha_ratio(c) < 0.05, "clean").otherwise("noisy").alias("purity"),
-        )
-        .groupBy("length_band", "stopword_band", "purity")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .transform(presentation_sort, "length_band", "stopword_band", "purity")
-    )
-
-
-ORACLE_T03 = f"""
-SELECT CASE WHEN n_chars < 200 THEN 'short' WHEN n_chars < 400 THEN 'medium' ELSE 'long' END AS length_band,
-       CASE WHEN round({_NSTOP} / CAST({_NTOK} AS DOUBLE), 4) > 0.05 THEN 'has_stopwords' ELSE 'few_stopwords' END AS stopword_band,
-       CASE WHEN round(strlen(regexp_replace(text, '[a-z ]', '', 'g')) / CAST(strlen(text) AS DOUBLE), 4) < 0.05
-            THEN 'clean' ELSE 'noisy' END AS purity,
+       length_band, stopword_band, purity,
        count(*) AS n_docs
-FROM documents
-GROUP BY 1, 2, 3
-ORDER BY length_band, stopword_band, purity
-"""
-
-
-def t04_fingerprint_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return (
-        with_fingerprint(d)
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("fingerprint").alias("n_unique"),
-            F.min("fingerprint").alias("min_fp"),
-        )
-        .transform(presentation_sort, "source")
-    )
-
-
-ORACLE_T04 = """
-SELECT source,
-       count(*) AS n_docs,
-       count(DISTINCT md5(text)) AS n_unique,
-       min(md5(text)) AS min_fp
-FROM documents
-GROUP BY source
-ORDER BY source
+FROM scored
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY lang, predicted_lang, length_band, stopword_band, purity
 """
 
 
@@ -179,47 +144,58 @@ def bpe_token_estimate(text_col, pattern: str = _BPE_PATTERN):
     return F.regexp_count(F.lower(text_col), F.lit(pattern))
 
 
-def t05_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget accounting per language: BPE-ish unit counts next to
-    whitespace word counts and the chars/4 rule of thumb."""
+def t04_fingerprint_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting + token-budget accounting in one pass, grouped
+    by (source, lang): exact md5 fingerprints with per-group uniqueness, and
+    BPE-ish unit counts next to whitespace word counts and the chars/4 rule
+    of thumb. Merged t04+t05 (r5 registry consolidation). Map-only scan; one
+    grouped aggregate (the countDistinct expands to Spark's standard
+    two-stage distinct plan)."""
     d = load_table(spark, sf_dir, "documents")
     c = F.col("text")
     per_doc = fan_out(d).select(
+        "source",
         "lang",
+        F.md5(c).alias("fingerprint"),
         bpe_token_estimate(c).alias("bpe"),
         TX.token_count(c).alias("words"),
         (F.length(c) / 4).alias("chars4"),
     )
     return (
-        per_doc.groupBy("lang")
+        per_doc.groupBy("source", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_unique"),
+            F.min("fingerprint").alias("min_fp"),
             F.sum("bpe").alias("total_bpe_tokens"),
             F.round(F.avg("bpe"), 4).alias("avg_bpe_tokens"),
             F.round(F.avg(F.col("bpe") / F.col("words")), 4).alias("bpe_per_word"),
             F.round(F.avg("chars4"), 4).alias("avg_chars4"),
         )
-        .transform(presentation_sort, "lang")
+        .transform(presentation_sort, "source", "lang")
     )
 
 
-ORACLE_T05 = f"""
+ORACLE_T04 = f"""
 WITH per_doc AS (
-  SELECT lang,
+  SELECT source, lang,
+         md5(text) AS fingerprint,
          len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS bpe,
          {_NTOK} AS words,
          strlen(text) / 4.0 AS chars4
   FROM documents
 )
-SELECT lang,
+SELECT source, lang,
        count(*) AS n_docs,
+       count(DISTINCT fingerprint) AS n_unique,
+       min(fingerprint) AS min_fp,
        CAST(sum(bpe) AS BIGINT) AS total_bpe_tokens,
        round(avg(bpe), 4) AS avg_bpe_tokens,
        round(avg(bpe / CAST(words AS DOUBLE)), 4) AS bpe_per_word,
        round(avg(chars4), 4) AS avg_chars4
 FROM per_doc
-GROUP BY lang
-ORDER BY lang
+GROUP BY source, lang
+ORDER BY source, lang
 """
 
 
@@ -402,20 +378,16 @@ ORDER BY d.source
 
 QUERIES = {
     "t01_text_stats": t01_text_stats,
-    "t02_language_id": t02_language_id,
-    "t03_quality_buckets": t03_quality_buckets,
-    "t04_fingerprint_summary": t04_fingerprint_summary,
-    "t05_bpe_token_estimate": t05_bpe_token_estimate,
+    "t02_language_quality": t02_language_quality,
+    "t04_fingerprint_tokens": t04_fingerprint_tokens,
     "t06_span_extraction": t06_span_extraction,
     "t07_repetition_stats": t07_repetition_stats,
 }
 
 ORACLE = {
     "t01_text_stats": ORACLE_T01,
-    "t02_language_id": ORACLE_T02,
-    "t03_quality_buckets": ORACLE_T03,
-    "t04_fingerprint_summary": ORACLE_T04,
-    "t05_bpe_token_estimate": ORACLE_T05,
+    "t02_language_quality": ORACLE_T02,
+    "t04_fingerprint_tokens": ORACLE_T04,
     "t06_span_extraction": ORACLE_T06,
     "t07_repetition_stats": ORACLE_T07,
 }

@@ -17,30 +17,31 @@ def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
     assert_matches_oracle(df, oracle_con, ORACLE[name])
 
 
-def test_fused_range_window_order_matches_global_sort(spark, sf_dir):
-    """q09/q10/q21 fuse the window exchange with the output order (ONE
-    range exchange; final order via sortWithinPartitions). The collected row
-    ORDER must be byte-identical to a true global orderBy — canonicalized
-    oracle checks would not catch an ordering regression here."""
-    from score_spark.queries.relational import (
-        q09_top_orders_per_customer,
-        q10_window_frames,
-        q21_lag_lead_gap,
+def test_registry_fits_driver_correctness_window():
+    """The driver's CORRECTNESS gate checks only the FIRST 50 registry
+    entries (VERDICT r4 headline #1: 60 registered -> 10 operators lost
+    their green rows). Every queries() entry must fit the window."""
+    assert len(QUERIES) <= 50, (
+        f"registry has {len(QUERIES)} entries; the driver gates only the "
+        "first 50 — consolidate (merge construct-variant queries) before adding"
     )
 
-    cases = {
-        q09_top_orders_per_customer: ("o_custkey", "rk"),
-        q10_window_frames: ("o_custkey", "o_orderkey"),
-        q21_lag_lead_gap: ("o_custkey", "o_orderkey"),
-    }
-    for fn, keys in cases.items():
-        df = fn(spark, sf_dir)
-        assert df.collect() == df.orderBy(*keys).collect(), fn.__name__
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        # the only exchange is the range partition (the AQE plan string may
-        # render the tree twice, so assert presence/absence, not count)
-        assert "Exchange rangepartitioning" in plan, fn.__name__
-        assert "Exchange hashpartitioning" not in plan, fn.__name__
+
+def test_fused_range_window_order_matches_global_sort(spark, sf_dir):
+    """q09_window_suite fuses the window exchange with the output order (ONE
+    range exchange shared by both window sort orders; final order via
+    sortWithinPartitions). The collected row ORDER must be byte-identical to
+    a true global orderBy — canonicalized oracle checks would not catch an
+    ordering regression here."""
+    from score_spark.queries.relational import q09_window_suite
+
+    df = q09_window_suite(spark, sf_dir)
+    assert df.collect() == df.orderBy("o_custkey", "o_orderkey").collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the only exchange is the range partition (the AQE plan string may
+    # render the tree twice, so assert presence/absence, not count)
+    assert "Exchange rangepartitioning" in plan
+    assert "Exchange hashpartitioning" not in plan
 
 
 def test_python_udtf_lateral_matches_explode(spark, sf_dir):
