@@ -75,7 +75,17 @@ def exact_percentiles_by_group(
         v_hi = value_at(F.col(f"_hi_{i}"))
         n1 = F.first("n") - 1
         frac = (n1 * F.lit(float(p))) - F.floor(n1 * F.lit(float(p)))
-        aggs.append(F.round(v_lo + frac * (v_hi - v_lo), round_dp).alias(name))
+        # scale-then-round instead of round(x, dp): interpolating 2-dp money
+        # data at frac=0.5 lands exactly on decimal midpoints (.xx5) whose
+        # double is 1 ulp BELOW the midpoint — Spark/Python round the decimal
+        # expansion down while DuckDB computes std::round(x*100)/100 where
+        # x*100 hits .5 exactly and rounds up. Multiplying first makes both
+        # engines round the identical IEEE intermediate (half-away-from-zero
+        # on both), so the oracle comparison is boundary-safe. Oracles must
+        # mirror the form: round(expr * 10^dp) / 10^dp.
+        scale = F.lit(float(10 ** round_dp))
+        interp = v_lo + frac * (v_hi - v_lo)
+        aggs.append((F.round(interp * scale, 0) / scale).alias(name))
 
     # the window stage already hash-clustered `cum` on group_col, so this
     # final aggregate reuses that partitioning — no additional exchange

@@ -744,8 +744,8 @@ SELECT l_returnflag,
        round(max(l_extendedprice), 2) AS max_price,
        round(avg(l_extendedprice), 2) AS avg_price,
        round(stddev_samp(l_extendedprice), 4) AS stddev_price,
-       round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
-       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price
+       round(quantile_cont(l_extendedprice, 0.5) * 100) / 100 AS median_price,
+       round(quantile_cont(l_extendedprice, 0.95) * 100) / 100 AS p95_price
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag

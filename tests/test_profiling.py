@@ -1,0 +1,79 @@
+"""Edge cases for operators.profiling.exact_percentiles_by_group — the
+bounded-memory exact percentile plan (quantile_cont semantics)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from score_spark.operators.profiling import exact_percentiles_by_group
+
+
+def _as_map(df):
+    return {r["g"]: r.asDict() for r in df.collect()}
+
+
+def test_interpolation_matches_quantile_cont_by_hand(spark):
+    # group a: values 1..4 -> median = 2.5 (interpolated), p75 = 3.25
+    # group b: single value -> every percentile is that value
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", 7.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = _as_map(
+        exact_percentiles_by_group(df, "g", "v", {"p50": 0.5, "p75": 0.75}, round_dp=4)
+    )
+    assert got["a"]["p50"] == 2.5 and got["a"]["p75"] == 3.25
+    assert got["b"]["p50"] == 7.0 and got["b"]["p75"] == 7.0
+
+
+def test_duplicate_values_collapse_into_histogram(spark):
+    # heavy ties: the histogram rows are (value, count); rank selection must
+    # respect multiplicity. values: [1,1,1,9] -> p50 = 1.0, p100 = 9
+    rows = [("a", 1.0)] * 3 + [("a", 9.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = _as_map(exact_percentiles_by_group(df, "g", "v", {"p50": 0.5, "p100": 1.0}))
+    assert got["a"]["p50"] == 1.0
+    assert got["a"]["p100"] == 9.0
+
+
+def test_boundary_percentiles(spark):
+    rows = [("a", float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = _as_map(exact_percentiles_by_group(df, "g", "v", {"p0": 0.0, "p100": 1.0}))
+    assert got["a"]["p0"] == 0.0 and got["a"]["p100"] == 9.0
+
+
+def test_matches_duckdb_quantile_cont_on_lineitem(spark, sf_dir, oracle_con):
+    from score_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = _as_map(
+        exact_percentiles_by_group(
+            li.select(F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v")),
+            "g", "v", {"p25": 0.25, "p50": 0.5, "p99": 0.99},
+        )
+    )
+    # scale-then-round on the oracle side too — see the operator's
+    # midpoint-rounding note (2-dp money data interpolated at frac=0.5
+    # lands exactly on .xx5 midpoints)
+    want = oracle_con.execute(
+        f"""
+        SELECT l_returnflag AS g,
+               round(quantile_cont(l_extendedprice, 0.25) * 100) / 100 AS p25,
+               round(quantile_cont(l_extendedprice, 0.5) * 100) / 100 AS p50,
+               round(quantile_cont(l_extendedprice, 0.99) * 100) / 100 AS p99
+        FROM lineitem GROUP BY 1
+        """
+    ).fetchall()
+    for g, p25, p50, p99 in want:
+        assert (got[g]["p25"], got[g]["p50"], got[g]["p99"]) == (p25, p50, p99), g
+
+
+def test_no_whole_group_value_buffering_in_plan(spark, sf_dir):
+    """The plan must contain no `percentile` aggregate (the buffering
+    evaluator this operator replaces) — its aggregation paths are plain
+    hash aggregates over the histogram plus one streaming window."""
+    from score_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df = exact_percentiles_by_group(li, "l_returnflag", "l_extendedprice", {"p50": 0.5})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "percentile" not in plan.lower()
