@@ -73,7 +73,11 @@ def parse_byte_size(raw: str, default: int | None = None) -> int:
     raise ValueError(f"unparseable byte-size conf value: {raw!r}")
 
 
-def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def fan_out(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    min_bytes_per_task: int = 4 * 1024 * 1024,
+) -> DataFrame:
     """Spread a CPU-bound per-row pipeline (shingling, hashing, text stats)
     across the cluster when the scan would produce fewer tasks than cores —
     the small-input / few-files case where Spark cannot split the work.
@@ -82,6 +86,15 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     scale (many files, splittable row groups) this adds zero shuffle; on tiny
     local inputs it converts a single-task stage into a cores-wide one for
     the price of shuffling the (small by definition) input.
+
+    ``min_bytes_per_task`` bounds the spread by work density: for
+    ~ns-per-byte expression pipelines (regex, hashing, shingling) a task
+    under a few MB finishes faster than the exchange that would spread it,
+    so the target is capped at ``total_bytes / min_bytes_per_task`` (an
+    input too small to fill two tasks stays un-shuffled). Pass 0 to always
+    spread to core count — the ms-per-ROW case (media codecs: decode cost
+    is orders of magnitude above byte-scan cost, multimodal.py) where even
+    a KB-sized partition merits its own task.
 
     The task estimate mirrors Spark's FilePartition packing — maxSplitBytes =
     min(maxPartitionBytes, max(openCostInBytes, bytesPerCore)), files binned
@@ -117,7 +130,11 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     bytes_per_core = max(1, total_padded // max(1, sc.defaultParallelism))
     max_split = min(max_pb, max(open_cost, bytes_per_core))
     est = math.ceil(total_padded / max_split) if total_padded else 0
-    if est >= target:
+    if min_bytes_per_task > 0:
+        # density cap: raw bytes (no open-cost padding — padding models scan
+        # overhead, not per-row work) divided by the per-task minimum
+        target = min(target, max(1, sum(sizes) // min_bytes_per_task))
+    if est >= target or target <= 1:
         return df
     return df.repartition(target)
 

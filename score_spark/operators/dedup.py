@@ -214,7 +214,11 @@ def shingle_arrays(df: DataFrame, n: int = 3) -> DataFrame:
     the exploded (doc_id, sh) table, per-doc sizes) instead of re-shingling
     the corpus per consumer — at 100 TB the shingling pass is the same order
     as the token stream and must not run three times (VERDICT r2 finding)."""
-    return fan_out(df).select("doc_id", shingles(F.col("text"), n).alias("_shs"))
+    # shingling explodes ~wordcount rows per doc: per-byte work is ~50x a
+    # plain scan, so the fan-out density floor scales down accordingly
+    return fan_out(df, min_bytes_per_task=64 * 1024).select(
+        "doc_id", shingles(F.col("text"), n).alias("_shs")
+    )
 
 
 def minhash_signature_col(shingle_col, n_hashes: int = 16):
@@ -300,7 +304,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     """64-bit SimHash of the token multiset: per bit, sign of sum(+1/-1) over
     token hashes. One explode + one groupBy(id) — the aggregate is 64 narrow
     conditional sums, which Spark executes as a single hash-agg pass."""
-    toks = fan_out(df).select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    toks = fan_out(df, min_bytes_per_task=64 * 1024).select(  # explode: ~50x per-byte work
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
     # hash ONCE in a projection: the 63 per-bit aggregate updates each embed
     # the hash expression otherwise, and aggregate-update codegen does not
     # reliably common-subexpression-eliminate across aggregate functions —

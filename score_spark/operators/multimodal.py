@@ -100,7 +100,7 @@ def extract_binary_features(
         F.lower(F.sha2(F.col(binary_col), 256)).alias("content_sha256"),
     )
     if _PIL_Image is not None:
-        base = fan_out(base)
+        base = fan_out(base, min_bytes_per_task=0)  # ms-per-row decode: spread regardless of bytes
     # canonical field order: id, carried, features
     carried_fields = [base.schema[c] for c in carry_cols]
     out_schema = T.StructType(
@@ -174,7 +174,7 @@ def resize_images(
         F.lower(F.sha2(F.col(binary_col), 256)).alias("content_sha256"),
     )
     if _PIL_Image is not None:
-        base = fan_out(base)  # real codecs are CPU-heavy per byte (see above)
+        base = fan_out(base, min_bytes_per_task=0)  # real codecs: ms-per-row, spread regardless of bytes
     carried_fields = [base.schema[c] for c in carry_cols]
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType())]

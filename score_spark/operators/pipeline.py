@@ -59,7 +59,11 @@ def chunk_documents(
         raise ValueError(f"need 0 <= overlap < chunk_size, got {overlap}/{chunk_size}")
     stride = chunk_size - overlap
     words = F.split(F.col(text_col), " ")
-    spread = df.repartitionByRange(id_col) if ranged_by_id else fan_out(df)
+    spread = (
+        df.repartitionByRange(id_col)
+        if ranged_by_id
+        else fan_out(df, min_bytes_per_task=64 * 1024)  # chunk explode: ~50x per-byte work
+    )
     base = spread.select(
         F.col(id_col), words.alias("_w"), F.size(words).alias("_n")
     )
@@ -119,7 +123,11 @@ def decontamination_report(
     bench_sh = (
         benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("sh")).distinct()
     )
-    spread = docs.repartitionByRange(id_col) if ranged_by_id else fan_out(docs)
+    spread = (
+        docs.repartitionByRange(id_col)
+        if ranged_by_id
+        else fan_out(docs, min_bytes_per_task=64 * 1024)  # shingle explode: ~50x per-byte work
+    )
     doc_sh = spread.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("sh")
     )

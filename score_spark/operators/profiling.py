@@ -5,26 +5,40 @@ wrong" #2).
 ``F.percentile`` materializes every group's values in a single aggregation
 buffer; with a low-cardinality group key (e.g. 3 flags over lineitem) that is
 3 tasks each holding a third of the column in memory — an OOM at 100x. This
-operator never buffers raw values in a task:
+operator is the classic distributed rank-selection scheme instead, composed
+entirely of declarative DataFrame ops (no driver-side data, single action):
 
-1. **Histogram**: ``groupBy(group, value).count()`` — map-side partial
-   aggregation collapses duplicates before the only data-sized shuffle;
-   shuffled rows are bounded by the number of DISTINCT (group, value) pairs,
-   not the row count.
-2. **Streaming cumulative count**: a running ``sum(cnt)`` window over the
-   sorted histogram. Spark's window running-sum frame is a streaming
-   evaluator over an external (spillable) sort — no whole-group buffering.
-3. **Rank select**: quantile_cont picks the two neighbor values at ranks
-   ``floor((n-1)p)`` / ``ceil((n-1)p)`` (0-indexed) and interpolates by the
-   fractional part. ``n`` comes from a tiny per-group total that is
-   broadcast back, so each percentile is a conditional min over the
-   histogram — one reduce, no second pass over raw rows.
+1. ``stats``: per-group ``(n, min, max)`` — one trivial aggregate, joined
+   back by broadcast (groups are a profiling key; the stats relation is
+   group-count-sized).
+2. ``bucket histogram``: each value maps to one of ``n_buckets`` equal-width
+   per-group range buckets; ``groupBy(group, bucket).count()`` — map-side
+   partial aggregation collapses each task's contribution to at most
+   ``groups x n_buckets`` rows before a tiny shuffle.
+3. ``target buckets``: a running-sum window over the bucket histogram
+   (partitions bounded by ``n_buckets`` rows — NOT data-sized) finds which
+   bucket's cumulative range covers each target rank ``floor((n-1)p)`` /
+   ``ceil((n-1)p)`` and the exact row count before it. Integer arithmetic on
+   counts — no float drift can shift a rank.
+4. ``slice``: one more scan keeps only rows landing in a target bucket
+   (broadcast semi-join on (group, bucket) — ~``n / n_buckets`` rows per
+   target), collapses them to an exact value histogram (so massive ties
+   bound the next window by DISTINCT values, not rows), then an in-bucket
+   cumulative count + the bucket's offset yields each row's global 0-indexed
+   rank; the interpolation neighbors fall out of one final hash aggregate.
 
-The per-group cumulative stage serializes per group (one task per group key),
-but over the *histogram*, which a value-domain bound keeps far smaller than
-the data; the scan/partial-agg stages stay fully parallel. Exactness matches
-DuckDB's ``quantile_cont`` bit-for-bit after rounding (same lo + frac*(hi-lo)
-IEEE arithmetic).
+Every intermediate is bounded: the bucket histogram by ``groups x
+n_buckets``, the window partitions by ``n_buckets``, the slice by roughly
+``n / n_buckets`` per target (a degenerate distribution that lands a whole
+group in one bucket degrades the slice toward the group's distinct values —
+i.e. to the cost of the plain histogram plan, never worse). The stats subtree
+appears twice (bucket assignment on both the histogram and slice sides);
+Spark's ReuseExchange materializes its shuffle once.
+
+Null values are excluded (matching DuckDB/ANSI ``quantile_cont``).
+
+Exactness matches DuckDB's ``quantile_cont`` bit-for-bit after rounding (same
+``lo + frac*(hi-lo)`` IEEE arithmetic; ranks select exact data values).
 
 Reference parity: the reference has no percentile operator; this extends the
 profiling surface (SURVEY.md §2C) the way a warehouse user expects.
@@ -42,51 +56,95 @@ def exact_percentiles_by_group(
     value_col: str,
     percentiles: dict[str, float],
     round_dp: int = 2,
+    n_buckets: int = 4096,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """One row per group with a column per entry of ``percentiles``
     (name -> p in [0, 1]), computed with quantile_cont (linear
-    interpolation) semantics and bounded task memory (module docstring)."""
-    hist = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("cnt"))
-    totals = hist.groupBy(group_col).agg(F.sum("cnt").alias("n"))
-    w = Window.partitionBy(group_col).orderBy(value_col)
-    cum = (
-        hist.withColumn("cum", F.sum("cnt").over(w))
-        .join(F.broadcast(totals), group_col)
+    interpolation) semantics and bounded task memory (module docstring).
+
+    ``stats``, if given, must hold one row per group with columns
+    ``(group_col, _n, _mn, _span)`` — the exact non-null count plus bounds
+    that COVER the value range (``_mn <= min``, ``_mn + _span >= max``,
+    ``_span > 0``; e.g. rounded bounds from an aggregate the caller already
+    computes). Passing it lets Spark's ReuseExchange share the caller's
+    aggregation shuffle instead of scanning for a fresh stats pass; rank
+    selection stays exact because bucket bounds only partition the data."""
+    df = df.filter(F.col(value_col).isNotNull()).select(group_col, value_col)
+    if stats is None:
+        stats = df.groupBy(group_col).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(value_col).alias("_mn"),
+            (F.greatest(F.max(value_col) - F.min(value_col), F.lit(1e-12))).alias("_span"),
+        )
+
+    def with_bucket(side: DataFrame) -> DataFrame:
+        b = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col(value_col) - F.col("_mn")) / F.col("_span") * n_buckets),
+            ),
+        )
+        return side.join(F.broadcast(stats), group_col).withColumn("_bk", b)
+
+    hist = (
+        with_bucket(df)
+        .groupBy(group_col, "_bk")
+        .agg(F.count(F.lit(1)).alias("_bcnt"), F.first("_n").alias("_n"))
     )
-    # per-row target ranks (constant within a group; computed pre-agg so the
-    # selection predicates are plain codegen'd comparisons)
-    for i, p in enumerate(percentiles.values()):
-        rank = (F.col("n") - 1) * F.lit(float(p))
-        cum = cum.withColumn(f"_lo_{i}", F.floor(rank)).withColumn(f"_hi_{i}", F.ceil(rank))
+    wb = Window.partitionBy(group_col).orderBy("_bk")
+    cum = hist.withColumn("_off", F.sum("_bcnt").over(wb) - F.col("_bcnt"))
+    # a bucket is a target iff some percentile's lo/hi rank falls inside its
+    # [_off, _off + _bcnt) cumulative range
+    is_target = F.lit(False)
+    for p in percentiles.values():
+        rank = (F.col("_n") - 1) * F.lit(float(p))
+        for r in (F.floor(rank), F.ceil(rank)):
+            is_target = is_target | ((F.col("_off") <= r) & (r < F.col("_off") + F.col("_bcnt")))
+    targets = cum.filter(is_target).select(group_col, "_bk", "_off")
+
+    # slice scan: exact value histogram over only the target buckets, then
+    # global 0-indexed rank = in-bucket cumulative count + the bucket offset
+    slice_hist = (
+        with_bucket(df)
+        .join(F.broadcast(targets), [group_col, "_bk"])
+        .groupBy(group_col, "_bk", "_off", "_n", value_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    ws = Window.partitionBy(group_col, "_bk").orderBy(value_col)
+    ranked = slice_hist.withColumn("_cum", F.sum("_cnt").over(ws) + F.col("_off"))
 
     aggs = []
-    for i, (name, p) in enumerate(percentiles.items()):
-        # the value at 0-indexed rank r is the histogram row whose cumulative
-        # range [cum - cnt, cum) contains r
+    for name, p in percentiles.items():
+        rank = (F.col("_n") - 1) * F.lit(float(p))
+        rank_lo, rank_hi = F.floor(rank), F.ceil(rank)
+
         def value_at(rank_col):
+            # the value at 0-indexed rank r is the histogram row whose
+            # cumulative range [_cum - _cnt, _cum) contains r
             return F.max(
                 F.when(
-                    (F.col("cum") - F.col("cnt") <= rank_col) & (rank_col < F.col("cum")),
+                    (F.col("_cum") - F.col("_cnt") <= rank_col) & (rank_col < F.col("_cum")),
                     F.col(value_col),
                 )
             )
 
-        v_lo = value_at(F.col(f"_lo_{i}"))
-        v_hi = value_at(F.col(f"_hi_{i}"))
-        n1 = F.first("n") - 1
-        frac = (n1 * F.lit(float(p))) - F.floor(n1 * F.lit(float(p)))
-        # scale-then-round instead of round(x, dp): interpolating 2-dp money
-        # data at frac=0.5 lands exactly on decimal midpoints (.xx5) whose
-        # double is 1 ulp BELOW the midpoint — Spark/Python round the decimal
-        # expansion down while DuckDB computes std::round(x*100)/100 where
-        # x*100 hits .5 exactly and rounds up. Multiplying first makes both
-        # engines round the identical IEEE intermediate (half-away-from-zero
-        # on both), so the oracle comparison is boundary-safe. Oracles must
-        # mirror the form: round(expr * 10^dp) / 10^dp.
-        scale = F.lit(float(10 ** round_dp))
-        interp = v_lo + frac * (v_hi - v_lo)
-        aggs.append((F.round(interp * scale, 0) / scale).alias(name))
+        frac = F.first(rank - F.floor(rank))
+        interp = value_at(rank_lo) + frac * (value_at(rank_hi) - value_at(rank_lo))
+        aggs.append(_round_expr(interp, round_dp).alias(name))
 
-    # the window stage already hash-clustered `cum` on group_col, so this
-    # final aggregate reuses that partitioning — no additional exchange
-    return cum.groupBy(group_col).agg(*aggs)
+    return ranked.groupBy(group_col).agg(*aggs)
+
+
+def _round_expr(interp, round_dp: int):
+    # scale-then-round instead of round(x, dp): interpolating 2-dp money
+    # data at frac=0.5 lands exactly on decimal midpoints (.xx5) whose
+    # double is 1 ulp BELOW the midpoint — Spark/Python round the decimal
+    # expansion down while DuckDB computes std::round(x*100)/100 where
+    # x*100 hits .5 exactly and rounds up. Multiplying first makes both
+    # engines round the identical IEEE intermediate (half-away-from-zero
+    # on both), so the oracle comparison is boundary-safe. Oracles must
+    # mirror the form: round(expr * 10^dp) / 10^dp.
+    scale = F.lit(float(10**round_dp))
+    return F.round(interp * scale, 0) / scale

@@ -105,7 +105,9 @@ def cosine_topk(
     q = F.broadcast(
         queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qv"))
     )
-    pairs = q.join(fan_out(corpus), F.col(query_id_col) != F.col(id_col))
+    # the cross join multiplies each corpus row by |queries| dot products —
+    # work scales with n_queries x dim, so keep the spread for small corpora
+    pairs = q.join(fan_out(corpus, min_bytes_per_task=0), F.col(query_id_col) != F.col(id_col))
     sim = cosine(F.col("_qv"), F.col(vec_col))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("_sim"), F.col("neighbor_id"))
     return (

@@ -28,7 +28,9 @@ def with_text_stats(df: DataFrame, text_col: str = "text", spread: bool = True) 
     ``spread=False`` skips the round-robin fan-out for callers that already
     partitioned the input themselves (e.g. t01's range fusion)."""
     c = F.col(text_col)
-    base = fan_out(df) if spread else df
+    # several regex/split passes per row: ~10-50x a plain byte scan, so the
+    # density floor scales down accordingly (same rationale as t07's explode)
+    base = fan_out(df, min_bytes_per_task=64 * 1024) if spread else df
     return base.select(
         "*",
         TX.token_count(c).alias("n_tokens"),
@@ -40,7 +42,11 @@ def with_text_stats(df: DataFrame, text_col: str = "text", spread: bool = True) 
 
 
 def with_language(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return fan_out(df).withColumn("predicted_lang", TX.predicted_lang(F.col(text_col)))
+    # predicted_lang is a chain of regexp_count passes — regex-heavy per
+    # byte, so the fan-out floor scales down like with_text_stats above
+    return fan_out(df, min_bytes_per_task=64 * 1024).withColumn(
+        "predicted_lang", TX.predicted_lang(F.col(text_col))
+    )
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -326,7 +332,11 @@ def t07_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-quality summary per source: how repetitive the corpus is
     and how many docs a dup-fraction filter would drop."""
     d = load_table(spark, sf_dir, "documents")
-    r = repetition_stats(fan_out(d))
+    # the gram explode below multiplies per-byte work ~50x (every n-gram of
+    # every doc becomes a row through two aggregates), so the fan-out density
+    # floor scales down by the same factor — a KB of input here is ~100 KB of
+    # downstream work (measured 2.5x regression when left at the default)
+    r = repetition_stats(fan_out(d, min_bytes_per_task=64 * 1024))
     joined = r.join(d.select("doc_id", "source"), "doc_id")
     return (
         joined.groupBy("source")

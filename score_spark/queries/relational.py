@@ -725,9 +725,20 @@ def q28_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("stddev_price"),
     )
+    # feed the base aggregate's own (n, min, max) to the percentile operator
+    # as covering bucket bounds (min_price is rounded — widen by 1 unit each
+    # side so the bounds still cover the true range) — ReuseExchange then
+    # shares the base shuffle instead of adding a stats pass over lineitem
+    stats = base.select(
+        "l_returnflag",
+        F.col("n").alias("_n"),
+        (F.col("min_price") - 1).alias("_mn"),
+        F.greatest(F.col("max_price") - F.col("min_price") + 2, F.lit(1e-12)).alias("_span"),
+    )
     pct = exact_percentiles_by_group(
         li, "l_returnflag", "l_extendedprice",
         {"median_price": 0.5, "p95_price": 0.95},
+        stats=stats,
     )
     return (
         base.join(F.broadcast(pct), "l_returnflag")

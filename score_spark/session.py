@@ -27,11 +27,19 @@ def get_session(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    # AQE stays ON by default (runtime re-planning, skew-join splitting,
+    # partition coalescing — the correct posture for real data sizes). The
+    # env knob exists because AQE materializes every exchange as a separate
+    # query stage with a driver re-plan in between, a measured ~0.1-0.15 s
+    # per exchange of pure latency that dominates sub-second local queries;
+    # a latency-sensitive local run can opt out without touching code.
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "true").lower()
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # coalesce post-shuffle partitions to the advisory byte size rather
         # than padding them back out to defaultParallelism (the Spark docs'

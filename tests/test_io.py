@@ -31,7 +31,7 @@ def test_fan_out_repartitions_small_single_file(spark, tmp_path):
     p = str(tmp_path / "small.parquet")
     spark.range(1000).write.parquet(p)
     df = spark.read.parquet(p)
-    out = fan_out(df, min_partitions=8)
+    out = fan_out(df, min_partitions=8, min_bytes_per_task=0)
     assert out.rdd.getNumPartitions() == 8
 
 
@@ -46,5 +46,17 @@ def test_fan_out_many_tiny_files_still_widens(spark, tmp_path):
     # local[32] ≈ 1.25 MB -> max_split = max(openCost, bpc) = 4 MB -> ~10
     # estimated tasks... with openCost padding the estimate stays >= target
     # only when it truly packs wide. Ask for more than the packed estimate:
-    out = fan_out(df, min_partitions=16)
+    out = fan_out(df, min_partitions=16, min_bytes_per_task=0)
     assert out.rdd.getNumPartitions() == 16
+
+
+def test_fan_out_density_cap_skips_tiny_inputs(spark, tmp_path):
+    """Default density cap: an input too small to fill two tasks at
+    min_bytes_per_task stays un-shuffled — spreading ~KB of ns-per-byte work
+    across cores costs more than the exchange saves. min_bytes_per_task=0
+    (the decoder path) restores the unconditional spread."""
+    p = str(tmp_path / "tiny2.parquet")
+    spark.range(100, numPartitions=1).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert fan_out(df, min_partitions=8) is df
+    assert fan_out(df, min_partitions=8, min_bytes_per_task=0).rdd.getNumPartitions() == 8
