@@ -1,10 +1,18 @@
 """Text-analysis column expressions for the documents pipeline.
 
-Everything here returns Column expressions built from pyspark.sql.functions
-higher-order functions — evaluated JVM-side with zero Python round-trips
-(HOF lambdas are interpreted, not whole-stage-codegen'd, but stay orders of
-magnitude faster than row-at-a-time Python UDFs), so the same expressions
-hold at 100 TB.
+Everything here returns Column expressions over JVM higher-order functions —
+zero Python round-trips at execution (HOF lambdas are interpreted, not
+whole-stage-codegen'd, but stay orders of magnitude faster than row-at-a-time
+Python UDFs), so the same expressions hold at 100 TB.
+
+Construction note: helpers build ONE SQL-expression string and parse it with
+a single ``F.expr`` call instead of composing pyspark Column objects. The
+resulting Catalyst expression tree is identical, but composing Columns costs
+a Py4J round-trip per operator (~0.5-3 ms each; a stopword filter chain was
+~13 ms, its ``F.expr`` twin 0.5 ms) — across a query registry that rebuilds
+its plans per run, expression construction was a measurable slice of total
+wall-clock. Helpers therefore take the COLUMN NAME (or any SQL fragment),
+not a Column.
 
 Mirror rule for oracles: every helper has an exact DuckDB-SQL equivalent used
 by the query registry (same tokenization, same rounding), so results
@@ -29,70 +37,96 @@ STOPWORDS = {
 ALL_STOPWORDS = sorted({w for ws in STOPWORDS.values() for w in ws})
 
 
-def tokens(text: Column) -> Column:
+def _tokens_sql(text: str) -> str:
     """Whitespace tokenization — split on single space, matching DuckDB's
     string_split(text, ' ')."""
-    return F.split(text, " ")
+    return f"split({text}, ' ')"
 
 
-def token_count(text: Column) -> Column:
-    return F.size(tokens(text))
+def tokens(text: str = "text") -> Column:
+    return F.expr(_tokens_sql(text))
 
 
-def sum_token_len(text: Column) -> Column:
-    return F.aggregate(
-        F.transform(tokens(text), lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+def token_count(text: str = "text") -> Column:
+    return F.expr(f"size({_tokens_sql(text)})")
+
+
+def sum_token_len(text: str = "text") -> Column:
+    return F.expr(
+        f"aggregate(transform({_tokens_sql(text)}, t -> length(t)), 0, (acc, x) -> acc + x)"
     )
 
 
-def avg_token_len(text: Column, decimals: int = 4) -> Column:
-    return F.round(sum_token_len(text) / token_count(text), decimals)
+def avg_token_len(text: str = "text", decimals: int = 4) -> Column:
+    return F.expr(
+        f"round(aggregate(transform({_tokens_sql(text)}, t -> length(t)), 0,"
+        f" (acc, x) -> acc + x) / size({_tokens_sql(text)}), {decimals})"
+    )
 
 
-def distinct_token_count(text: Column) -> Column:
-    return F.size(F.array_distinct(tokens(text)))
+def distinct_token_count(text: str = "text") -> Column:
+    return F.expr(f"size(array_distinct({_tokens_sql(text)}))")
 
 
-def stopword_count(text: Column, words: list[str] | None = None) -> Column:
-    wordlist = F.array(*[F.lit(w) for w in (words or ALL_STOPWORDS)])
-    return F.size(F.filter(tokens(text), lambda t: F.array_contains(wordlist, t)))
+def _array_sql(words: list[str]) -> str:
+    return "array(" + ", ".join(f"'{w}'" for w in words) + ")"
 
 
-def stopword_ratio(text: Column, decimals: int = 4) -> Column:
-    return F.round(stopword_count(text) / token_count(text), decimals)
+def _stopword_count_sql(text: str, words: list[str] | None = None) -> str:
+    arr = _array_sql(words or ALL_STOPWORDS)
+    return f"size(filter({_tokens_sql(text)}, t -> array_contains({arr}, t)))"
 
 
-def non_alpha_ratio(text: Column, decimals: int = 4) -> Column:
+def stopword_count(text: str = "text", words: list[str] | None = None) -> Column:
+    return F.expr(_stopword_count_sql(text, words))
+
+
+def stopword_ratio(text: str = "text", decimals: int = 4) -> Column:
+    return F.expr(
+        f"round({_stopword_count_sql(text)} / size({_tokens_sql(text)}), {decimals})"
+    )
+
+
+def non_alpha_ratio(text: str = "text", decimals: int = 4) -> Column:
     """Share of characters outside [a-z ]. DuckDB mirror:
     regexp_replace(text, '[a-z ]', '', 'g')."""
-    return F.round(F.length(F.regexp_replace(text, "[a-z ]", "")) / F.length(text), decimals)
+    return F.expr(
+        f"round(length(regexp_replace({text}, '[a-z ]', '')) / length({text}), {decimals})"
+    )
 
 
-def shingles(text: Column, n: int = 3) -> Column:
+def shingles(text: str = "text", n: int = 3) -> Column:
     """Distinct word n-gram shingles. DuckDB mirror in
     operators/dedup.py::_SHINGLE_SQL (1-indexed list arithmetic)."""
-    toks = tokens(text)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    toks = _tokens_sql(text)
+    grams = (
+        f"transform(sequence(0, size({toks}) - {n}),"
+        f" i -> concat_ws(' ', slice({toks}, i + 1, {n})))"
     )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {n} THEN array_distinct({grams})"
+        f" ELSE cast(array() AS array<string>) END"
     )
 
 
-def lang_scores(text: Column) -> dict[str, Column]:
+def _lang_score_sql(text: str, lang: str) -> str:
+    return _stopword_count_sql(text, STOPWORDS[lang])
+
+
+def lang_scores(text: str = "text") -> dict[str, Column]:
     return {lang: stopword_count(text, words) for lang, words in STOPWORDS.items()}
 
 
-def predicted_lang(text: Column) -> Column:
+def predicted_lang(text: str = "text") -> Column:
     """Argmax over per-language stopword hits; deterministic tie-break by the
     fixed language order en > fr > de > es, 'und' (unknown) when all zero."""
-    s = lang_scores(text)
-    return (
-        F.when((s["en"] >= s["fr"]) & (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] > 0), "en")
-        .when((s["fr"] >= s["de"]) & (s["fr"] >= s["es"]) & (s["fr"] > 0), "fr")
-        .when((s["de"] >= s["es"]) & (s["de"] > 0), "de")
-        .when(s["es"] > 0, "es")
-        .otherwise("und")
+    s = {lang: _lang_score_sql(text, lang) for lang in STOPWORDS}
+    return F.expr(
+        "CASE"
+        f" WHEN {s['en']} >= {s['fr']} AND {s['en']} >= {s['de']}"
+        f"  AND {s['en']} >= {s['es']} AND {s['en']} > 0 THEN 'en'"
+        f" WHEN {s['fr']} >= {s['de']} AND {s['fr']} >= {s['es']} AND {s['fr']} > 0 THEN 'fr'"
+        f" WHEN {s['de']} >= {s['es']} AND {s['de']} > 0 THEN 'de'"
+        f" WHEN {s['es']} > 0 THEN 'es'"
+        " ELSE 'und' END"
     )

@@ -217,7 +217,7 @@ def shingle_arrays(df: DataFrame, n: int = 3) -> DataFrame:
     # shingling explodes ~wordcount rows per doc: per-byte work is ~50x a
     # plain scan, so the fan-out density floor scales down accordingly
     return fan_out(df, min_bytes_per_task=64 * 1024).select(
-        "doc_id", shingles(F.col("text"), n).alias("_shs")
+        "doc_id", shingles("text", n).alias("_shs")
     )
 
 

@@ -121,7 +121,7 @@ def decontamination_report(
     the default stays fan_out; use ranged_by_id only when the input rows
     are narrow or the scan is cheap relative to the aggregate."""
     bench_sh = (
-        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("sh")).distinct()
+        benchmark.select(F.explode(shingles(text_col, n)).alias("sh")).distinct()
     )
     spread = (
         docs.repartitionByRange(id_col)
@@ -129,7 +129,7 @@ def decontamination_report(
         else fan_out(docs, min_bytes_per_task=64 * 1024)  # shingle explode: ~50x per-byte work
     )
     doc_sh = spread.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("sh")
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("sh")
     )
     return (
         doc_sh.join(F.broadcast(bench_sh), "sh")

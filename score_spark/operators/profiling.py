@@ -5,15 +5,15 @@ wrong" #2).
 ``F.percentile`` materializes every group's values in a single aggregation
 buffer; with a low-cardinality group key (e.g. 3 flags over lineitem) that is
 3 tasks each holding a third of the column in memory — an OOM at 100x. This
-operator is the classic distributed rank-selection scheme instead, composed
-entirely of declarative DataFrame ops (no driver-side data, single action):
+operator is the classic distributed rank-selection scheme instead, one
+declarative plan (no driver-side data, single action):
 
 1. ``stats``: per-group ``(n, min, max)`` — one trivial aggregate, joined
    back by broadcast (groups are a profiling key; the stats relation is
    group-count-sized).
 2. ``bucket histogram``: each value maps to one of ``n_buckets`` equal-width
-   per-group range buckets; ``groupBy(group, bucket).count()`` — map-side
-   partial aggregation collapses each task's contribution to at most
+   per-group range buckets; ``GROUP BY group, bucket`` — map-side partial
+   aggregation collapses each task's contribution to at most
    ``groups x n_buckets`` rows before a tiny shuffle.
 3. ``target buckets``: a running-sum window over the bucket histogram
    (partitions bounded by ``n_buckets`` rows — NOT data-sized) finds which
@@ -21,7 +21,7 @@ entirely of declarative DataFrame ops (no driver-side data, single action):
    ``ceil((n-1)p)`` and the exact row count before it. Integer arithmetic on
    counts — no float drift can shift a rank.
 4. ``slice``: one more scan keeps only rows landing in a target bucket
-   (broadcast semi-join on (group, bucket) — ~``n / n_buckets`` rows per
+   (broadcast join on (group, bucket) — ~``n / n_buckets`` rows per
    target), collapses them to an exact value histogram (so massive ties
    bound the next window by DISTINCT values, not rows), then an in-bucket
    cumulative count + the bucket's offset yields each row's global 0-indexed
@@ -31,9 +31,14 @@ Every intermediate is bounded: the bucket histogram by ``groups x
 n_buckets``, the window partitions by ``n_buckets``, the slice by roughly
 ``n / n_buckets`` per target (a degenerate distribution that lands a whole
 group in one bucket degrades the slice toward the group's distinct values —
-i.e. to the cost of the plain histogram plan, never worse). The stats subtree
-appears twice (bucket assignment on both the histogram and slice sides);
-Spark's ReuseExchange materializes its shuffle once.
+i.e. to the cost of a plain value-histogram plan, never worse).
+
+The plan is authored as ONE generated SQL statement over a temp view rather
+than composed DataFrame calls: the logical plan is identical (SQL and the
+DataFrame API meet in Catalyst), but construction is a single JVM parse
+instead of ~150 Py4J expression round-trips with eager re-analysis of a
+deepening tree — measured 614 ms -> ~30 ms of per-call driver latency, which
+a bench that rebuilds the query per run pays every time.
 
 Null values are excluded (matching DuckDB/ANSI ``quantile_cont``).
 
@@ -46,8 +51,11 @@ profiling surface (SURVEY.md §2C) the way a warehouse user expects.
 
 from __future__ import annotations
 
-import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+import itertools
+
+from pyspark.sql import DataFrame
+
+_view_ids = itertools.count()
 
 
 def exact_percentiles_by_group(
@@ -67,77 +75,36 @@ def exact_percentiles_by_group(
     ``(group_col, _n, _mn, _span)`` — the exact non-null count plus bounds
     that COVER the value range (``_mn <= min``, ``_mn + _span >= max``,
     ``_span > 0``; e.g. rounded bounds from an aggregate the caller already
-    computes). Passing it lets Spark's ReuseExchange share the caller's
-    aggregation shuffle instead of scanning for a fresh stats pass; rank
-    selection stays exact because bucket bounds only partition the data."""
-    df = df.filter(F.col(value_col).isNotNull()).select(group_col, value_col)
-    if stats is None:
-        stats = df.groupBy(group_col).agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.min(value_col).alias("_mn"),
-            (F.greatest(F.max(value_col) - F.min(value_col), F.lit(1e-12))).alias("_span"),
+    computes). Rank selection stays exact because bucket bounds only
+    partition the data."""
+    spark = df.sparkSession
+    vid = next(_view_ids)
+    src_view = f"_pct_src_{vid}"
+    df.createOrReplaceTempView(src_view)
+    g, v = f"`{group_col}`", f"`{value_col}`"
+    nb = int(n_buckets)
+
+    if stats is not None:
+        stats_view = f"_pct_stats_{vid}"
+        stats.createOrReplaceTempView(stats_view)
+        stats_cte = f"SELECT {g} AS g, _n AS n, _mn AS mn, _span AS span FROM {stats_view}"
+    else:
+        stats_cte = (
+            "SELECT g, count(*) AS n, min(v) AS mn,"
+            " greatest(max(v) - min(v), 1e-12d) AS span FROM src GROUP BY g"
         )
 
-    def with_bucket(side: DataFrame) -> DataFrame:
-        b = F.greatest(
-            F.lit(0),
-            F.least(
-                F.lit(n_buckets - 1),
-                F.floor((F.col(value_col) - F.col("_mn")) / F.col("_span") * n_buckets),
-            ),
-        )
-        return side.join(F.broadcast(stats), group_col).withColumn("_bk", b)
+    def rank(p: float) -> str:
+        return f"(n - 1) * {p!r}d"
 
-    hist = (
-        with_bucket(df)
-        .groupBy(group_col, "_bk")
-        .agg(F.count(F.lit(1)).alias("_bcnt"), F.first("_n").alias("_n"))
-    )
-    wb = Window.partitionBy(group_col).orderBy("_bk")
-    cum = hist.withColumn("_off", F.sum("_bcnt").over(wb) - F.col("_bcnt"))
     # a bucket is a target iff some percentile's lo/hi rank falls inside its
-    # [_off, _off + _bcnt) cumulative range
-    is_target = F.lit(False)
-    for p in percentiles.values():
-        rank = (F.col("_n") - 1) * F.lit(float(p))
-        for r in (F.floor(rank), F.ceil(rank)):
-            is_target = is_target | ((F.col("_off") <= r) & (r < F.col("_off") + F.col("_bcnt")))
-    targets = cum.filter(is_target).select(group_col, "_bk", "_off")
-
-    # slice scan: exact value histogram over only the target buckets, then
-    # global 0-indexed rank = in-bucket cumulative count + the bucket offset
-    slice_hist = (
-        with_bucket(df)
-        .join(F.broadcast(targets), [group_col, "_bk"])
-        .groupBy(group_col, "_bk", "_off", "_n", value_col)
-        .agg(F.count(F.lit(1)).alias("_cnt"))
+    # [off, off + bcnt) cumulative range
+    is_target = " OR ".join(
+        f"(off <= {r} AND {r} < off + bcnt)"
+        for p in percentiles.values()
+        for r in (f"floor({rank(p)})", f"ceiling({rank(p)})")
     )
-    ws = Window.partitionBy(group_col, "_bk").orderBy(value_col)
-    ranked = slice_hist.withColumn("_cum", F.sum("_cnt").over(ws) + F.col("_off"))
 
-    aggs = []
-    for name, p in percentiles.items():
-        rank = (F.col("_n") - 1) * F.lit(float(p))
-        rank_lo, rank_hi = F.floor(rank), F.ceil(rank)
-
-        def value_at(rank_col):
-            # the value at 0-indexed rank r is the histogram row whose
-            # cumulative range [_cum - _cnt, _cum) contains r
-            return F.max(
-                F.when(
-                    (F.col("_cum") - F.col("_cnt") <= rank_col) & (rank_col < F.col("_cum")),
-                    F.col(value_col),
-                )
-            )
-
-        frac = F.first(rank - F.floor(rank))
-        interp = value_at(rank_lo) + frac * (value_at(rank_hi) - value_at(rank_lo))
-        aggs.append(_round_expr(interp, round_dp).alias(name))
-
-    return ranked.groupBy(group_col).agg(*aggs)
-
-
-def _round_expr(interp, round_dp: int):
     # scale-then-round instead of round(x, dp): interpolating 2-dp money
     # data at frac=0.5 lands exactly on decimal midpoints (.xx5) whose
     # double is 1 ulp BELOW the midpoint — Spark/Python round the decimal
@@ -146,5 +113,53 @@ def _round_expr(interp, round_dp: int):
     # engines round the identical IEEE intermediate (half-away-from-zero
     # on both), so the oracle comparison is boundary-safe. Oracles must
     # mirror the form: round(expr * 10^dp) / 10^dp.
-    scale = F.lit(float(10**round_dp))
-    return F.round(interp * scale, 0) / scale
+    scale = float(10**round_dp)
+    aggs = []
+    for name, p in percentiles.items():
+        # the value at 0-indexed rank r is the histogram row whose
+        # cumulative range [cum - cnt, cum) contains r
+        v_lo = f"max(CASE WHEN cum - cnt <= floor({rank(p)}) AND floor({rank(p)}) < cum THEN v END)"
+        v_hi = (
+            f"max(CASE WHEN cum - cnt <= ceiling({rank(p)}) AND ceiling({rank(p)}) < cum THEN v END)"
+        )
+        frac = f"any_value({rank(p)} - floor({rank(p)}))"
+        interp = f"{v_lo} + {frac} * ({v_hi} - {v_lo})"
+        aggs.append(f"round(({interp}) * {scale!r}d, 0) / {scale!r}d AS `{name}`")
+
+    sql = f"""
+WITH src AS (
+  SELECT {g} AS g, {v} AS v FROM {src_view} WHERE {v} IS NOT NULL
+),
+stats AS ({stats_cte}),
+bucketed AS (
+  SELECT /*+ BROADCAST(st) */ s.g, s.v, st.n,
+         greatest(0L, least({nb - 1}L,
+                 floor((s.v - st.mn) / st.span * {nb}))) AS bk
+  FROM src s JOIN stats st ON s.g = st.g
+),
+hist AS (
+  SELECT g, bk, n, count(*) AS bcnt FROM bucketed GROUP BY g, bk, n
+),
+cum AS (
+  SELECT g, bk, n, bcnt,
+         sum(bcnt) OVER (PARTITION BY g ORDER BY bk) - bcnt AS off
+  FROM hist
+),
+targets AS (
+  SELECT g, bk, off FROM cum WHERE {is_target}
+),
+sliced AS (
+  SELECT /*+ BROADCAST(t) */ b.g, b.bk, t.off, b.n, b.v, count(*) AS cnt
+  FROM bucketed b JOIN targets t ON b.g = t.g AND b.bk = t.bk
+  GROUP BY b.g, b.bk, t.off, b.n, b.v
+),
+ranked AS (
+  SELECT g, n, v, cnt,
+         sum(cnt) OVER (PARTITION BY g, bk ORDER BY v) + off AS cum
+  FROM sliced
+)
+SELECT g AS {g}, {", ".join(aggs)}
+FROM ranked
+GROUP BY g
+"""
+    return spark.sql(sql)

@@ -27,17 +27,16 @@ def with_text_stats(df: DataFrame, text_col: str = "text", spread: bool = True) 
     """Append per-document token statistics (all codegen'd built-ins).
     ``spread=False`` skips the round-robin fan-out for callers that already
     partitioned the input themselves (e.g. t01's range fusion)."""
-    c = F.col(text_col)
     # several regex/split passes per row: ~10-50x a plain byte scan, so the
     # density floor scales down accordingly (same rationale as t07's explode)
     base = fan_out(df, min_bytes_per_task=64 * 1024) if spread else df
     return base.select(
         "*",
-        TX.token_count(c).alias("n_tokens"),
-        TX.distinct_token_count(c).alias("n_uniq_tokens"),
-        TX.avg_token_len(c).alias("avg_token_len"),
-        TX.stopword_ratio(c).alias("stopword_ratio"),
-        TX.non_alpha_ratio(c).alias("non_alpha_ratio"),
+        TX.token_count(text_col).alias("n_tokens"),
+        TX.distinct_token_count(text_col).alias("n_uniq_tokens"),
+        TX.avg_token_len(text_col).alias("avg_token_len"),
+        TX.stopword_ratio(text_col).alias("stopword_ratio"),
+        TX.non_alpha_ratio(text_col).alias("non_alpha_ratio"),
     )
 
 
@@ -45,7 +44,7 @@ def with_language(df: DataFrame, text_col: str = "text") -> DataFrame:
     # predicted_lang is a chain of regexp_count passes — regex-heavy per
     # byte, so the fan-out floor scales down like with_text_stats above
     return fan_out(df, min_bytes_per_task=64 * 1024).withColumn(
-        "predicted_lang", TX.predicted_lang(F.col(text_col))
+        "predicted_lang", TX.predicted_lang(text_col)
     )
 
 
@@ -97,8 +96,8 @@ def t02_language_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("n_chars") < 400, "medium")
             .otherwise("long")
             .alias("length_band"),
-            F.when(TX.stopword_ratio(c) > 0.05, "has_stopwords").otherwise("few_stopwords").alias("stopword_band"),
-            F.when(TX.non_alpha_ratio(c) < 0.05, "clean").otherwise("noisy").alias("purity"),
+            F.when(TX.stopword_ratio("text") > 0.05, "has_stopwords").otherwise("few_stopwords").alias("stopword_band"),
+            F.when(TX.non_alpha_ratio("text") < 0.05, "clean").otherwise("noisy").alias("purity"),
         )
         .groupBy("lang", "predicted_lang", "length_band", "stopword_band", "purity")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -164,7 +163,7 @@ def t04_fingerprint_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.md5(c).alias("fingerprint"),
         bpe_token_estimate(c).alias("bpe"),
-        TX.token_count(c).alias("words"),
+        TX.token_count("text").alias("words"),
         (F.length(c) / 4).alias("chars4"),
     )
     return (
