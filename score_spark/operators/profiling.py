@@ -162,4 +162,11 @@ SELECT g AS {g}, {", ".join(aggs)}
 FROM ranked
 GROUP BY g
 """
-    return spark.sql(sql)
+    out = spark.sql(sql)
+    # spark.sql analyzes eagerly, so the returned plan no longer needs the
+    # catalog entries — drop them or a long-lived session's temp-view catalog
+    # grows by 1-2 entries per call
+    spark.catalog.dropTempView(src_view)
+    if stats is not None:
+        spark.catalog.dropTempView(f"_pct_stats_{vid}")
+    return out

@@ -153,3 +153,16 @@ def test_duplicate_clusters_long_chain_converges(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], ["d1", "d2"])
     got = {r.node: r.label for r in duplicate_clusters(pairs, driver_threshold=0).collect()}
     assert got == {i: 0 for i in range(13)}
+
+
+def test_duplicate_clusters_raises_on_non_convergence(spark):
+    """Exhausting max_iter on a component with diameter > max_iter must fail
+    loudly, not return split labels — this tier is the at-scale path where no
+    oracle runs (ADVICE r4)."""
+    import pytest
+
+    from score_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], ["d1", "d2"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(pairs, driver_threshold=0, max_iter=2).collect()
