@@ -135,7 +135,7 @@ bucketed AS (
   SELECT /*+ BROADCAST(st) */ s.g, s.v, st.n,
          greatest(0L, least({nb - 1}L,
                  floor((s.v - st.mn) / st.span * {nb}))) AS bk
-  FROM src s JOIN stats st ON s.g = st.g
+  FROM src s JOIN stats st ON s.g <=> st.g  -- null-safe: NULL group keys profile too
 ),
 hist AS (
   SELECT g, bk, n, count(*) AS bcnt FROM bucketed GROUP BY g, bk, n
@@ -150,7 +150,7 @@ targets AS (
 ),
 sliced AS (
   SELECT /*+ BROADCAST(t) */ b.g, b.bk, t.off, b.n, b.v, count(*) AS cnt
-  FROM bucketed b JOIN targets t ON b.g = t.g AND b.bk = t.bk
+  FROM bucketed b JOIN targets t ON b.g <=> t.g AND b.bk = t.bk
   GROUP BY b.g, b.bk, t.off, b.n, b.v
 ),
 ranked AS (

@@ -34,6 +34,16 @@ def test_duplicate_values_collapse_into_histogram(spark):
     assert got["a"]["p100"] == 9.0
 
 
+def test_null_group_key_profiles_like_duckdb(spark):
+    """GROUP BY keeps a NULL group (ANSI / DuckDB quantile_cont behavior);
+    the internal stats/slice joins are null-safe so those rows don't vanish."""
+    rows = [("a", 1.0), ("a", 3.0), (None, 10.0), (None, 20.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {r["g"]: r["p50"] for r in
+           exact_percentiles_by_group(df, "g", "v", {"p50": 0.5}).collect()}
+    assert got == {"a": 2.0, None: 15.0}
+
+
 def test_boundary_percentiles(spark):
     rows = [("a", float(i)) for i in range(10)]
     df = spark.createDataFrame(rows, ["g", "v"])
