@@ -187,11 +187,15 @@ def main() -> None:
     # truncated BENCH_r04 mid-stream (VERDICT r4 "What's wrong" #3/#4, "Next
     # round" #4) — every per-query second also lands in a repo file so the
     # numbers survive regardless of the capture
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w"
-    ) as f:
-        json.dump(result, f, indent=2)
     print(json.dumps(result))
+    sys.stdout.flush()
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w"
+        ) as f:
+            json.dump(result, f, indent=2)
+    except OSError as e:  # never lose the stdout channel to a file error
+        print(f"BENCH_LOCAL.json write failed: {e}", file=sys.stderr)
 
 
 _BASELINE_SKIP = {

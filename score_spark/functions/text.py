@@ -69,7 +69,8 @@ def distinct_token_count(text: str = "text") -> Column:
 
 
 def _array_sql(words: list[str]) -> str:
-    return "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+    # escape single quotes so words like "don't" parse as SQL literals
+    return "array(" + ", ".join("'" + w.replace("\\", "\\\\").replace("'", "\\'") + "'" for w in words) + ")"
 
 
 def _stopword_count_sql(text: str, words: list[str] | None = None) -> str:

@@ -111,6 +111,11 @@ def fan_out(
     try:
         files = df.inputFiles()
     except Exception:
+        files = []
+    if not files:
+        # non-file source (createDataFrame, derived plan): size unknown, so
+        # the density cap cannot apply — keep the pre-cap behavior of
+        # spreading to the caller's target
         return df.repartition(target)
     conf = df.sparkSession.conf
     max_pb = parse_byte_size(

@@ -494,7 +494,11 @@ def duplicate_clusters(
         .localCheckpoint(eager=True)
         .coalesce(parts)
     )
-    for _ in range(max_iter):
+    # max_iter + 1: a component of diameter exactly max_iter has correct
+    # labels after round max_iter but needs one more round to CONFIRM
+    # changed == 0 — without it a correct clustering would be aborted. Also
+    # binds `changed` even for max_iter <= 0.
+    for _ in range(max(0, max_iter) + 1):
         nbr = (
             edges.join(labels.withColumnRenamed("node", "_dst"), F.col("dst") == F.col("_dst"))
             .groupBy("src")

@@ -86,7 +86,6 @@ def t02_language_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     together anyway. Merged t02+t03 (r5 registry consolidation). All bands
     are JVM HOF/CASE expressions; one tiny grouped aggregate."""
     d = load_table(spark, sf_dir, "documents")
-    c = F.col("text")
     return (
         with_language(d)
         .select(

@@ -724,14 +724,18 @@ def q28_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("stddev_price"),
+        # non-null value count for the percentile operator's exact ranks —
+        # count(*) would over-count if a price were NULL (quantile_cont
+        # ignores NULLs); dropped from the output below
+        F.count("l_extendedprice").alias("_n_val"),
     )
-    # feed the base aggregate's own (n, min, max) to the percentile operator
-    # as covering bucket bounds (min_price is rounded — widen by 1 unit each
-    # side so the bounds still cover the true range) — ReuseExchange then
-    # shares the base shuffle instead of adding a stats pass over lineitem
+    # feed the base aggregate's own (non-null n, min, max) to the percentile
+    # operator as covering bucket bounds (min_price is rounded — widen by 1
+    # unit each side so the bounds still cover the true range) — ReuseExchange
+    # then shares the base shuffle instead of adding a stats pass over lineitem
     stats = base.select(
         "l_returnflag",
-        F.col("n").alias("_n"),
+        F.col("_n_val").alias("_n"),
         (F.col("min_price") - 1).alias("_mn"),
         F.greatest(F.col("max_price") - F.col("min_price") + 2, F.lit(1e-12)).alias("_span"),
     )
@@ -740,8 +744,13 @@ def q28_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"median_price": 0.5, "p95_price": 0.95},
         stats=stats,
     )
+    # null-safe join: a NULL returnflag group must survive to the output the
+    # way the oracle's GROUP BY keeps it (the operator is null-safe inside)
+    pct_b = F.broadcast(pct.withColumnRenamed("l_returnflag", "_rf"))
     return (
-        base.join(F.broadcast(pct), "l_returnflag")
+        base.drop("_n_val")
+        .join(pct_b, F.col("l_returnflag").eqNullSafe(F.col("_rf")))
+        .drop("_rf")
         .transform(presentation_sort, "l_returnflag")
     )
 

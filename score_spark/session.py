@@ -33,7 +33,8 @@ def get_session(
     # query stage with a driver re-plan in between, a measured ~0.1-0.15 s
     # per exchange of pure latency that dominates sub-second local queries;
     # a latency-sensitive local run can opt out without touching code.
-    aqe = os.environ.get("SPARK_GRAFT_AQE", "true").lower()
+    aqe_raw = os.environ.get("SPARK_GRAFT_AQE", "true").strip().lower()
+    aqe = "false" if aqe_raw in ("false", "0", "no", "off") else "true"
 
     builder = (
         SparkSession.builder.appName(app_name)
