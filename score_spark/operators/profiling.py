@@ -66,6 +66,7 @@ def exact_percentiles_by_group(
     round_dp: int = 2,
     n_buckets: int = 4096,
     stats: DataFrame | None = None,
+    bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """One row per group with a column per entry of ``percentiles``
     (name -> p in [0, 1]), computed with quantile_cont (linear
@@ -76,7 +77,16 @@ def exact_percentiles_by_group(
     that COVER the value range (``_mn <= min``, ``_mn + _span >= max``,
     ``_span > 0``; e.g. rounded bounds from an aggregate the caller already
     computes). Rank selection stays exact because bucket bounds only
-    partition the data."""
+    partition the data.
+
+    ``bounds=(lo, hi)`` is the cheapest mode: any COVERING global value
+    range (lo <= min, hi >= max — e.g. parquet footer statistics, see
+    ``parquet_column_bounds``). Bucket assignment becomes a map-only literal
+    expression shared by every group, the stats pass disappears entirely,
+    and per-group n falls out of the (bounded) bucket histogram via a
+    whole-partition window sum. Groups spanning a narrow slice of the global
+    range use fewer distinct buckets — slices get proportionally coarser,
+    never incorrect."""
     spark = df.sparkSession
     vid = next(_view_ids)
     src_view = f"_pct_src_{vid}"
@@ -84,7 +94,14 @@ def exact_percentiles_by_group(
     g, v = f"`{group_col}`", f"`{value_col}`"
     nb = int(n_buckets)
 
-    if stats is not None:
+    stats_cte = None
+    if bounds is not None:
+        lo, hi = float(bounds[0]), float(bounds[1])
+        span = max(hi - lo, 1e-12)
+        bucket_sql = (
+            f"greatest(0L, least({nb - 1}L, floor((v - {lo!r}d) / {span!r}d * {nb})))"
+        )
+    elif stats is not None:
         stats_view = f"_pct_stats_{vid}"
         stats.createOrReplaceTempView(stats_view)
         stats_cte = f"SELECT {g} AS g, _n AS n, _mn AS mn, _span AS span FROM {stats_view}"
@@ -126,10 +143,31 @@ def exact_percentiles_by_group(
         interp = f"{v_lo} + {frac} * ({v_hi} - {v_lo})"
         aggs.append(f"round(({interp}) * {scale!r}d, 0) / {scale!r}d AS `{name}`")
 
-    sql = f"""
-WITH src AS (
-  SELECT {g} AS g, {v} AS v FROM {src_view} WHERE {v} IS NOT NULL
+    if bounds is not None:
+        # map-only bucket assignment; n recovered from the bounded histogram
+        head = f"""
+bucketed AS (
+  SELECT g, v, {bucket_sql} AS bk FROM src
 ),
+hist AS (
+  SELECT g, bk, count(*) AS bcnt FROM bucketed GROUP BY g, bk
+),
+cum AS (
+  SELECT g, bk, bcnt,
+         sum(bcnt) OVER (PARTITION BY g ORDER BY bk) - bcnt AS off,
+         sum(bcnt) OVER (PARTITION BY g) AS n
+  FROM hist
+),
+targets AS (
+  SELECT g, bk, off, n FROM cum WHERE {is_target}
+),
+sliced AS (
+  SELECT /*+ BROADCAST(t) */ b.g, b.bk, t.off, t.n, b.v, count(*) AS cnt
+  FROM bucketed b JOIN targets t ON b.g <=> t.g AND b.bk = t.bk
+  GROUP BY b.g, b.bk, t.off, t.n, b.v
+)"""
+    else:
+        head = f"""
 stats AS ({stats_cte}),
 bucketed AS (
   SELECT /*+ BROADCAST(st) */ s.g, s.v, st.n,
@@ -152,7 +190,12 @@ sliced AS (
   SELECT /*+ BROADCAST(t) */ b.g, b.bk, t.off, b.n, b.v, count(*) AS cnt
   FROM bucketed b JOIN targets t ON b.g <=> t.g AND b.bk = t.bk
   GROUP BY b.g, b.bk, t.off, b.n, b.v
-),
+)"""
+
+    sql = f"""
+WITH src AS (
+  SELECT {g} AS g, {v} AS v FROM {src_view} WHERE {v} IS NOT NULL
+),{head},
 ranked AS (
   SELECT g, n, v, cnt,
          sum(cnt) OVER (PARTITION BY g, bk ORDER BY v) + off AS cum
@@ -167,6 +210,48 @@ GROUP BY g
     # catalog entries — drop them or a long-lived session's temp-view catalog
     # grows by 1-2 entries per call
     spark.catalog.dropTempView(src_view)
-    if stats is not None:
+    if bounds is None and stats is not None:
         spark.catalog.dropTempView(f"_pct_stats_{vid}")
     return out
+
+
+def parquet_column_bounds(df: DataFrame, value_col: str) -> tuple[float, float] | None:
+    """Global (min, max) of a numeric column from parquet FOOTER statistics —
+    driver-side metadata only, no Spark job. The same storage statistics the
+    engines' own scan pruning uses; at any scale this reads one footer per
+    file, not data. Returns None when the frame isn't a plain parquet scan
+    or any file/row-group lacks stats for the column (caller falls back to
+    a computed stats pass). Bounds from footers always COVER the true range
+    (parquet stats are exact min/max per row group), which is all the
+    bucketed rank-selection needs."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        return None
+    lo = hi = None
+    for f in files:
+        path = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:
+            return None
+        try:
+            ci = md.schema.names.index(value_col)
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mn, mx = float(st.min), float(st.max)
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+    if lo is None:
+        return None
+    return (lo, hi)

@@ -729,20 +729,28 @@ def q28_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ignores NULLs); dropped from the output below
         F.count("l_extendedprice").alias("_n_val"),
     )
-    # feed the base aggregate's own (non-null n, min, max) to the percentile
-    # operator as covering bucket bounds (min_price is rounded — widen by 1
-    # unit each side so the bounds still cover the true range) — ReuseExchange
-    # then shares the base shuffle instead of adding a stats pass over lineitem
-    stats = base.select(
-        "l_returnflag",
-        F.col("_n_val").alias("_n"),
-        (F.col("min_price") - 1).alias("_mn"),
-        F.greatest(F.col("max_price") - F.col("min_price") + 2, F.lit(1e-12)).alias("_span"),
-    )
+    # cheapest stats source first: global (min, max) straight from the
+    # parquet FOOTERS (driver-side metadata, no job) — bucket assignment
+    # becomes a map-only literal and the whole stats pass disappears. Falls
+    # back to the base aggregate's own per-group (non-null n, rounded-widened
+    # min/max) when footer stats are unavailable; either way the bounds only
+    # COVER the range, rank selection stays exact.
+    from score_spark.operators.profiling import parquet_column_bounds
+
+    bounds = parquet_column_bounds(li, "l_extendedprice")
+    stats = None
+    if bounds is None:
+        stats = base.select(
+            "l_returnflag",
+            F.col("_n_val").alias("_n"),
+            (F.col("min_price") - 1).alias("_mn"),
+            F.greatest(F.col("max_price") - F.col("min_price") + 2, F.lit(1e-12)).alias("_span"),
+        )
     pct = exact_percentiles_by_group(
         li, "l_returnflag", "l_extendedprice",
         {"median_price": 0.5, "p95_price": 0.95},
         stats=stats,
+        bounds=bounds,
     )
     # null-safe join: a NULL returnflag group must survive to the output the
     # way the oracle's GROUP BY keeps it (the operator is null-safe inside)

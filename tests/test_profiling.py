@@ -77,6 +77,33 @@ def test_matches_duckdb_quantile_cont_on_lineitem(spark, sf_dir, oracle_con):
         assert (got[g]["p25"], got[g]["p50"], got[g]["p99"]) == (p25, p50, p99), g
 
 
+def test_bounds_mode_matches_computed_stats(spark):
+    """Covering global bounds (footer-stats mode) must select the identical
+    ranks as the per-group computed-stats mode — bounds only partition data.
+    Loose bounds (wider than the data) must also stay exact."""
+    rows = [("a", float(i)) for i in range(1, 101)] + [("b", 7.0), ("b", 9.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    want = _as_map(exact_percentiles_by_group(df, "g", "v", {"p50": 0.5, "p95": 0.95}))
+    for bounds in [(1.0, 100.0), (-500.0, 500.0)]:
+        got = _as_map(
+            exact_percentiles_by_group(df, "g", "v", {"p50": 0.5, "p95": 0.95}, bounds=bounds)
+        )
+        assert got == want, bounds
+
+
+def test_parquet_column_bounds_reads_footers(spark, tmp_path):
+    from score_spark.operators.profiling import parquet_column_bounds
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(i, float(i) * 1.5 - 3) for i in range(100)], ["id", "x"]).repartition(
+        3
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert parquet_column_bounds(df, "x") == (-3.0, 99 * 1.5 - 3)
+    # non-file source -> None (caller falls back to the computed-stats pass)
+    assert parquet_column_bounds(spark.range(5), "id") is None
+
+
 def test_no_whole_group_value_buffering_in_plan(spark, sf_dir):
     """The plan must contain no `percentile` aggregate (the buffering
     evaluator this operator replaces) — its aggregation paths are plain
