@@ -287,42 +287,55 @@ ORDER BY source
 
 
 
-def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Per-document repetition signals — the Gopher/RefinedWeb-style quality
     rule family: dup_fraction = share of word 2-grams that are repeats of an
     earlier 2-gram in the same doc, top_fraction = share held by the single
     most frequent 2-gram. Highly repetitive docs (boilerplate, keyword spam,
     generation loops) score high and get filtered before training.
 
-    Shape: explode 2-grams -> count per (doc, gram) -> reaggregate per doc.
-    Both aggregates partial-combine map-side; the shuffled rows are (id,
-    gram-hash, count) — token-stream sized, same scale class as d02's
-    shingle table. xxhash64 gram identity keeps the shuffle narrow (same
-    64-bit-identity argument as shingle_table)."""
-    words = F.split(F.col(text_col), " ")
-    # all n-1 overlapping 2-grams; a 1-word doc has none (guarded — an
-    # unguarded descending sequence(0, -1) would fabricate two bogus grams)
-    grams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - 2),
-            lambda i: F.xxhash64(F.concat_ws(" ", words[i], words[i + 1])),
-        ),
-    ).otherwise(F.expr("array()").cast("array<bigint>"))
-    per_gram = (
-        df.select(F.col(id_col), F.explode(grams).alias("g"))
-        .groupBy(id_col, "g")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    Shape: MAP-ONLY. A gram never needs to leave its document, so the stats
+    come from in-row JVM HOFs — n_grams = size, n_distinct via
+    array_distinct, and the top gram count as the longest equal-run of the
+    SORTED gram array (one aggregate pass with (prev, run, best) struct
+    state). Zero shuffle at any scale (the r4 explode -> two-aggregate shape
+    shuffled a token-stream-sized table to compute a per-row property; it
+    also hashed grams to narrow that shuffle — exact strings need no such
+    tradeoff in-row). Docs with < 2 words have no 2-grams and are excluded,
+    matching the explode semantics. ``carry_cols`` ride along so callers
+    don't need a join to recover doc attributes."""
+    w = f"split({text_col}, ' ')"
+    grams = (
+        f"transform(sequence(0, size({w}) - 2),"
+        f" i -> concat_ws(' ', {w}[i], {w}[i + 1]))"
     )
-    return per_gram.groupBy(id_col).agg(
-        F.sum("cnt").alias("n_grams"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.max("cnt").alias("top_cnt"),
-    ).select(
-        id_col,
-        F.col("n_grams").cast("long").alias("n_grams"),
-        F.round(1 - F.col("n_distinct") / F.col("n_grams"), 4).alias("dup_fraction"),
-        F.round(F.col("top_cnt") / F.col("n_grams"), 4).alias("top_fraction"),
+    # longest equal-run over the sorted grams == max frequency of any gram
+    best = (
+        "aggregate(array_sort(_grams),"
+        " named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),"
+        " (a, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1L, 1L),"
+        "   'best', greatest(a.best, IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1L, 1L))),"
+        " a -> a.best)"
+    )
+    return (
+        df.filter(F.expr(f"size({w}) >= 2"))
+        .select(id_col, *carry_cols, F.expr(grams).alias("_grams"))
+        .select(
+            id_col,
+            *carry_cols,
+            F.expr("size(_grams)").cast("long").alias("n_grams"),
+            F.expr("round(1 - size(array_distinct(_grams)) / size(_grams), 4)").alias(
+                "dup_fraction"
+            ),
+            F.expr(f"round({best} / size(_grams), 4)").alias("top_fraction"),
+        )
     )
 
 
@@ -330,14 +343,13 @@ def t07_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-quality summary per source: how repetitive the corpus is
     and how many docs a dup-fraction filter would drop."""
     d = load_table(spark, sf_dir, "documents")
-    # the gram explode below multiplies per-byte work ~50x (every n-gram of
-    # every doc becomes a row through two aggregates), so the fan-out density
-    # floor scales down by the same factor — a KB of input here is ~100 KB of
-    # downstream work (measured 2.5x regression when left at the default)
-    r = repetition_stats(fan_out(d, min_bytes_per_task=64 * 1024))
-    joined = r.join(d.select("doc_id", "source"), "doc_id")
+    # interpreted HOF per-doc cost (array_sort + struct-state aggregate) is
+    # ~50x a plain scan, so the text-pipeline fan-out floor scales down
+    # (measured 3.8 s single-task vs 1.0 s spread at sf0.1); source rides
+    # through, no join needed
+    r = repetition_stats(fan_out(d, min_bytes_per_task=64 * 1024), carry_cols=("source",))
     return (
-        joined.groupBy("source")
+        r.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.avg("dup_fraction"), 4).alias("avg_dup_fraction"),
