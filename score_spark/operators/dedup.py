@@ -221,21 +221,21 @@ def shingle_arrays(df: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def minhash_signature_col(shingle_col, n_hashes: int = 16):
-    """Signature Column from a shingle-array column: per hash i, min over
-    shingles of xxhash64(shingle, i). Entirely JVM-side HOFs."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(n_hashes)
-        ]
+def minhash_signature_col(shingle_col: str, n_hashes: int = 16):
+    """Signature Column from a shingle-array column (given by name / SQL
+    fragment): per hash i, min over shingles of xxhash64(shingle, i).
+    Entirely JVM-side HOFs, parsed once (see functions/text.py construction
+    note)."""
+    mins = ", ".join(
+        f"array_min(transform({shingle_col}, s -> xxhash64(s, {i})))" for i in range(n_hashes)
     )
+    return F.expr(f"array({mins})")
 
 
 def minhash_signature(df: DataFrame, n_hashes: int = 16, n: int = 3) -> DataFrame:
     """(doc_id, sig: array<bigint>) from raw documents."""
     return shingle_arrays(df, n).select(
-        "doc_id", minhash_signature_col(F.col("_shs"), n_hashes).alias("sig")
+        "doc_id", minhash_signature_col("_shs", n_hashes).alias("sig")
     )
 
 
@@ -260,22 +260,16 @@ def minhash_lsh_pairs(
     rows = n_hashes // bands
     if sigs is None:
         sigs = minhash_signature(df, n_hashes, n)
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', xxhash64(concat_ws(',', {cols})))".format(
+            b=bnd, cols=", ".join(f"sig[{bnd * rows + r}]" for r in range(rows))
+        )
+        for bnd in range(bands)
+    )
     banded = sigs.select(
         "doc_id",
         "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bnd).alias("band"),
-                        F.xxhash64(F.concat_ws(",", *[F.col("sig")[bnd * rows + r] for r in range(rows)])).alias(
-                            "bucket"
-                        ),
-                    )
-                    for bnd in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.expr(f"explode(array({band_structs}))").alias("bb"),
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a, b = banded.alias("a"), banded.alias("b")
     agree = F.size(
@@ -312,17 +306,16 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     # reliably common-subexpression-eliminate across aggregate functions —
     # that is 63 xxhash64 evaluations per token instead of 1
     hashed = toks.select(id_col, F.xxhash64("tok").alias("_th"))
-    h = F.col("_th")
+    # 63 aggregate updates + the recombination, each authored as ONE parsed
+    # SQL expression — composing them as Column objects was ~650 Py4J
+    # round-trips (~1.5 s of pure construction latency per call)
     bit_sums = [
-        F.sum(F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)).alias(f"b{b}")
+        F.expr(f"sum(IF((_th & {1 << b}) != 0, 1, -1)) AS b{b}")
         for b in range(63)  # bit 63 = sign bit; skip to stay in long range
     ]
     agg = hashed.groupBy(id_col).agg(*bit_sums)
-    sim = None
-    for b in range(63):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return agg.select(id_col, sim.alias("simhash"))
+    sim = " + ".join(f"IF(b{b} > 0, {1 << b}L, 0L)" for b in range(63))
+    return agg.select(id_col, F.expr(f"{sim} AS simhash"))
 
 
 def hamming_pairs(
@@ -338,21 +331,15 @@ def hamming_pairs(
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     n_chunks = max_hamming + 1
     width = -(-64 // n_chunks)  # ceil: chunks cover all 64 bits
-    mask = F.lit((1 << width) - 1)
+    chunk_structs = ", ".join(
+        f"named_struct('chunk_id', {c},"
+        f" 'chunk', shiftrightunsigned(`{sig_col}`, {c * width}) & {(1 << width) - 1}L)"
+        for c in range(n_chunks)
+    )
     chunks = sigs.select(
         F.col(id_col).alias("_id"),
         F.col(sig_col).alias("_sig"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk_id"),
-                        F.shiftrightunsigned(F.col(sig_col), c * width).bitwiseAND(mask).alias("chunk"),
-                    )
-                    for c in range(n_chunks)
-                ]
-            )
-        ).alias("cc"),
+        F.expr(f"explode(array({chunk_structs}))").alias("cc"),
     ).select("_id", "_sig", "cc.chunk_id", "cc.chunk")
     a, b = chunks.alias("a"), chunks.alias("b")
     hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("int")
@@ -636,7 +623,7 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     that pass three times; VERDICT r2 "Next round" #1)."""
     d = load_table(spark, sf_dir, "documents")
     sh = shingle_arrays(d, n=3).persist()
-    sigs = sh.select("doc_id", minhash_signature_col(F.col("_shs"), 16).alias("sig"))
+    sigs = sh.select("doc_id", minhash_signature_col("_shs", 16).alias("sig"))
     cand = write_xcheck(minhash_lsh_pairs(d, n_hashes=16, bands=8, sigs=sigs), "d03_candidates")
     g = shingle_table(max_doc_freq=None, shingle_df=sh)
     sizes = sh.select("doc_id", F.size("_shs").alias("sz"))

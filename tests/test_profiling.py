@@ -104,6 +104,21 @@ def test_parquet_column_bounds_reads_footers(spark, tmp_path):
     assert parquet_column_bounds(spark.range(5), "id") is None
 
 
+def test_bounds_mode_plan_is_two_scans_no_stats_pass(spark, sf_dir):
+    """With covering bounds the plan must read the source exactly twice
+    (bucket histogram + target slice) — no third scan for a stats aggregate,
+    and no join to assign buckets (map-only literal expression)."""
+    from score_spark.io import load_table
+    from score_spark.operators.profiling import exact_percentiles_by_group
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df = exact_percentiles_by_group(
+        li, "l_returnflag", "l_extendedprice", {"p50": 0.5}, bounds=(0.0, 200000.0)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 2, plan.count("FileScan")
+
+
 def test_no_whole_group_value_buffering_in_plan(spark, sf_dir):
     """The plan must contain no `percentile` aggregate (the buffering
     evaluator this operator replaces) — its aggregation paths are plain
