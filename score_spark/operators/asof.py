@@ -57,21 +57,26 @@ def asof_join(
     right_value_cols = right_value_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
-    l_tagged = left.select(
-        F.col(on).alias("_k"),
-        F.col(left_ts).alias("_ts"),
-        F.lit(1).alias("_is_left"),
-        F.struct(*left.columns).alias("_l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_value_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+    # selectExpr with generated strings: each select is ONE Py4J call + one
+    # JVM parse instead of per-column Column round-trips (see
+    # functions/text.py construction note)
+    rtype = {c: right.schema[c].dataType.simpleString() for c in (*right_value_cols, right_ts)}
+    l_struct = "struct(" + ", ".join(f"`{c}`" for c in left.columns) + ")"
+    l_tagged = left.selectExpr(
+        f"`{on}` AS _k",
+        f"`{left_ts}` AS _ts",
+        "1 AS _is_left",
+        f"{l_struct} AS _l",
+        *[f"cast(null AS {rtype[c]}) AS `_r_{c}`" for c in right_value_cols],
+        f"cast(null AS {rtype[right_ts]}) AS _r_ts",
     )
-    r_tagged = right.select(
-        F.col(on).alias("_k"),
-        F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_is_left"),
-        F.lit(None).cast(l_tagged.schema["_l"].dataType).alias("_l"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
-        F.col(right_ts).alias("_r_ts"),
+    r_tagged = right.selectExpr(
+        f"`{on}` AS _k",
+        f"`{right_ts}` AS _ts",
+        "0 AS _is_left",
+        f"cast(null AS {l_tagged.schema['_l'].dataType.simpleString()}) AS _l",
+        *[f"`{c}` AS `_r_{c}`" for c in right_value_cols],
+        f"`{right_ts}` AS _r_ts",
     )
     tagged = l_tagged.unionByName(r_tagged)
     if ranged_by_key:
@@ -79,22 +84,21 @@ def asof_join(
     carry_cols = [*right_value_cols]
     if time_buckets is None:
         # right rows sort before left rows at equal _ts → right_ts <= left_ts
-        w = (
-            Window.partitionBy("_k")
-            .orderBy("_ts", "_is_left")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        over = (
+            "OVER (PARTITION BY _k ORDER BY _ts, _is_left"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         )
-        carried = tagged.select(
+        carried = tagged.selectExpr(
             "*",
-            *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_last_{c}") for c in carry_cols],
-            F.last("_r_ts", ignorenulls=True).over(w).alias("_last_ts"),
+            *[f"last(`_r_{c}`, true) {over} AS `_last_{c}`" for c in carry_cols],
+            f"last(_r_ts, true) {over} AS _last_ts",
         )
     else:
         carried = _bucketed_carry(tagged, carry_cols, time_buckets)
-    out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
-    out_cols += [F.col(f"_last_{c}").alias(f"{c}{suffix}") for c in right_value_cols]
-    out_cols.append(F.col("_last_ts").alias(f"{right_ts}{suffix}"))
-    return carried.filter(F.col("_is_left") == 1).select(*out_cols)
+    out_cols = [f"_l.`{c}` AS `{c}`" for c in left.columns]
+    out_cols += [f"`_last_{c}` AS `{c}{suffix}`" for c in right_value_cols]
+    out_cols.append(f"_last_ts AS `{right_ts}{suffix}`")
+    return carried.filter("_is_left = 1").selectExpr(*out_cols)
 
 
 def _bucketed_carry(tagged: DataFrame, carry_cols: list[str], n_buckets: int) -> DataFrame:
