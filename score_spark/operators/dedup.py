@@ -331,10 +331,14 @@ def hamming_pairs(
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     n_chunks = max_hamming + 1
     width = -(-64 // n_chunks)  # ceil: chunks cover all 64 bits
+    # width == 64 (max_hamming = 0: exact-duplicate blocking) masks nothing —
+    # and (1 << 64) - 1 would overflow a bigint literal
+    def chunk_expr(c: int) -> str:
+        shifted = f"shiftrightunsigned(`{sig_col}`, {c * width})"
+        return shifted if width >= 64 else f"{shifted} & {(1 << width) - 1}L"
+
     chunk_structs = ", ".join(
-        f"named_struct('chunk_id', {c},"
-        f" 'chunk', shiftrightunsigned(`{sig_col}`, {c * width}) & {(1 << width) - 1}L)"
-        for c in range(n_chunks)
+        f"named_struct('chunk_id', {c}, 'chunk', {chunk_expr(c)})" for c in range(n_chunks)
     )
     chunks = sigs.select(
         F.col(id_col).alias("_id"),

@@ -1,0 +1,186 @@
+"""Property-based tests (hypothesis) for the custom operators whose
+correctness argument is algorithmic rather than a single worked example:
+random inputs, independent reference implementations (numpy / pandas /
+brute force) as the oracle.
+
+Example counts are kept small (each example runs Spark jobs); the goal is
+shrinking counter-examples for boundary bugs (ties, empty groups, exact
+rank hits, skewed keys), not statistical volume.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# --------------------------------------------------------- exact percentiles
+
+values = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+    min_size=1,
+    max_size=40,
+)
+groups_data = st.dictionaries(st.sampled_from(["a", "b", "c"]), values, min_size=1)
+percentile = st.floats(min_value=0.0, max_value=1.0, allow_nan=False)
+
+
+@SETTINGS
+@given(data=groups_data, p=percentile, use_bounds=st.booleans())
+def test_percentiles_match_numpy_linear(spark, data, p, use_bounds):
+    """quantile_cont == numpy's 'linear' interpolation, per group, for any
+    data (ties, negatives, single values) and any p — in both the computed
+    stats mode and the covering-bounds mode."""
+    from score_spark.operators.profiling import exact_percentiles_by_group
+
+    rows = [(g, float(v)) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    bounds = None
+    if use_bounds:
+        allv = [v for _, v in rows]
+        bounds = (min(allv) - 1.0, max(allv) + 1.0)
+    got = {
+        r["g"]: r["q"]
+        for r in exact_percentiles_by_group(
+            df, "g", "v", {"q": p}, round_dp=4, bounds=bounds
+        ).collect()
+    }
+    for g, vs in data.items():
+        want = float(np.quantile(np.array(vs, dtype=np.float64), p, method="linear"))
+        assert abs(got[g] - want) <= 10**-4 + 1e-9 * abs(want), (g, got[g], want)
+
+
+# --------------------------------------------------------------- as-of join
+
+asof_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(0, 100)),
+    min_size=0,
+    max_size=30,
+)
+
+
+@SETTINGS
+@given(left=asof_rows, right=asof_rows, buckets=st.sampled_from([None, 4]))
+def test_asof_join_matches_pandas_merge_asof(spark, left, right, buckets):
+    """asof semantics (most recent right_ts <= left_ts per key) == pandas
+    merge_asof(direction='backward') for any key/time layout, with and
+    without the skew-escape time_buckets path."""
+    from score_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, v) for k, t, v in left] or [(0, 0, 0)], ["k", "ts", "lv"]
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, v) for k, t, v in right] or [(99, 0, 0)], ["k", "ts", "rv"]
+    )
+    got = (
+        asof_join(ldf, rdf, on="k", right_value_cols=["rv"], time_buckets=buckets)
+        .select("k", "ts", "lv", "rv_right")
+        .toPandas()
+        .sort_values(["k", "ts", "lv"])
+        .reset_index(drop=True)
+    )
+    lp = pd.DataFrame([(k, t, v) for k, t, v in left] or [(0, 0, 0)], columns=["k", "ts", "lv"])
+    rp = pd.DataFrame(
+        [(k, t, v) for k, t, v in right] or [(99, 0, 0)], columns=["k", "ts", "rv"]
+    )
+    # merge_asof needs a deterministic winner at duplicate (k, ts) on the
+    # right: keep the LAST duplicate, matching the window's last() carry
+    rp = rp.sort_values(["ts", "k"], kind="stable").drop_duplicates(["k", "ts"], keep="last")
+    want = (
+        pd.merge_asof(
+            lp.sort_values("ts", kind="stable"),
+            rp.sort_values("ts", kind="stable"),
+            on="ts",
+            by="k",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        .sort_values(["k", "ts", "lv"])
+        .reset_index(drop=True)
+    )
+    got_rv = [None if pd.isna(x) else int(x) for x in got["rv_right"]]
+    want_rv = [None if pd.isna(x) else int(x) for x in want["rv"]]
+    assert got_rv == want_rv, (got_rv, want_rv)
+
+
+# ------------------------------------------------------------- hamming pairs
+
+sigs_strategy = st.lists(
+    st.integers(min_value=0, max_value=(1 << 63) - 1), min_size=0, max_size=12, unique=True
+)
+
+
+@SETTINGS
+@given(sigs=sigs_strategy, max_h=st.integers(0, 6))
+def test_hamming_pairs_equals_brute_force(spark, sigs, max_h):
+    """Chunk-blocked candidate generation must return EXACTLY the pairs
+    within max_h bits — the pigeonhole bound guarantees full recall, the
+    post-filter full precision."""
+    from score_spark.operators.dedup import hamming_pairs
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)] or [(0, 0)], ["doc_id", "simhash"]
+    )
+    got = {
+        (r["d1"], r["d2"])
+        for r in hamming_pairs(df, max_hamming=max_h).collect()
+    }
+    data = list(enumerate(sigs)) or [(0, 0)]
+    want = {
+        (i, j)
+        for ii, (i, a) in enumerate(data)
+        for (j, b) in data[ii + 1:]
+        if bin(a ^ b).count("1") <= max_h
+    }
+    assert got == want
+
+
+# -------------------------------------------------------------- doc chunking
+
+doc_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),
+        st.lists(st.sampled_from(["w%d" % i for i in range(9)]), min_size=1, max_size=25),
+    ),
+    min_size=1,
+    max_size=6,
+    unique_by=lambda t: t[0],
+)
+
+
+@SETTINGS
+@given(docs=doc_strategy, chunk_size=st.integers(2, 8), overlap=st.integers(0, 3))
+def test_chunking_reconstructs_documents(spark, docs, chunk_size, overlap):
+    """De-overlapping consecutive chunks must reproduce every document's
+    exact word stream — no word lost, duplicated, or reordered, for any
+    (chunk_size, overlap) with overlap < chunk_size."""
+    if overlap >= chunk_size:
+        overlap = chunk_size - 1
+    from score_spark.operators.pipeline import chunk_documents
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in docs], ["doc_id", "text"]
+    )
+    out = (
+        chunk_documents(df, chunk_size=chunk_size, overlap=overlap)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    )
+    stride = chunk_size - overlap
+    by_doc: dict[int, list[str]] = {}
+    for r in out:
+        words = r["chunk_text"].split(" ")
+        keep = words if r["chunk_idx"] == 0 else words[overlap:]
+        by_doc.setdefault(r["doc_id"], []).extend(keep)
+    want = {i: ws for i, ws in docs}
+    assert by_doc == want
