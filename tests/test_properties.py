@@ -145,6 +145,85 @@ def test_hamming_pairs_equals_brute_force(spark, sigs, max_h):
     assert got == want
 
 
+# ---------------------------------------------------------- session windows
+
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 10_000)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SETTINGS
+@given(events=events_strategy)
+def test_session_windows_match_gaps_and_islands(spark, events):
+    """Spark's session_window (30 s gap) == the classic gaps-and-islands
+    rewrite computed independently in Python, for any per-user event layout
+    incl. exact-boundary gaps (>= gap starts a NEW session)."""
+    import datetime as dt
+
+    from score_spark.streaming.windows import session_stats
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(u, base + dt.timedelta(seconds=s), 1.0) for u, s in events]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in session_stats(df, gap="30 seconds").collect()
+    }
+    want = set()
+    by_user: dict[int, list[int]] = {}
+    for u, s in events:
+        by_user.setdefault(u, []).append(s)
+    for u, ts in by_user.items():
+        ts.sort()
+        start, n, prev = ts[0], 0, None
+        for t in ts:
+            if prev is not None and t - prev >= 30:
+                want.add((u, base + dt.timedelta(seconds=start), n))
+                start, n = t, 0
+            n += 1
+            prev = t
+        want.add((u, base + dt.timedelta(seconds=start), n))
+    assert got == want
+
+
+# ------------------------------------------------------------ token packing
+
+chunk_rows = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 3), st.integers(1, 200)),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@SETTINGS
+@given(rows=chunk_rows, budget=st.integers(8, 512), n_shards=st.sampled_from([1, 3]))
+def test_sequence_packing_conserves_tokens_and_respects_offsets(spark, rows, budget, n_shards):
+    """Packing invariants for any chunk stream: (a) total tokens conserved
+    across packs per shard, (b) pack ids are the exact floor(offset/budget)
+    sequence a serial walk of the (id, chunk_idx)-ordered stream produces."""
+    from score_spark.operators.pipeline import pack_token_stream
+
+    df = spark.createDataFrame(rows, ["doc_id", "chunk_idx", "n_words"])
+    got = {
+        (r["shard"], r["pack_id"]): (r["n_chunks"], r["pack_tokens"])
+        for r in pack_token_stream(df, budget=budget, n_shards=n_shards).collect()
+    }
+    want: dict = {}
+    for shard in range(n_shards):
+        stream = sorted((d, c, n) for d, c, n in rows if d % n_shards == shard)
+        off = 0
+        for _, _, n in stream:
+            pack = off // budget
+            k = (shard, pack)
+            nc, nt = want.get(k, (0, 0))
+            want[k] = (nc + 1, nt + n)
+            off += n
+    assert got == want
+
+
 # -------------------------------------------------------------- doc chunking
 
 doc_strategy = st.lists(
