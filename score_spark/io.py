@@ -73,6 +73,13 @@ def parse_byte_size(raw: str, default: int | None = None) -> int:
     raise ValueError(f"unparseable byte-size conf value: {raw!r}")
 
 
+# density floor for pipelines whose per-byte work is ~50x a plain scan
+# (explodes: shingling, chunking, gram stats, token streams; interpreted
+# HOF loops) — they deserve the spread ~64x sooner than plain expression
+# pipelines do
+EXPLODE_BYTES_PER_TASK = 64 * 1024
+
+
 def fan_out(
     df: DataFrame,
     min_partitions: int | None = None,

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
 
 from score_spark.functions.text import shingles
-from score_spark.io import fan_out, load_table
+from score_spark.io import EXPLODE_BYTES_PER_TASK, fan_out, load_table
 from score_spark.xcheck import write_xcheck, xcheck_path
 
 # ------------------------------------------------------------------ exact
@@ -216,7 +216,7 @@ def shingle_arrays(df: DataFrame, n: int = 3) -> DataFrame:
     as the token stream and must not run three times (VERDICT r2 finding)."""
     # shingling explodes ~wordcount rows per doc: per-byte work is ~50x a
     # plain scan, so the fan-out density floor scales down accordingly
-    return fan_out(df, min_bytes_per_task=64 * 1024).select(
+    return fan_out(df, min_bytes_per_task=EXPLODE_BYTES_PER_TASK).select(
         "doc_id", shingles("text", n).alias("_shs")
     )
 
@@ -298,7 +298,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     """64-bit SimHash of the token multiset: per bit, sign of sum(+1/-1) over
     token hashes. One explode + one groupBy(id) — the aggregate is 64 narrow
     conditional sums, which Spark executes as a single hash-agg pass."""
-    toks = fan_out(df, min_bytes_per_task=64 * 1024).select(  # explode: ~50x per-byte work
+    toks = fan_out(df, min_bytes_per_task=EXPLODE_BYTES_PER_TASK).select(  # token explode
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
     # hash ONCE in a projection: the 63 per-bit aggregate updates each embed

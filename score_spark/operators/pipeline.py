@@ -26,7 +26,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from score_spark.functions.text import shingles
-from score_spark.io import fan_out, load_table, presentation_sort
+from score_spark.io import EXPLODE_BYTES_PER_TASK, fan_out, load_table, presentation_sort
 
 # train share ~0.8 of the md5 hex space: 'c'*32 / 16^32 = 12/16 + 12/256 + ...
 _TRAIN_HEX = "c" * 32
@@ -62,7 +62,7 @@ def chunk_documents(
     spread = (
         df.repartitionByRange(id_col)
         if ranged_by_id
-        else fan_out(df, min_bytes_per_task=64 * 1024)  # chunk explode: ~50x per-byte work
+        else fan_out(df, min_bytes_per_task=EXPLODE_BYTES_PER_TASK)  # chunk explode
     )
     base = spread.select(
         F.col(id_col), words.alias("_w"), F.size(words).alias("_n")
@@ -126,7 +126,7 @@ def decontamination_report(
     spread = (
         docs.repartitionByRange(id_col)
         if ranged_by_id
-        else fan_out(docs, min_bytes_per_task=64 * 1024)  # shingle explode: ~50x per-byte work
+        else fan_out(docs, min_bytes_per_task=EXPLODE_BYTES_PER_TASK)  # shingle explode
     )
     doc_sh = spread.select(
         F.col(id_col), F.explode(shingles(text_col, n)).alias("sh")

@@ -58,6 +58,12 @@ from pyspark.sql import DataFrame
 _view_ids = itertools.count()
 
 
+def _bucket_sql(v: str, mn: str, span: str, nb: int) -> str:
+    """Equal-width bucket assignment, clamped to [0, nb) — shared by the
+    literal-bounds and per-group-stats modes."""
+    return f"greatest(0L, least({nb - 1}L, floor(({v} - {mn}) / {span} * {nb})))"
+
+
 def exact_percentiles_by_group(
     df: DataFrame,
     group_col: str,
@@ -98,9 +104,7 @@ def exact_percentiles_by_group(
     if bounds is not None:
         lo, hi = float(bounds[0]), float(bounds[1])
         span = max(hi - lo, 1e-12)
-        bucket_sql = (
-            f"greatest(0L, least({nb - 1}L, floor((v - {lo!r}d) / {span!r}d * {nb})))"
-        )
+        bucket_sql = _bucket_sql("v", f"{lo!r}d", f"{span!r}d", nb)
     elif stats is not None:
         stats_view = f"_pct_stats_{vid}"
         stats.createOrReplaceTempView(stats_view)
@@ -171,8 +175,7 @@ sliced AS (
 stats AS ({stats_cte}),
 bucketed AS (
   SELECT /*+ BROADCAST(st) */ s.g, s.v, st.n,
-         greatest(0L, least({nb - 1}L,
-                 floor((s.v - st.mn) / st.span * {nb}))) AS bk
+         {_bucket_sql("s.v", "st.mn", "st.span", nb)} AS bk
   FROM src s JOIN stats st ON s.g <=> st.g  -- null-safe: NULL group keys profile too
 ),
 hist AS (

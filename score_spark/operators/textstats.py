@@ -13,7 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from score_spark.functions import text as TX
-from score_spark.io import fan_out, load_table, presentation_sort
+from score_spark.io import EXPLODE_BYTES_PER_TASK, fan_out, load_table, presentation_sort
 
 # DuckDB mirrors of functions/text.py (1-indexed lists; list_* HOFs)
 _TOKENS = "string_split(text, ' ')"
@@ -27,9 +27,8 @@ def with_text_stats(df: DataFrame, text_col: str = "text", spread: bool = True) 
     """Append per-document token statistics (all codegen'd built-ins).
     ``spread=False`` skips the round-robin fan-out for callers that already
     partitioned the input themselves (e.g. t01's range fusion)."""
-    # several regex/split passes per row: ~10-50x a plain byte scan, so the
-    # density floor scales down accordingly (same rationale as t07's explode)
-    base = fan_out(df, min_bytes_per_task=64 * 1024) if spread else df
+    # several regex/split passes per row: ~10-50x a plain byte scan
+    base = fan_out(df, min_bytes_per_task=EXPLODE_BYTES_PER_TASK) if spread else df
     return base.select(
         "*",
         TX.token_count(text_col).alias("n_tokens"),
@@ -41,9 +40,9 @@ def with_text_stats(df: DataFrame, text_col: str = "text", spread: bool = True) 
 
 
 def with_language(df: DataFrame, text_col: str = "text") -> DataFrame:
-    # predicted_lang is a chain of regexp_count passes — regex-heavy per
+    # predicted_lang is a chain of stopword-filter passes — heavy per
     # byte, so the fan-out floor scales down like with_text_stats above
-    return fan_out(df, min_bytes_per_task=64 * 1024).withColumn(
+    return fan_out(df, min_bytes_per_task=EXPLODE_BYTES_PER_TASK).withColumn(
         "predicted_lang", TX.predicted_lang(text_col)
     )
 
@@ -344,10 +343,11 @@ def t07_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     and how many docs a dup-fraction filter would drop."""
     d = load_table(spark, sf_dir, "documents")
     # interpreted HOF per-doc cost (array_sort + struct-state aggregate) is
-    # ~50x a plain scan, so the text-pipeline fan-out floor scales down
-    # (measured 3.8 s single-task vs 1.0 s spread at sf0.1); source rides
-    # through, no join needed
-    r = repetition_stats(fan_out(d, min_bytes_per_task=64 * 1024), carry_cols=("source",))
+    # ~50x a plain scan (measured 3.8 s single-task vs 1.0 s spread at
+    # sf0.1); source rides through, no join needed
+    r = repetition_stats(
+        fan_out(d, min_bytes_per_task=EXPLODE_BYTES_PER_TASK), carry_cols=("source",)
+    )
     return (
         r.groupBy("source")
         .agg(
