@@ -37,10 +37,15 @@ ORACLE: dict[str, str] = {}
 # plan cost removed from every query (29% of the sub-second queries' total).
 # The cache lives on the session object, so it dies with the session.
 #
-# Opt-outs: queries whose CONSTRUCTION eagerly materializes
-# localCheckpointed state (lineage is truncated, so if the checkpoint
-# blocks are later evicted — e.g. catalog.clearCache() between bench runs —
-# the frame cannot be recomputed and must be rebuilt instead).
+# Opt-outs: queries whose CONSTRUCTION eagerly materializes their RESULT
+# (localCheckpoint / driver-side collection). Memoizing those would make a
+# repeat invocation a cache READ of frozen output rather than a re-execution
+# of the pipeline — fine for a user, but it would turn best-of-N bench
+# numbers into result-cache latency instead of engine work (measured: d02
+# drops to 0.15 s on reuse because nothing recomputes), and the truncated
+# lineage also cannot be rebuilt if the checkpoint blocks are ever evicted.
+# Plan-only memoization (every other query) re-executes the full pipeline
+# per run; only construction/analysis/codegen are amortized.
 _NO_MEMO = {"d02_ngram_jaccard", "d03_minhash_lsh", "d05_dup_clusters"}
 
 
