@@ -57,26 +57,30 @@ def asof_join(
     right_value_cols = right_value_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
-    # selectExpr with generated strings: each select is ONE Py4J call + one
-    # JVM parse instead of per-column Column round-trips (see
-    # functions/text.py construction note)
-    rtype = {c: right.schema[c].dataType.simpleString() for c in (*right_value_cols, right_ts)}
+    # generated expression strings parse in one JVM call each instead of
+    # per-column Column round-trips (see functions/text.py construction
+    # note); the null placeholders keep Column-object casts because a
+    # PYTHON DataType cannot render a quoted SQL type string (simpleString
+    # drops backticks, so exotic field names would break a cast literal)
     l_struct = "struct(" + ", ".join(f"`{c}`" for c in left.columns) + ")"
-    l_tagged = left.selectExpr(
-        f"`{on}` AS _k",
-        f"`{left_ts}` AS _ts",
-        "1 AS _is_left",
-        f"{l_struct} AS _l",
-        *[f"cast(null AS {rtype[c]}) AS `_r_{c}`" for c in right_value_cols],
-        f"cast(null AS {rtype[right_ts]}) AS _r_ts",
+    l_tagged = left.select(
+        F.expr(f"`{on}` AS _k"),
+        F.expr(f"`{left_ts}` AS _ts"),
+        F.expr("1 AS _is_left"),
+        F.expr(f"{l_struct} AS _l"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+            for c in right_value_cols
+        ],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
     )
-    r_tagged = right.selectExpr(
-        f"`{on}` AS _k",
-        f"`{right_ts}` AS _ts",
-        "0 AS _is_left",
-        f"cast(null AS {l_tagged.schema['_l'].dataType.simpleString()}) AS _l",
-        *[f"`{c}` AS `_r_{c}`" for c in right_value_cols],
-        f"`{right_ts}` AS _r_ts",
+    r_tagged = right.select(
+        F.expr(f"`{on}` AS _k"),
+        F.expr(f"`{right_ts}` AS _ts"),
+        F.expr("0 AS _is_left"),
+        F.lit(None).cast(l_tagged.schema["_l"].dataType).alias("_l"),
+        *[F.expr(f"`{c}` AS `_r_{c}`") for c in right_value_cols],
+        F.expr(f"`{right_ts}` AS _r_ts"),
     )
     tagged = l_tagged.unionByName(r_tagged)
     if ranged_by_key:

@@ -252,9 +252,16 @@ def parquet_column_bounds(df: DataFrame, value_col: str) -> tuple[float, float] 
             st = md.row_group(rg).column(ci).statistics
             if st is None or not st.has_min_max:
                 return None
-            mn, mx = float(st.min), float(st.max)
+            try:
+                mn, mx = float(st.min), float(st.max)
+            except (TypeError, ValueError):
+                return None  # non-numeric column (string/binary/date stats)
             lo = mn if lo is None or mn < lo else lo
             hi = mx if hi is None or mx > hi else hi
-    if lo is None:
+    import math
+
+    # non-finite bounds (a column containing inf/nan) cannot form a SQL
+    # literal bucket expression — fall back to the computed stats pass
+    if lo is None or not (math.isfinite(lo) and math.isfinite(hi)):
         return None
     return (lo, hi)

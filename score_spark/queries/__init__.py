@@ -37,16 +37,30 @@ ORACLE: dict[str, str] = {}
 # plan cost removed from every query (29% of the sub-second queries' total).
 # The cache lives on the session object, so it dies with the session.
 #
-# Opt-outs: queries whose CONSTRUCTION eagerly materializes their RESULT
-# (localCheckpoint / driver-side collection). Memoizing those would make a
-# repeat invocation a cache READ of frozen output rather than a re-execution
-# of the pipeline — fine for a user, but it would turn best-of-N bench
-# numbers into result-cache latency instead of engine work (measured: d02
-# drops to 0.15 s on reuse because nothing recomputes), and the truncated
-# lineage also cannot be rebuilt if the checkpoint blocks are ever evicted.
+# Opt-outs: queries whose CONSTRUCTION runs Spark actions or writes —
+# checkpointed results (d02/d05), persisted intermediates (d03), xcheck
+# parquet writes (d04/s03/s05), driver-side model training (s04's Lloyd
+# collects), pruned-file writes (p01). Memoizing those would make a repeat
+# invocation skip real work — a cache READ of frozen output or a model fit
+# never re-paid — fine for a user, but it would turn best-of-N bench numbers
+# into cache latency instead of engine work (measured: d02 drops to 0.15 s
+# on reuse because nothing recomputes), and it would break xcheck's
+# invariant that each call overwrites its oracle file (a memoized re-call at
+# a previously-seen sf_dir would serve results while the file still holds
+# another sf's data). All of these are oracle-channel/baseline-skipped
+# queries, so the DuckDB-ratio gate never sees a memoized-vs-not difference.
 # Plan-only memoization (every other query) re-executes the full pipeline
 # per run; only construction/analysis/codegen are amortized.
-_NO_MEMO = {"d02_ngram_jaccard", "d03_minhash_lsh", "d05_dup_clusters"}
+_NO_MEMO = {
+    "d02_ngram_jaccard",
+    "d03_minhash_lsh",
+    "d05_dup_clusters",
+    "d04_simhash",
+    "s03_ann_lsh",
+    "s04_ann_ivf",
+    "s05_near_dup_lsh",
+    "p01_pruned_rewrite",
+}
 
 
 def _prepared(name: str, fn: Callable[[SparkSession, str], DataFrame]):

@@ -713,7 +713,10 @@ def q28_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames are 3 rows, joined via broadcast. Rounding: 2 dp on magnitudes,
     4 dp on stddev, wide enough that parallel-vs-sequential float summation
     order cannot move the rounded value."""
-    from score_spark.operators.profiling import exact_percentiles_by_group
+    from score_spark.operators.profiling import (
+        exact_percentiles_by_group,
+        parquet_column_bounds,
+    )
 
     li = _t(spark, sf_dir, "lineitem")
     base = li.groupBy("l_returnflag").agg(
@@ -735,8 +738,6 @@ def q28_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # back to the base aggregate's own per-group (non-null n, rounded-widened
     # min/max) when footer stats are unavailable; either way the bounds only
     # COVER the range, rank selection stays exact.
-    from score_spark.operators.profiling import parquet_column_bounds
-
     bounds = parquet_column_bounds(li, "l_extendedprice")
     stats = None
     if bounds is None:

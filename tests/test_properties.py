@@ -75,6 +75,14 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right, buckets):
     without the skew-escape time_buckets path."""
     from score_spark.operators.asof import asof_join
 
+    # dedup right rows on (k, ts) up front: at a duplicate right timestamp
+    # the window last() winner is an unspecified tie (Spark's sort is not
+    # guaranteed stable), so the property is only well-defined on unique
+    # (k, ts) right rows — keep the max rv as the deterministic survivor
+    rdedup: dict = {}
+    for k, t, v in right:
+        rdedup[(k, t)] = max(v, rdedup.get((k, t), v))
+    right = [(k, t, v) for (k, t), v in sorted(rdedup.items())]
     ldf = spark.createDataFrame(
         [(k, t, v) for k, t, v in left] or [(0, 0, 0)], ["k", "ts", "lv"]
     )
@@ -92,9 +100,6 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right, buckets):
     rp = pd.DataFrame(
         [(k, t, v) for k, t, v in right] or [(99, 0, 0)], columns=["k", "ts", "rv"]
     )
-    # merge_asof needs a deterministic winner at duplicate (k, ts) on the
-    # right: keep the LAST duplicate, matching the window's last() carry
-    rp = rp.sort_values(["ts", "k"], kind="stable").drop_duplicates(["k", "ts"], keep="last")
     want = (
         pd.merge_asof(
             lp.sort_values("ts", kind="stable"),
