@@ -103,3 +103,22 @@ def test_repetition_stats_planted_values(spark):
     assert set(got) == {1, 2}
     assert got[1].n_grams == 5 and got[1].dup_fraction == 0.6 and got[1].top_fraction == 0.6
     assert got[2].n_grams == 3 and got[2].dup_fraction == 0.0
+
+
+def test_prepared_query_catalog_memoizes_plans(spark):
+    """Plan-only memoization: a memoized query returns the SAME DataFrame
+    object per (session, sf_dir) — construction paid once — while the
+    construction-materializing opt-outs rebuild per call."""
+    from score_spark.queries import _NO_MEMO, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    df1 = QUERIES["q01_pricing_summary"](spark, sf)
+    df2 = QUERIES["q01_pricing_summary"](spark, sf)
+    assert df1 is df2
+    # a different sf_dir is a different prepared plan
+    assert QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.01") is not df1
+    # opt-outs are the raw callables (no wrapper attribute on the session)
+    assert all(n in QUERIES for n in _NO_MEMO)
+    d1 = QUERIES["d02_ngram_jaccard"](spark, sf)
+    d2 = QUERIES["d02_ngram_jaccard"](spark, sf)
+    assert d1 is not d2
