@@ -21,8 +21,23 @@ hash-match the oracle.
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column
+
+
+def _q(text: str) -> str:
+    """Backtick-quote a bare column identifier so names that collide with
+    reserved words (or contain nothing SQL-special but still confuse the
+    parser) resolve as columns. Anything more complex — dots, calls,
+    operators, an already-quoted name — passes through verbatim: that is the
+    documented escape hatch for callers handing in SQL fragments
+    (ADVICE r5: a name with a space/quote/keyword was silently parsed as
+    different SQL)."""
+    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", text):
+        return f"`{text}`"
+    return text
 
 # Tiny multi-language stopword lists (public, common knowledge) used by both
 # the quality scorer and the language-ID heuristic. Order matters for the
@@ -40,7 +55,7 @@ ALL_STOPWORDS = sorted({w for ws in STOPWORDS.values() for w in ws})
 def _tokens_sql(text: str) -> str:
     """Whitespace tokenization — split on single space, matching DuckDB's
     string_split(text, ' ')."""
-    return f"split({text}, ' ')"
+    return f"split({_q(text)}, ' ')"
 
 
 def tokens(text: str = "text") -> Column:
@@ -92,7 +107,7 @@ def non_alpha_ratio(text: str = "text", decimals: int = 4) -> Column:
     """Share of characters outside [a-z ]. DuckDB mirror:
     regexp_replace(text, '[a-z ]', '', 'g')."""
     return F.expr(
-        f"round(length(regexp_replace({text}, '[a-z ]', '')) / length({text}), {decimals})"
+        f"round(length(regexp_replace({_q(text)}, '[a-z ]', '')) / length({_q(text)}), {decimals})"
     )
 
 

