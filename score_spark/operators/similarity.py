@@ -592,13 +592,18 @@ def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_S01 = """
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+-- emb casts FLOAT[] -> DOUBLE[] first: DuckDB computes list_cosine_similarity
+-- in the list's element type, and float32 sims disagree with the Spark
+-- side's float64 math at the 4-dp rounding boundary often enough to flip a
+-- hash on result sets this size (observed on s05: 0.3257f vs 0.3258d)
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM emb WHERE vec_id < 5),
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
          list_cosine_similarity(q.qv, e.embedding) AS sim_raw,
          row_number() OVER (PARTITION BY q.query_id
                             ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id) AS rk
-  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+  FROM q JOIN emb e ON e.vec_id <> q.query_id
 )
 SELECT query_id, neighbor_id, round(sim_raw, 4) AS sim, CAST(rk AS INT) AS rk
 FROM scored WHERE rk <= 5
@@ -620,10 +625,11 @@ def s02_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_S02 = """
-WITH pairs AS (
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+pairs AS (
   SELECT a.vec_id v1, b.vec_id v2,
          round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
 )
 SELECT count(*) AS n_pairs,
        round(max(sim), 4) AS max_sim,
@@ -649,6 +655,7 @@ def s03_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_S03 = f"""
 WITH cand AS (SELECT * FROM read_parquet('{xcheck_path("s03_candidates")}/*.parquet')),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
 scored AS (
   SELECT c.query_id, c.neighbor_id,
          list_cosine_similarity(q.embedding, n.embedding) AS sim_raw,
@@ -656,8 +663,8 @@ scored AS (
                             ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
                                      c.neighbor_id) AS rk
   FROM cand c
-  JOIN embeddings q ON q.vec_id = c.query_id
-  JOIN embeddings n ON n.vec_id = c.neighbor_id
+  JOIN emb q ON q.vec_id = c.query_id
+  JOIN emb n ON n.vec_id = c.neighbor_id
 )
 SELECT query_id, neighbor_id, round(sim_raw, 4) AS sim, CAST(rk AS INT) AS rk
 FROM scored WHERE rk <= 5
@@ -682,6 +689,7 @@ def s04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_S04 = f"""
 WITH cand AS (SELECT * FROM read_parquet('{xcheck_path("s04_candidates")}/*.parquet')),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
 scored AS (
   SELECT c.query_id, c.neighbor_id,
          list_cosine_similarity(q.embedding, n.embedding) AS sim_raw,
@@ -689,8 +697,8 @@ scored AS (
                             ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
                                      c.neighbor_id) AS rk
   FROM cand c
-  JOIN embeddings q ON q.vec_id = c.query_id
-  JOIN embeddings n ON n.vec_id = c.neighbor_id
+  JOIN emb q ON q.vec_id = c.query_id
+  JOIN emb n ON n.vec_id = c.neighbor_id
 )
 SELECT query_id, neighbor_id, round(sim_raw, 4) AS sim, CAST(rk AS INT) AS rk
 FROM scored WHERE rk <= 5
@@ -704,22 +712,32 @@ def s05_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     xcheck; BOTH engines exact-cosine the shared pairs and apply the
     threshold, so the rerank math and filtering are fully oracle-verified.
     Candidate recall vs the exact all-pairs path is pinned in
-    tests/test_similarity.py."""
+    tests/test_similarity.py.
+
+    Family/threshold are tuned to the GATE corpus, not to real near-dups:
+    the synthetic embeddings top out near sim 0.5, so r5's production-shaped
+    (n_tables=4, n_planes=12, threshold 0.4) config — high-precision bands
+    for sim >= 0.9 duplicates — matched an EMPTY set at sf0.01 and the hash
+    check verified nothing (VERDICT r5 #2). Wider bands (8x8) + threshold
+    0.3 keep every stage non-vacuously exercised (123 result pairs at
+    sf0.01, 2227 at sf0.1); a real dedup run would restore narrow bands and
+    a high threshold."""
     emb = load_table(spark, sf_dir, "embeddings")
     cand = write_xcheck(
-        lsh_pair_candidates(emb, n_tables=4, n_planes=12), "s05_candidates"
+        lsh_pair_candidates(emb, n_tables=8, n_planes=8), "s05_candidates"
     )
-    return near_dup_pairs_lsh(emb, threshold=0.4, cand=cand).orderBy("v1", "v2")
+    return near_dup_pairs_lsh(emb, threshold=0.3, cand=cand).orderBy("v1", "v2")
 
 
 ORACLE_S05 = f"""
-WITH cand AS (SELECT * FROM read_parquet('{xcheck_path("s05_candidates")}/*.parquet'))
+WITH cand AS (SELECT * FROM read_parquet('{xcheck_path("s05_candidates")}/*.parquet')),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)
 SELECT c.v1, c.v2,
        round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
 FROM cand c
-JOIN embeddings a ON a.vec_id = c.v1
-JOIN embeddings b ON b.vec_id = c.v2
-WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.4
+JOIN emb a ON a.vec_id = c.v1
+JOIN emb b ON b.vec_id = c.v2
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.3
 ORDER BY c.v1, c.v2
 """
 
