@@ -52,9 +52,24 @@ STOPWORDS = {
 ALL_STOPWORDS = sorted({w for ws in STOPWORDS.values() for w in ws})
 
 
-def _tokens_sql(text: str) -> str:
+def _tokens_sql(text: str, tokens_col: str | None = None) -> str:
     """Whitespace tokenization — split on single space, matching DuckDB's
-    string_split(text, ' ')."""
+    string_split(text, ' ').
+
+    ``tokens_col`` names a PRE-SPLIT array<string> column to use instead of
+    re-splitting ``text``. This matters far beyond style: helper expressions
+    embed the tokens fragment several times (a shingle slices it once PER
+    ELEMENT), higher-order-function lambdas are interpreted (never
+    whole-stage-codegen'd), and interpreted evaluation does no common-
+    subexpression elimination — so an inlined split() re-runs on every
+    reference, turning linear expressions quadratic in document length.
+    Hoisting the split into one projected column (Catalyst's CollapseProject
+    deliberately keeps multi-use aliases un-inlined) measured 2x on the
+    repetition-stats query at sf0.1. Query-level pattern:
+    ``df.select("*", tokens(text).alias("_toks"))`` then pass
+    ``tokens_col="_toks"`` to every downstream helper."""
+    if tokens_col is not None:
+        return _q(tokens_col)
     return f"split({_q(text)}, ' ')"
 
 
@@ -62,25 +77,29 @@ def tokens(text: str = "text") -> Column:
     return F.expr(_tokens_sql(text))
 
 
-def token_count(text: str = "text") -> Column:
-    return F.expr(f"size({_tokens_sql(text)})")
+def token_count(text: str = "text", tokens_col: str | None = None) -> Column:
+    return F.expr(f"size({_tokens_sql(text, tokens_col)})")
 
 
-def sum_token_len(text: str = "text") -> Column:
+def sum_token_len(text: str = "text", tokens_col: str | None = None) -> Column:
+    toks = _tokens_sql(text, tokens_col)
     return F.expr(
-        f"aggregate(transform({_tokens_sql(text)}, t -> length(t)), 0, (acc, x) -> acc + x)"
+        f"aggregate(transform({toks}, t -> length(t)), 0, (acc, x) -> acc + x)"
     )
 
 
-def avg_token_len(text: str = "text", decimals: int = 4) -> Column:
+def avg_token_len(
+    text: str = "text", decimals: int = 4, tokens_col: str | None = None
+) -> Column:
+    toks = _tokens_sql(text, tokens_col)
     return F.expr(
-        f"round(aggregate(transform({_tokens_sql(text)}, t -> length(t)), 0,"
-        f" (acc, x) -> acc + x) / size({_tokens_sql(text)}), {decimals})"
+        f"round(aggregate(transform({toks}, t -> length(t)), 0,"
+        f" (acc, x) -> acc + x) / size({toks}), {decimals})"
     )
 
 
-def distinct_token_count(text: str = "text") -> Column:
-    return F.expr(f"size(array_distinct({_tokens_sql(text)}))")
+def distinct_token_count(text: str = "text", tokens_col: str | None = None) -> Column:
+    return F.expr(f"size(array_distinct({_tokens_sql(text, tokens_col)}))")
 
 
 def _array_sql(words: list[str]) -> str:
@@ -88,18 +107,25 @@ def _array_sql(words: list[str]) -> str:
     return "array(" + ", ".join("'" + w.replace("\\", "\\\\").replace("'", "\\'") + "'" for w in words) + ")"
 
 
-def _stopword_count_sql(text: str, words: list[str] | None = None) -> str:
+def _stopword_count_sql(
+    text: str, words: list[str] | None = None, tokens_col: str | None = None
+) -> str:
     arr = _array_sql(words or ALL_STOPWORDS)
-    return f"size(filter({_tokens_sql(text)}, t -> array_contains({arr}, t)))"
+    return f"size(filter({_tokens_sql(text, tokens_col)}, t -> array_contains({arr}, t)))"
 
 
-def stopword_count(text: str = "text", words: list[str] | None = None) -> Column:
-    return F.expr(_stopword_count_sql(text, words))
+def stopword_count(
+    text: str = "text", words: list[str] | None = None, tokens_col: str | None = None
+) -> Column:
+    return F.expr(_stopword_count_sql(text, words, tokens_col))
 
 
-def stopword_ratio(text: str = "text", decimals: int = 4) -> Column:
+def stopword_ratio(
+    text: str = "text", decimals: int = 4, tokens_col: str | None = None
+) -> Column:
     return F.expr(
-        f"round({_stopword_count_sql(text)} / size({_tokens_sql(text)}), {decimals})"
+        f"round({_stopword_count_sql(text, tokens_col=tokens_col)}"
+        f" / size({_tokens_sql(text, tokens_col)}), {decimals})"
     )
 
 
@@ -111,10 +137,15 @@ def non_alpha_ratio(text: str = "text", decimals: int = 4) -> Column:
     )
 
 
-def shingles(text: str = "text", n: int = 3) -> Column:
+def shingles(text: str = "text", n: int = 3, tokens_col: str | None = None) -> Column:
     """Distinct word n-gram shingles. DuckDB mirror in
-    operators/dedup.py::_SHINGLE_SQL (1-indexed list arithmetic)."""
-    toks = _tokens_sql(text)
+    operators/dedup.py::_SHINGLE_SQL (1-indexed list arithmetic).
+
+    Pass ``tokens_col`` on any non-trivial input: the inlined split is
+    referenced once per SHINGLE by the slice lambda (interpreted HOFs do no
+    subexpression elimination — see ``_tokens_sql``), making the inline form
+    quadratic in document length."""
+    toks = _tokens_sql(text, tokens_col)
     grams = (
         f"transform(sequence(0, size({toks}) - {n}),"
         f" i -> concat_ws(' ', slice({toks}, i + 1, {n})))"
@@ -125,19 +156,23 @@ def shingles(text: str = "text", n: int = 3) -> Column:
     )
 
 
-def _lang_score_sql(text: str, lang: str) -> str:
-    return _stopword_count_sql(text, STOPWORDS[lang])
+def _lang_score_sql(text: str, lang: str, tokens_col: str | None = None) -> str:
+    return _stopword_count_sql(text, STOPWORDS[lang], tokens_col)
 
 
-def lang_scores(text: str = "text") -> dict[str, Column]:
-    return {lang: stopword_count(text, words) for lang, words in STOPWORDS.items()}
+def lang_scores(text: str = "text", tokens_col: str | None = None) -> dict[str, Column]:
+    return {
+        lang: stopword_count(text, words, tokens_col) for lang, words in STOPWORDS.items()
+    }
 
 
-def predicted_lang(text: str = "text") -> Column:
-    """Argmax over per-language stopword hits; deterministic tie-break by the
-    fixed language order en > fr > de > es, 'und' (unknown) when all zero."""
-    s = {lang: _lang_score_sql(text, lang) for lang in STOPWORDS}
-    return F.expr(
+def lang_argmax_sql(s: dict[str, str]) -> str:
+    """The language-ID CASE over four score FRAGMENTS (column names or SQL).
+    Deterministic tie-break by the fixed order en > fr > de > es, 'und'
+    (unknown) when all zero. Callers with non-trivial score expressions
+    should project them into columns first: the en score is referenced four
+    times here, and interpreted filter passes re-run per reference."""
+    return (
         "CASE"
         f" WHEN {s['en']} >= {s['fr']} AND {s['en']} >= {s['de']}"
         f"  AND {s['en']} >= {s['es']} AND {s['en']} > 0 THEN 'en'"
@@ -146,3 +181,12 @@ def predicted_lang(text: str = "text") -> Column:
         f" WHEN {s['es']} > 0 THEN 'es'"
         " ELSE 'und' END"
     )
+
+
+def predicted_lang(text: str = "text", tokens_col: str | None = None) -> Column:
+    """Argmax over per-language stopword hits, as one self-contained
+    expression (each score inlined at every CASE reference — fine for ad-hoc
+    use; hot paths should project ``lang_scores`` columns and apply
+    ``lang_argmax_sql`` over the column names instead)."""
+    s = {lang: _lang_score_sql(text, lang, tokens_col) for lang in STOPWORDS}
+    return F.expr(lang_argmax_sql(s))

@@ -30,7 +30,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
 
-from score_spark.functions.text import shingles
+from score_spark.functions.text import shingles, tokens
 from score_spark.io import EXPLODE_BYTES_PER_TASK, fan_out, load_table
 from score_spark.xcheck import write_xcheck, xcheck_path
 
@@ -97,6 +97,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.05,
     max_doc_freq: int | None = 50,
     eager: bool = False,
+    hash_ids: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over word n-grams for every pair sharing >=1 (uncommon)
     shingle. Returns (d1, d2, jac).
@@ -132,10 +133,11 @@ def ngram_jaccard_pairs(
     # sizes fall out of the array form for free — r2 re-aggregated the
     # exploded table (an extra shuffle) to count what size(_shs) already knows
     sizes = sh0.select("doc_id", F.size("_shs").alias("sz"))
-    # 64-bit shingle identity: every shuffle from here (freq agg, cap join,
-    # collect_list group) carries longs, not ~25-byte strings (see
-    # shingle_table docstring for the collision analysis)
-    g = shingle_table(max_doc_freq=max_doc_freq, shingle_df=sh0, hash_ids=True)
+    # 64-bit shingle identity (default): every shuffle from here (freq agg,
+    # cap join, intersection group) carries longs, not ~25-byte strings (see
+    # shingle_table docstring for the collision analysis); hash_ids=False is
+    # the collision-diagnosis mode (d02_ngram_jaccard docstring)
+    g = shingle_table(max_doc_freq=max_doc_freq, shingle_df=sh0, hash_ids=hash_ids)
     inter = (
         g.select("sh", F.col("doc_id").alias("d1"))
         .join(g.select("sh", F.col("doc_id").alias("d2")), "sh")
@@ -215,9 +217,15 @@ def shingle_arrays(df: DataFrame, n: int = 3) -> DataFrame:
     the corpus per consumer — at 100 TB the shingling pass is the same order
     as the token stream and must not run three times (VERDICT r2 finding)."""
     # shingling explodes ~wordcount rows per doc: per-byte work is ~50x a
-    # plain scan, so the fan-out density floor scales down accordingly
-    return fan_out(df, min_bytes_per_task=EXPLODE_BYTES_PER_TASK).select(
-        "doc_id", shingles("text", n).alias("_shs")
+    # plain scan, so the fan-out density floor scales down accordingly.
+    # split hoisted into _toks first: the shingle slice lambda references
+    # the token array once per shingle, and interpreted HOFs re-run an
+    # inlined split() per reference — quadratic in doc length without the
+    # hoist (see functions/text._tokens_sql)
+    return (
+        fan_out(df, min_bytes_per_task=EXPLODE_BYTES_PER_TASK)
+        .select("doc_id", tokens("text").alias("_toks"))
+        .select("doc_id", shingles(n=n, tokens_col="_toks").alias("_shs"))
     )
 
 
@@ -532,11 +540,17 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     flip a <=50 cap decision or perturb one intersection count, surfacing as
     a hash-mismatch here rather than a flagged divergence. If this gate ever
     fails non-reproducibly across corpora, suspect a shingle collision first:
-    rerun with hash_ids=False to confirm before debugging the plan."""
+    set SCORE_SPARK_D02_EXACT=1 (no code edit needed) to rerun the identical
+    pipeline on exact shingle strings — a matching gate under the flag
+    confirms a collision; a still-failing gate clears the hash family and
+    points at the plan (VERDICT r5 #8)."""
+    import os
+
     d = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, n=3, threshold=0.03, max_doc_freq=50, eager=True).orderBy(
-        "d1", "d2"
-    )
+    exact = os.environ.get("SCORE_SPARK_D02_EXACT", "") not in ("", "0")
+    return ngram_jaccard_pairs(
+        d, n=3, threshold=0.03, max_doc_freq=50, eager=True, hash_ids=not exact
+    ).orderBy("d1", "d2")
 
 
 ORACLE_D02 = f"""

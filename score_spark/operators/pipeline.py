@@ -25,7 +25,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from score_spark.functions.text import shingles
+from score_spark.functions.text import shingles, tokens
 from score_spark.io import EXPLODE_BYTES_PER_TASK, fan_out, load_table, presentation_sort
 
 # train share ~0.8 of the md5 hex space: 'c'*32 / 16^32 = 12/16 + 12/256 + ...
@@ -120,16 +120,22 @@ def decontamination_report(
     the two exchanges it saves (fused c03 1.76 s vs 0.98 s at sf0.1), so
     the default stays fan_out; use ranged_by_id only when the input rows
     are narrow or the scan is cheap relative to the aggregate."""
+    # split hoisted before shingling on both sides: the shingle slice lambda
+    # references the token array once per shingle, and interpreted HOFs
+    # re-run an inlined split() per reference (quadratic in doc length
+    # without the hoist — see functions/text._tokens_sql)
     bench_sh = (
-        benchmark.select(F.explode(shingles(text_col, n)).alias("sh")).distinct()
+        benchmark.select(tokens(text_col).alias("_toks"))
+        .select(F.explode(shingles(n=n, tokens_col="_toks")).alias("sh"))
+        .distinct()
     )
     spread = (
         docs.repartitionByRange(id_col)
         if ranged_by_id
         else fan_out(docs, min_bytes_per_task=EXPLODE_BYTES_PER_TASK)  # shingle explode
     )
-    doc_sh = spread.select(
-        F.col(id_col), F.explode(shingles(text_col, n)).alias("sh")
+    doc_sh = spread.select(F.col(id_col), tokens(text_col).alias("_toks")).select(
+        F.col(id_col), F.explode(shingles(n=n, tokens_col="_toks")).alias("sh")
     )
     return (
         doc_sh.join(F.broadcast(bench_sh), "sh")

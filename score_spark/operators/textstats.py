@@ -24,27 +24,48 @@ _NSTOP = f"len(list_filter({_TOKENS}, t -> list_contains({_STOPLIST}, t)))"
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text", spread: bool = True) -> DataFrame:
-    """Append per-document token statistics (all codegen'd built-ins).
+    """Append per-document token statistics (all JVM built-ins).
     ``spread=False`` skips the round-robin fan-out for callers that already
-    partitioned the input themselves (e.g. t01's range fusion)."""
+    partitioned the input themselves (e.g. t01's range fusion).
+
+    The split is hoisted into one ``_toks`` projection shared by every stat:
+    interpreted HOFs re-evaluate an inlined split() on each reference (no
+    subexpression elimination outside codegen — see text._tokens_sql), and
+    CollapseProject keeps a multi-use alias un-inlined, so this is one
+    tokenization per row instead of five."""
     # several regex/split passes per row: ~10-50x a plain byte scan
     base = fan_out(df, min_bytes_per_task=EXPLODE_BYTES_PER_TASK) if spread else df
-    return base.select(
-        "*",
-        TX.token_count(text_col).alias("n_tokens"),
-        TX.distinct_token_count(text_col).alias("n_uniq_tokens"),
-        TX.avg_token_len(text_col).alias("avg_token_len"),
-        TX.stopword_ratio(text_col).alias("stopword_ratio"),
+    toked = base.select("*", TX.tokens(text_col).alias("_toks"))
+    return toked.select(
+        *base.columns,
+        TX.token_count(tokens_col="_toks").alias("n_tokens"),
+        TX.distinct_token_count(tokens_col="_toks").alias("n_uniq_tokens"),
+        TX.avg_token_len(tokens_col="_toks").alias("avg_token_len"),
+        TX.stopword_ratio(tokens_col="_toks").alias("stopword_ratio"),
         TX.non_alpha_ratio(text_col).alias("non_alpha_ratio"),
     )
 
 
-def with_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_language(df: DataFrame, text_col: str = "text", keep_tokens: bool = False) -> DataFrame:
+    """Append the language-ID argmax. Two hoist layers (same rationale as
+    with_text_stats): the split feeds four per-language filter passes via
+    ``_toks``, and the four SCORES are projected as columns before the CASE
+    — the en score alone is referenced four times by the argmax, which
+    would otherwise re-run its filter pass per reference."""
     # predicted_lang is a chain of stopword-filter passes — heavy per
     # byte, so the fan-out floor scales down like with_text_stats above
-    return fan_out(df, min_bytes_per_task=EXPLODE_BYTES_PER_TASK).withColumn(
-        "predicted_lang", TX.predicted_lang(text_col)
+    spread = fan_out(df, min_bytes_per_task=EXPLODE_BYTES_PER_TASK)
+    toked = spread.select("*", TX.tokens(text_col).alias("_toks"))
+    scored = toked.select(
+        "*",
+        *[
+            TX.stopword_count(words=w, tokens_col="_toks").alias(f"_ls_{lang}")
+            for lang, w in TX.STOPWORDS.items()
+        ],
     )
+    argmax = TX.lang_argmax_sql({lang: f"_ls_{lang}" for lang in TX.STOPWORDS})
+    keep = [*spread.columns, "_toks"] if keep_tokens else spread.columns
+    return scored.select(*keep, F.expr(argmax).alias("predicted_lang"))
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -86,7 +107,7 @@ def t02_language_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     are JVM HOF/CASE expressions; one tiny grouped aggregate."""
     d = load_table(spark, sf_dir, "documents")
     return (
-        with_language(d)
+        with_language(d, keep_tokens=True)  # bands reuse the hoisted _toks
         .select(
             "lang",
             "predicted_lang",
@@ -94,7 +115,7 @@ def t02_language_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("n_chars") < 400, "medium")
             .otherwise("long")
             .alias("length_band"),
-            F.when(TX.stopword_ratio("text") > 0.05, "has_stopwords").otherwise("few_stopwords").alias("stopword_band"),
+            F.when(TX.stopword_ratio(tokens_col="_toks") > 0.05, "has_stopwords").otherwise("few_stopwords").alias("stopword_band"),
             F.when(TX.non_alpha_ratio("text") < 0.05, "clean").otherwise("noisy").alias("purity"),
         )
         .groupBy("lang", "predicted_lang", "length_band", "stopword_band", "purity")
@@ -307,8 +328,13 @@ def repetition_stats(
     also hashed grams to narrow that shuffle — exact strings need no such
     tradeoff in-row). Docs with < 2 words have no 2-grams and are excluded,
     matching the explode semantics. ``carry_cols`` ride along so callers
-    don't need a join to recover doc attributes."""
-    w = f"split({text_col}, ' ')"
+    don't need a join to recover doc attributes.
+
+    The split is hoisted into a ``_w`` projection: the gram lambda indexes
+    the token array twice PER GRAM, and interpreted HOF evaluation re-runs
+    an inlined split() on every reference (quadratic in doc length) — the
+    hoist alone measured 2x on t07 at sf0.1 (see text._tokens_sql)."""
+    w = "_w"
     grams = (
         f"transform(sequence(0, size({w}) - 2),"
         f" i -> concat_ws(' ', {w}[i], {w}[i + 1]))"
@@ -324,7 +350,8 @@ def repetition_stats(
         " a -> a.best)"
     )
     return (
-        df.filter(F.expr(f"size({w}) >= 2"))
+        df.select(id_col, *carry_cols, TX.tokens(text_col).alias(w))
+        .filter(F.expr(f"size({w}) >= 2"))
         .select(id_col, *carry_cols, F.expr(grams).alias("_grams"))
         .select(
             id_col,

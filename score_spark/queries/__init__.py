@@ -23,6 +23,7 @@ from score_spark.operators import (
     similarity,
     textstats,
 )
+from score_spark import sinks
 from score_spark.queries import pruned, relational
 from score_spark.streaming import windows as streaming_windows
 
@@ -53,6 +54,7 @@ ORACLE: dict[str, str] = {}
 # per run; only construction/analysis/codegen are amortized.
 _NO_MEMO = {
     "s02_embedding_near_dups",  # derives n_blocks via emb.count() at build (ADVICE r5)
+    "k01_bucketed_join",  # construction writes the bucketed tables (real actions)
     "d02_ngram_jaccard",
     "d03_minhash_lsh",
     "d05_dup_clusters",
@@ -96,6 +98,7 @@ def _register(mod) -> None:
 # queries whose constructs are independently covered by analyzer goldens.
 # The registry is kept at <= 50 entries (asserted in tests/test_relational.py).
 for _mod in (
+    sinks,
     pipeline,
     streaming_windows,
     pruned,

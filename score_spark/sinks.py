@@ -93,6 +93,25 @@ def write_bucketed(
     table at that location (the warehouse dir is static session config)."""
     if not bucket_by:
         raise ValueError("bucket_by must name at least one column")
+    if mode == "overwrite" and path is None:
+        # managed-table overwrite hardening: the warehouse DIRECTORY outlives
+        # the (in-memory) session catalog, so a table written by a previous
+        # session leaves a location that LOCATION_ALREADY_EXISTS rejects even
+        # though the new catalog has no such table. Drop any catalog entry,
+        # then clear a stale orphaned location (only when the catalog does
+        # NOT know the table — a live table's data is handled by overwrite).
+        spark = df.sparkSession
+        known = spark.catalog.tableExists(table)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        if not known:
+            import os
+            import shutil
+
+            wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            wh = wh.removeprefix("file:")
+            loc = os.path.join(wh, table.split(".")[-1].lower())
+            if os.path.isdir(loc):
+                shutil.rmtree(loc, ignore_errors=True)
     writer = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_by)
     if sort_by:
         writer = writer.sortBy(*sort_by)
@@ -132,3 +151,69 @@ def write_sorted(
     if row_group_bytes is not None:
         writer = writer.option("parquet.block.size", str(row_group_bytes))
     writer.parquet(path)
+
+
+# ------------------------------------------------------------------ queries
+
+
+def k01_bucketed_join(spark, sf_dir: str):
+    """The write path under the driver's oracle (VERDICT r5 #7): orders and
+    customer are PERSISTED as hash-bucketed, bucket-sorted catalog tables
+    (8 buckets on the join key), re-read, joined, and aggregated — and the
+    result hash-matches DuckDB computing the same join from the raw parquet.
+    A round-trip mismatch anywhere in the bucketed write/read machinery
+    (row loss, bucket misroute, type drift through the catalog) breaks the
+    hash, so the sink is correctness-gated, not just plan/footer-asserted
+    (tests/test_sinks.py keeps the exchange-free-join plan assertions).
+
+    The bucketed-table join reads co-located and skips BOTH join-side
+    exchanges — the write-once-shuffle-never-again layout that motivates
+    bucketing at 100 TB; the only exchange left is the group-count-sized
+    final aggregate (asserted in tests/test_sinks.py::test_k01_join_plan).
+
+    Registry slot: replaces q08_top_parts_sorted (r6) — q08's ORDER BY +
+    LIMIT construct (TakeOrderedAndProject) is identically exercised by
+    q03's orderBy().limit(10) gate row and by the analyzer goldens, so the
+    swap loses no §2B driver coverage.
+
+    Construction WRITES tables (real actions): registered in _NO_MEMO, and
+    baseline-skipped like p01 — DuckDB reads raw parquet while Spark writes
+    + re-reads, so a wall-clock ratio would compare different work."""
+    import re
+
+    import pyspark.sql.functions as F  # noqa: N812
+
+    from score_spark.io import load_table, presentation_sort
+
+    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    t_orders, t_cust = f"k01_orders_{tag}", f"k01_customer_{tag}"
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    write_bucketed(o, t_orders, ("o_custkey",), n_buckets=8, sort_by=("o_custkey",))
+    write_bucketed(c, t_cust, ("c_custkey",), n_buckets=8, sort_by=("c_custkey",))
+    ob, cb = spark.table(t_orders), spark.table(t_cust)
+    return (
+        cb.join(ob, cb.c_custkey == ob.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+        .transform(presentation_sort, "c_mktsegment")
+    )
+
+
+ORACLE_K01 = """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       count(DISTINCT c_custkey) AS n_customers,
+       round(sum(o_totalprice), 2) AS total_value
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+QUERIES = {"k01_bucketed_join": k01_bucketed_join}
+ORACLE = {"k01_bucketed_join": ORACLE_K01}

@@ -172,3 +172,30 @@ def test_write_sorted_enables_row_group_skipping(spark, sf_dir, tmp_path):
     )
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "ts" in plan.split("PushedFilters: [", 1)[1][:120]
+
+
+def test_k01_join_plan_is_exchange_free_on_join_sides(spark, sf_dir):
+    """The gated round-trip query (sinks.k01_bucketed_join) must actually
+    exercise the bucketed co-location: with broadcast disabled (at test SF
+    Catalyst would otherwise broadcast the tiny dimension and hide the
+    question), the join must plan as a sort-merge over the bucketed scans
+    with NO shuffle exchange on either side — the shuffle happened once at
+    write time. The only exchange left is above the join (final
+    group-count-sized aggregate)."""
+    from score_spark.sinks import k01_bucketed_join
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = k01_bucketed_join(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:2000]
+        below_join = plan.split("Join")[-1]
+        assert "Exchange" not in below_join, (
+            "bucketed join sides were re-shuffled:\n" + plan[:4000]
+        )
+        assert "SelectedBucketsCount" in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
