@@ -36,6 +36,21 @@ def get_session(
     aqe_raw = os.environ.get("SPARK_GRAFT_AQE", "true").strip().lower()
     aqe = "false" if aqe_raw in ("false", "0", "no", "off") else "true"
 
+    # vendored extension jars (e.g. the minimal Avro connector built by
+    # vendor/build_avro_jar.sh — the upstream spark-avro module is external
+    # and this environment has no network to fetch it). spark.jars only
+    # applies at JVM launch, so the jars land on the first session of the
+    # process; SCORE_SPARK_EXTRA_JARS prepends additional paths.
+    vendor_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "vendor")
+    jars = [
+        os.path.join(vendor_dir, j)
+        for j in (sorted(os.listdir(vendor_dir)) if os.path.isdir(vendor_dir) else [])
+        if j.endswith(".jar")
+    ]
+    extra_jars = os.environ.get("SCORE_SPARK_EXTRA_JARS", "")
+    if extra_jars:
+        jars = extra_jars.split(",") + jars
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -69,6 +84,8 @@ def get_session(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
     )
+    if jars:
+        builder = builder.config("spark.jars", ",".join(jars))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
