@@ -18,6 +18,13 @@ beyond-reference surface per BASELINE.json's north star):
   benchmark/eval set. The benchmark side is small by definition, so its
   distinct shingle set is BROADCAST: the corpus pass stays map-only + one
   small aggregate — never a corpus x corpus join.
+- ``hash_sample`` / ``stratified_topk_sample``: deterministic data-mixing
+  sampling (r6). Rate mode is a map-only md5-threshold filter with optional
+  per-stratum rates; exact-k mode is a two-phase top-k-by-hash (partition-
+  local rank, then a global rank over <= k * P survivors) so a handful of
+  hot strata never funnel the corpus through single-stratum sort tasks.
+  Both are content-stable: no rand(), membership survives repartitioning,
+  identical output on any cluster width or engine.
 """
 
 from __future__ import annotations
@@ -267,26 +274,138 @@ ORDER BY doc_id, chunk_idx
 """
 
 
-def c02_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+def hash_sample(
+    df: DataFrame,
+    hex_threshold: str | dict[str, str],
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Deterministic rate sampling: keep a row iff md5(id) falls under a hex
+    threshold — the same content-stable mechanism as ``hash_split``, so the
+    sample is reproducible across runs, engines, and cluster widths (no
+    rand()), and a row's membership never changes under repartitioning or
+    backfills. MAP-ONLY: zero shuffle at any scale.
+
+    Pass a dict keyed by ``strata_col`` values for per-stratum rates — the
+    data-mixing primitive (downsample web 10x, keep wiki at 1x): the
+    threshold resolves per row via a CASE chain over the (small, fixed)
+    strata map. Unlisted strata keep everything ('f' * 32)."""
+    h = F.md5(F.col(id_col).cast("string"))
+    if isinstance(hex_threshold, str):
+        return df.filter(h < F.lit(hex_threshold))
+    if strata_col is None:
+        raise ValueError("per-stratum thresholds need strata_col")
+    expr = F.lit("f" * 32)
+    for value, thr in sorted(hex_threshold.items()):
+        expr = F.when(F.col(strata_col) == value, F.lit(thr)).otherwise(expr)
+    return df.filter(h < expr)
+
+
+def stratified_topk_sample(
+    df: DataFrame,
+    strata_cols: tuple[str, ...],
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACTLY-k-per-stratum deterministic sample: rank rows in each stratum
+    by (md5(id), id) and keep the k smallest — uniform-without-replacement
+    (a cryptographic hash of the id is order-independent of any data
+    attribute) yet fully reproducible, unlike sampleBy's rng draw.
+
+    Skew posture: a single window over the stratum key would sort each
+    stratum in ONE task — with a handful of strata that is the whole corpus
+    through few tasks. Instead the classic two-phase top-k: a partition-local
+    rank over (strata, spark_partition_id) — P times more keys, so the
+    exchange spreads — keeps at most k rows per (stratum, partition), then
+    the global rank runs over <= k * P survivor rows per stratum. The local
+    pre-filter can never drop a global top-k row (a stratum's global top-k
+    within one partition is a subset of that partition's local top-k), so
+    the result is layout-independent."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(id_col).cast("string")).alias("_h")
+    base = df.select(*strata_cols, id_col, h, F.spark_partition_id().alias("_pid"))
+    w_local = Window.partitionBy(*strata_cols, "_pid").orderBy("_h", id_col)
+    survivors = (
+        base.withColumn("_rk", F.row_number().over(w_local)).filter(F.col("_rk") <= k).drop("_rk")
+    )
+    w_global = Window.partitionBy(*strata_cols).orderBy("_h", id_col)
     return (
+        survivors.withColumn("_rk", F.row_number().over(w_global))
+        .filter(F.col("_rk") <= k)
+        .select(*strata_cols, id_col)
+    )
+
+
+# per-source rate thresholds for the gated sampling summary: ~1/4 of the
+# md5 hex space for 'web'-ish sources, everything for the rest
+_RATE_HEX = "4" * 32
+
+
+def c02_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic subset-selection family in one gated row (merged r6):
+    the train/eval hash split PLUS the two sampling operators, summarized
+    per source so the oracle pins the EXACT selected sets, not just counts —
+    sum(doc_id) over the top-k sample changes if even one selected id
+    differs, and the rate-sample count pins the threshold arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    split_counts = (
         hash_split(d)
-        .groupBy("split")
+        .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+            .cast("long")
+            .alias("n_train"),
         )
-        .transform(presentation_sort, "split")
+    )
+    rate = (
+        hash_sample(d, _RATE_HEX)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_rate_sampled"))
+    )
+    topk = (
+        stratified_topk_sample(d, ("source",), k=25)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_topk"),
+            F.sum("doc_id").alias("topk_id_sum"),  # pins the exact sampled set
+        )
+    )
+    return (
+        split_counts.join(F.broadcast(rate), "source")
+        .join(F.broadcast(topk), "source")
+        .transform(presentation_sort, "source")
     )
 
 
 ORACLE_C02 = f"""
-SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{_TRAIN_HEX}' THEN 'train' ELSE 'eval' END AS split,
-       count(*) AS n_docs,
-       CAST(sum(n_chars) AS BIGINT) AS total_chars
-FROM documents
-GROUP BY 1
-ORDER BY split
+WITH split AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{_TRAIN_HEX}' THEN 1 ELSE 0 END) AS BIGINT) AS n_train
+  FROM documents GROUP BY source
+),
+rate AS (
+  SELECT source, count(*) AS n_rate_sampled
+  FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) < '{_RATE_HEX}'
+  GROUP BY source
+),
+topk AS (
+  SELECT source, count(*) AS n_topk, CAST(sum(doc_id) AS BIGINT) AS topk_id_sum
+  FROM (
+    SELECT source, doc_id,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM documents
+  ) WHERE rk <= 25
+  GROUP BY source
+)
+SELECT source, n_docs, total_chars, n_train, n_rate_sampled, n_topk, topk_id_sum
+FROM split JOIN rate USING (source) JOIN topk USING (source)
+ORDER BY source
 """
 
 

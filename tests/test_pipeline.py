@@ -179,3 +179,58 @@ def test_c01_fused_order_matches_global_sort(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     want = chunk_documents(d, chunk_size=32, overlap=8).orderBy("doc_id", "chunk_idx")
     assert got.collect() == want.collect()
+
+
+def test_hash_sample_per_stratum_rates(spark):
+    from score_spark.operators.pipeline import hash_sample
+
+    df = spark.createDataFrame([(i, "web" if i % 2 else "wiki") for i in range(400)], ["doc_id", "source"])
+    out = hash_sample(df, {"web": "4" * 32, "wiki": "f" * 32}, strata_col="source")
+    got = out.groupBy("source").count().collect()
+    by = {r["source"]: r["count"] for r in got}
+    assert by["wiki"] == 200  # threshold f..f keeps everything
+    assert 20 <= by["web"] <= 80  # ~1/4 of 200, binomial spread
+    # deterministic: same rows every run
+    assert sorted(r.doc_id for r in out.collect()) == sorted(r.doc_id for r in out.collect())
+    # map-only: no exchange in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_stratified_topk_sample_exact_k_and_layout_independent(spark):
+    from score_spark.operators.pipeline import stratified_topk_sample
+
+    rows = [(i, "s" + str(i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    a = stratified_topk_sample(df, ("source",), k=7)
+    got = {(r["source"], r["doc_id"]) for r in a.collect()}
+    counts = {}
+    for s, _ in got:
+        counts[s] = counts.get(s, 0) + 1
+    assert counts == {"s0": 7, "s1": 7, "s2": 7}
+    # layout independence: a radically different partitioning yields the
+    # SAME sampled ids (the partition-local pre-filter is a superset of the
+    # global top-k by construction)
+    b = stratified_topk_sample(df.repartition(17, "doc_id"), ("source",), k=7)
+    assert {(r["source"], r["doc_id"]) for r in b.collect()} == got
+    c = stratified_topk_sample(df.coalesce(1), ("source",), k=7)
+    assert {(r["source"], r["doc_id"]) for r in c.collect()} == got
+    # matches the single-window definition (oracle semantics)
+    import hashlib
+
+    def md5(i):
+        return hashlib.md5(str(i).encode()).hexdigest()
+
+    expect = set()
+    for s in ("s0", "s1", "s2"):
+        ids = sorted((md5(i), i) for i, src in rows if src == s)[:7]
+        expect |= {(s, i) for _, i in ids}
+    assert got == expect
+
+
+def test_stratified_topk_small_stratum_keeps_all(spark):
+    from score_spark.operators.pipeline import stratified_topk_sample
+
+    df = spark.createDataFrame([(1, "tiny"), (2, "tiny")], ["doc_id", "source"])
+    got = stratified_topk_sample(df, ("source",), k=10).collect()
+    assert sorted(r.doc_id for r in got) == [1, 2]
