@@ -162,3 +162,24 @@ def test_memoized_construction_runs_no_spark_jobs(spark, sf_dir):
         f"memoized queries ran Spark jobs during construction: {offenders}; "
         "add them to _NO_MEMO or make construction action-free"
     )
+
+
+def test_registry_name_sets_are_consistent():
+    """Guard against silent rot in the three name sets that shape the gates:
+    every memoization opt-out and every baseline-skip must name a REAL
+    registry entry (a renamed query leaving a stale entry would silently
+    re-enable memoization or re-include a verification-shaped oracle in the
+    ratio), and every query needs an oracle or a documented rows-only
+    status."""
+    from bench import _BASELINE_SKIP
+    from score_spark.queries import _NO_MEMO, ORACLE, QUERIES
+
+    assert _NO_MEMO <= set(QUERIES), _NO_MEMO - set(QUERIES)
+    assert _BASELINE_SKIP <= set(QUERIES), _BASELINE_SKIP - set(QUERIES)
+    # oracle keys must match registry keys exactly (driver pairs them)
+    assert set(ORACLE) <= set(QUERIES), set(ORACLE) - set(QUERIES)
+    missing_oracle = set(QUERIES) - set(ORACLE)
+    # every query currently has a SQL oracle; if a future non-SQL-expressible
+    # operator lands, list it here explicitly so the weaker rows-only check
+    # is a documented decision, not an accident
+    assert missing_oracle == set(), missing_oracle
