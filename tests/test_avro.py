@@ -103,3 +103,39 @@ def test_avro_readback_from_second_engine_shape(avro, tmp_path):
     rec = reader.next()
     assert str(rec.get("s")) == "x" and rec.get("n") == 5
     reader.close()
+
+
+def test_avro_reader_schema_prunes_decode(avro, tmp_path):
+    """The read path must attach a PRUNED reader schema (avro-native schema
+    resolution then skips decoding dropped fields) — assert the pruning
+    function's output directly, since a full-decode-then-project
+    implementation would pass the value-level tests identically."""
+    spark = avro
+    path = str(tmp_path / "p.avro")
+    spark.createDataFrame(
+        [("a", 1, (10, 20))], "s string, n long, inner struct<x: bigint, y: bigint>"
+    ).coalesce(1).write.format("avro").save(path)
+    import glob
+
+    f = glob.glob(f"{path}/part-*.avro")[0]
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(f), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    writer_schema = reader.getSchema()
+    reader.close()
+    # the vendored jar lives on Spark's mutable jar classloader, not the app
+    # classloader — resolve through Spark's own lookup
+    cls = jvm.org.apache.spark.util.Utils.classForName(
+        "org.apache.spark.sql.avro.AvroConversions$", True, True
+    )
+    conv = cls.getField("MODULE$").get(None)
+    required = jvm.org.apache.spark.sql.types.DataType.fromDDL("s string, inner struct<x: bigint>")
+    pruned = conv.pruneAvroSchema(writer_schema, required)
+    names = [str(fld.name()) for fld in pruned.getFields()]
+    assert names == ["s", "inner"]
+    inner = pruned.getField("inner").schema()
+    # unwrap the [null, record] union the writer emits
+    branches = [b for b in inner.getTypes()] if inner.getType().getName() == "union" else [inner]
+    rec = [b for b in branches if b.getType().getName() == "record"][0]
+    assert [str(fld.name()) for fld in rec.getFields()] == ["x"]
