@@ -216,18 +216,23 @@ def pack_token_stream(
     from pyspark.sql import Window
 
     if n_shards is None:
-        import os
-
+        # sizes come from the Hadoop FileSystem API, not os.path: input
+        # files are URIs of ANY scheme (hdfs://, s3a://, percent-encoded
+        # file:); a driver-local stat would silently see 0 bytes off-box
+        # and collapse the default to the fixed fallback (review r6)
         try:
             files = chunks.inputFiles()
         except Exception:
             files = []
         total = 0
+        sc = chunks.sparkSession.sparkContext
+        hconf = sc._jsc.hadoopConfiguration()
+        jvm = sc._jvm
         for f in files:
-            p = f[len("file:") :] if f.startswith("file:") else f
             try:
-                total += os.path.getsize(p)
-            except OSError:
+                jpath = jvm.org.apache.hadoop.fs.Path(f)
+                total += jpath.getFileSystem(hconf).getFileStatus(jpath).getLen()
+            except Exception:
                 pass
         raw = max(1, -(-total // (64 << 20))) if total else 16
         n_shards = 1 << (raw - 1).bit_length()
@@ -337,9 +342,11 @@ def stratified_topk_sample(
     )
 
 
-# per-source rate thresholds for the gated sampling summary: ~1/4 of the
-# md5 hex space for 'web'-ish sources, everything for the rest
-_RATE_HEX = "4" * 32
+# per-source rate thresholds for the gated sampling summary — exercises the
+# per-stratum CASE chain INCLUDING the unlisted-strata keep-everything
+# default: src0 keeps ~1/4 of the hex space, src1 ~1/2, every other source
+# falls through to 'f'*32 (keep all)
+_RATE_THRESHOLDS = {"src0": "4" * 32, "src1": "8" * 32}
 
 
 def c02_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,7 +368,7 @@ def c02_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rate = (
-        hash_sample(d, _RATE_HEX)
+        hash_sample(d, _RATE_THRESHOLDS, strata_col="source")
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_rate_sampled"))
     )
@@ -390,7 +397,11 @@ WITH split AS (
 ),
 rate AS (
   SELECT source, count(*) AS n_rate_sampled
-  FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) < '{_RATE_HEX}'
+  FROM documents
+  WHERE md5(CAST(doc_id AS VARCHAR)) <
+        CASE source WHEN 'src0' THEN '{_RATE_THRESHOLDS["src0"]}'
+                    WHEN 'src1' THEN '{_RATE_THRESHOLDS["src1"]}'
+                    ELSE '{"f" * 32}' END
   GROUP BY source
 ),
 topk AS (

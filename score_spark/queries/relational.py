@@ -717,10 +717,15 @@ def q28_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("stddev_price"),
-        # non-null value count for the percentile operator's exact ranks —
-        # count(*) would over-count if a price were NULL (quantile_cont
-        # ignores NULLs); dropped from the output below
-        F.count("l_extendedprice").alias("_n_val"),
+        # hidden stats inputs for the percentile fallback: count/min/max of
+        # non-NULL AND non-NaN values only — the operator's src CTE excludes
+        # NaN (quantile_cont semantics), so covering bounds derived from the
+        # OUTPUT min/max would be NaN-poisoned (F.max returns NaN when any
+        # value is NaN) and a NaN span voids every bucket id (review r6).
+        # The visible min_price/max_price keep engine-native semantics.
+        F.count(F.when(~F.isnan("l_extendedprice"), F.col("l_extendedprice"))).alias("_n_val"),
+        F.round(F.min(F.when(~F.isnan("l_extendedprice"), F.col("l_extendedprice"))), 2).alias("_mn_val"),
+        F.round(F.max(F.when(~F.isnan("l_extendedprice"), F.col("l_extendedprice"))), 2).alias("_mx_val"),
     )
     distincts = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("n_suppliers"),
@@ -738,8 +743,8 @@ def q28_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats = base.select(
             "l_returnflag",
             F.col("_n_val").alias("_n"),
-            (F.col("min_price") - 1).alias("_mn"),
-            F.greatest(F.col("max_price") - F.col("min_price") + 2, F.lit(1e-12)).alias("_span"),
+            (F.col("_mn_val") - 1).alias("_mn"),
+            F.greatest(F.col("_mx_val") - F.col("_mn_val") + 2, F.lit(1e-12)).alias("_span"),
         )
     pct = exact_percentiles_by_group(
         li, "l_returnflag", "l_extendedprice",
@@ -747,14 +752,16 @@ def q28_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats=stats,
         bounds=bounds,
     )
-    # null-safe join: a NULL returnflag group must survive to the output the
-    # way the oracle's GROUP BY keeps it (the operator is null-safe inside)
+    # null-safe joins: a NULL returnflag group must survive to the output
+    # the way the oracle's GROUP BY keeps it (the operator is null-safe
+    # inside; a plain equi-join would drop the NULL group — review r6)
     pct_b = F.broadcast(pct.withColumnRenamed("l_returnflag", "_rf"))
+    dd_b = F.broadcast(distincts.withColumnRenamed("l_returnflag", "_rf2"))
     return (
-        base.drop("_n_val")
-        .join(F.broadcast(distincts), "l_returnflag")
+        base.drop("_n_val", "_mn_val", "_mx_val")
+        .join(dd_b, F.col("l_returnflag").eqNullSafe(F.col("_rf2")))
         .join(pct_b, F.col("l_returnflag").eqNullSafe(F.col("_rf")))
-        .drop("_rf")
+        .drop("_rf", "_rf2")
         .select(
             "l_returnflag", "n", "n_suppliers", "n_parts", "min_price",
             "max_price", "avg_price", "stddev_price", "median_price", "p95_price",

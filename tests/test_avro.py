@@ -139,3 +139,34 @@ def test_avro_reader_schema_prunes_decode(avro, tmp_path):
     branches = [b for b in inner.getTypes()] if inner.getType().getName() == "union" else [inner]
     rec = [b for b in branches if b.getType().getName() == "record"][0]
     assert [str(fld.name()) for fld in rec.getFields()] == ["x"]
+
+
+def test_avro_timestamp_millis_reads_correctly(avro, tmp_path):
+    """An EXTERNAL avro file may carry timestamp-millis (our writer emits
+    micros): the long must be scaled x1000 into Catalyst micros, not passed
+    through (review r6: unscaled millis landed every value in Jan 1970)."""
+    spark = avro
+    jvm = spark._jvm
+    schema_json = (
+        '{"type":"record","name":"r","fields":['
+        '{"name":"ts","type":{"type":"long","logicalType":"timestamp-millis"}},'
+        '{"name":"n","type":"long"}]}'
+    )
+    schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    f = str(tmp_path / "millis.avro")
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    writer.create(schema, jvm.java.io.File(f))
+    rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+    # 2024-01-02 03:04:05.123 UTC in epoch millis
+    rec.put("ts", 1704164645123)
+    rec.put("n", 7)
+    writer.append(rec)
+    writer.close()
+
+    got = spark.read.format("avro").load(f).collect()
+    import datetime
+
+    assert got[0].n == 7
+    assert got[0].ts == datetime.datetime(2024, 1, 2, 3, 4, 5, 123000)
