@@ -99,6 +99,27 @@ def run_stream_once(
     return q
 
 
+def enrich_with_dimension(
+    events: DataFrame,
+    dim: DataFrame,
+    on_left: str = "user_id",
+    on_right: str = "c_custkey",
+    cols: tuple[str, ...] = ("c_mktsegment",),
+) -> DataFrame:
+    """Stream-static enrichment join — the most common streaming join in
+    practice (events x user/account dimension), and a different animal from
+    the stream-stream interval join below: STATELESS. No watermark, no join
+    state; the static side is broadcast, and in Structured Streaming the
+    static relation is re-resolved per micro-batch, so dimension updates
+    become visible without restarting the query. Left join: events with no
+    dimension row ride through with NULL attributes (an inner join would
+    silently drop unknown users — usually wrong for telemetry). Works
+    unchanged on a batch frame (unified API; stream==batch pinned in
+    tests)."""
+    d = dim.select(F.col(on_right).alias("_dk"), *cols)
+    return events.join(F.broadcast(d), events[on_left] == F.col("_dk"), "left").drop("_dk")
+
+
 def stream_dedup(
     events: DataFrame,
     keys: tuple[str, ...] = ("event_id",),

