@@ -43,7 +43,7 @@ N_ROWS = 120_000
 # below) puts the full parse at seconds — parse-dominated, the regime the
 # pruning claim is about.
 N_JSON_ROWS = 480_000
-FIXTURE_VERSION = 2  # bump when build_fixture_df changes shape
+FIXTURE_VERSION = 3  # bump when build_fixture_df or the format set changes
 
 
 def build_fixture_df(spark: SparkSession, n_rows: int) -> DataFrame:
@@ -82,18 +82,28 @@ def build_fixture_df(spark: SparkSession, n_rows: int) -> DataFrame:
     )
 
 
-def ensure_fixture(spark: SparkSession) -> tuple[str, str]:
+def ensure_fixture(spark: SparkSession) -> tuple[str, str, str | None]:
     pq_path = os.path.join(FIXTURE_DIR, "nested_wide.parquet")
     js_path = os.path.join(FIXTURE_DIR, "nested_wide.json")
+    av_path = os.path.join(FIXTURE_DIR, "nested_wide.avro")
     marker = os.path.join(
         FIXTURE_DIR, f"nested_wide.ok.v{FIXTURE_VERSION}.{N_ROWS}.{N_JSON_ROWS}"
     )
     if not os.path.exists(marker):
         df = build_fixture_df(spark, N_ROWS)
         df.repartition(8).write.mode("overwrite").parquet(pq_path)
-        build_fixture_df(spark, N_JSON_ROWS).repartition(8).write.mode("overwrite").json(js_path)
+        jdf = build_fixture_df(spark, N_JSON_ROWS).repartition(8)
+        jdf.write.mode("overwrite").json(js_path)
+        try:
+            # avro copy (vendored minimal connector); absence must not block
+            # the parquet/json fixtures
+            jdf.write.mode("overwrite").format("avro").save(av_path)
+        except Exception:
+            av_path = None
         open(marker, "w").close()
-    return pq_path, js_path
+    elif not os.path.isdir(av_path):
+        av_path = None
+    return pq_path, js_path, av_path
 
 
 QUERY_SHAPES = {
@@ -175,10 +185,50 @@ def run_json_wall(spark: SparkSession, js_path: str, full_schema) -> dict:
     }
 
 
+def run_avro_wall(spark: SparkSession, av_path: str, full_schema) -> dict:
+    """Avro: a row container, so all record bytes are read either way — the
+    pruned READER schema makes Avro's schema resolution SKIP DECODING the
+    fat pruned fields (vendor/avro-src attaches it in buildReader). Same
+    aggregate, full vs pruned read schema, wall-clock."""
+    build = QUERY_SHAPES["nested_agg"]
+
+    def timed(df) -> tuple[float, list]:
+        q = build(df)
+        t0 = time.monotonic()
+        rows = _rows(q)
+        return time.monotonic() - t0, rows
+
+    full_df = spark.read.schema(full_schema).format("avro").load(av_path)
+    sor = SchemaOnRead.generate(build(full_df))
+    pruned_schema = sor.for_paths(av_path)
+    full_times, pruned_times = [], []
+    for _ in range(3):
+        t, full_rows = timed(spark.read.schema(full_schema).format("avro").load(av_path))
+        full_times.append(t)
+        t, pruned_rows = timed(
+            spark.read.schema(pruned_schema).format("avro").load(av_path)
+        )
+        pruned_times.append(t)
+    if full_rows != pruned_rows:
+        raise AssertionError("pruned avro rerun diverged")
+    full_t, pruned_t = sorted(full_times)[1], sorted(pruned_times)[1]
+    return {
+        "full_sec": round(full_t, 3),
+        "pruned_sec": round(pruned_t, 3),
+        "speedup": round(full_t / pruned_t, 2) if pruned_t else None,
+    }
+
+
 def run(spark: SparkSession) -> dict:
-    pq_path, js_path = ensure_fixture(spark)
+    pq_path, js_path, av_path = ensure_fixture(spark)
     parquet = run_parquet_audit(spark, pq_path)
     js = run_json_wall(spark, js_path, spark.read.parquet(pq_path).schema)
+    av = None
+    if av_path is not None:
+        try:  # vendored-connector section may be absent; never sink the gates
+            av = run_avro_wall(spark, av_path, spark.read.parquet(pq_path).schema)
+        except Exception as e:
+            av = {"error": str(e)[:200]}
     ratios = [v["ratio"] for v in parquet.values()]
     warm = [v["analyzer_warm_sec"] for v in parquet.values()]
     return {
@@ -186,6 +236,7 @@ def run(spark: SparkSession) -> dict:
         "json_fixture_rows": N_JSON_ROWS,
         "parquet": parquet,
         "json_nested_agg": js,
+        "avro_nested_agg": av,
         "max_parquet_ratio": max(ratios),
         "gate_ratio_le_050": max(ratios) <= 0.5,
         "gate_json_speedup_ge_150": (js.get("speedup") or 0) >= 1.5,
