@@ -170,3 +170,34 @@ def test_avro_timestamp_millis_reads_correctly(avro, tmp_path):
 
     assert got[0].n == 7
     assert got[0].ts == datetime.datetime(2024, 1, 2, 3, 4, 5, 123000)
+
+
+def test_prune_works_over_avro_source(avro, tmp_path):
+    """The best-effort prune() loop is format-generic; prove it end-to-end
+    for the vendored avro source: the pruned re-read must answer the query
+    identically AND carry a genuinely narrower schema."""
+    import pyspark.sql.functions as F
+
+    from score_spark.schema_on_read.generator import SchemaOnRead
+    from score_spark.schema_on_read.rewrite import Source, prune
+
+    spark = avro
+    path = str(tmp_path / "docs.avro")
+    spark.createDataFrame(
+        [(i, f"t{i}", (i * 10, f"fat{'x' * 50}")) for i in range(20)],
+        "id long, tag string, payload struct<small: bigint, fat: string>",
+    ).coalesce(1).write.format("avro").save(path)
+
+    def q(t):
+        return t["a"].groupBy("tag").agg(F.sum("payload.small").alias("s"))
+
+    full = q({"a": spark.read.format("avro").load(path)})
+    pruned_df = prune(spark, {"a": Source(path, "avro")}, q)
+    assert sorted(map(tuple, pruned_df.collect())) == sorted(map(tuple, full.collect()))
+    # the derived read schema must actually narrow (payload.fat dropped)
+    sor = SchemaOnRead.generate(full)
+    ps = sor.for_paths(path)
+    names = {f.name for f in ps.fields}
+    assert "id" not in names
+    payload = [f for f in ps.fields if f.name == "payload"][0]
+    assert [sf.name for sf in payload.dataType.fields] == ["small"]
