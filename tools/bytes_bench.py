@@ -43,7 +43,13 @@ N_ROWS = 120_000
 # below) puts the full parse at seconds — parse-dominated, the regime the
 # pruning claim is about.
 N_JSON_ROWS = 480_000
-FIXTURE_VERSION = 3  # bump when build_fixture_df or the format set changes
+# avro decode is ~3x faster per row than JSON tokenization, so the avro
+# wall-clock fixture needs proportionally more rows or the 32-thread
+# session's constant schedule cost swamps the decode delta (measured: the
+# same fixture read 1.92x pruned on local[8] but 1.04x on the busy
+# local[32] bench session)
+N_AVRO_ROWS = 1_440_000
+FIXTURE_VERSION = 4  # bump when build_fixture_df or the format set changes
 
 
 def build_fixture_df(spark: SparkSession, n_rows: int) -> DataFrame:
@@ -97,7 +103,9 @@ def ensure_fixture(spark: SparkSession) -> tuple[str, str, str | None]:
         try:
             # avro copy (vendored minimal connector); absence must not block
             # the parquet/json fixtures
-            jdf.write.mode("overwrite").format("avro").save(av_path)
+            build_fixture_df(spark, N_AVRO_ROWS).repartition(16).write.mode(
+                "overwrite"
+            ).format("avro").save(av_path)
         except Exception:
             av_path = None
         open(marker, "w").close()
