@@ -201,3 +201,28 @@ def test_prune_works_over_avro_source(avro, tmp_path):
     assert "id" not in names
     payload = [f for f in ps.fields if f.name == "payload"][0]
     assert [sf.name for sf in payload.dataType.fields] == ["small"]
+
+
+def test_avro_partitioned_directory_layout(avro, tmp_path):
+    """Hive-style directory partitioning must work through the minimal
+    connector: partition values come from the DIRECTORY (appended by
+    Spark's buildReaderWithPartitionValues wrapper, which the FileFormat
+    inherits), not the files — the same partitioned layout the reference
+    tests for parquet (sample-partitioned.parquet fixtures)."""
+    spark = avro
+    path = str(tmp_path / "part.avro")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 20)], "id long, s string, someLong long"
+    ).write.partitionBy("someLong").format("avro").save(path)
+    back = spark.read.format("avro").load(path)
+    assert sorted((r.id, r.s, r.someLong) for r in back.collect()) == [
+        (1, "a", 10),
+        (2, "b", 10),
+        (3, "c", 20),
+    ]
+    # partition pruning: the filter must land in the scan's PartitionFilters
+    # (inputFiles() lists the unpruned relation, so check the plan)
+    pruned = back.filter("someLong = 20")
+    assert [(r.id, r.someLong) for r in pruned.collect()] == [(3, 20)]
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "someLong" in plan.split("PartitionFilters")[1][:120], plan

@@ -267,3 +267,31 @@ def test_chunking_reconstructs_documents(spark, docs, chunk_size, overlap):
         by_doc.setdefault(r["doc_id"], []).extend(keep)
     want = {i: ws for i, ws in docs}
     assert by_doc == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n_rows=st.integers(min_value=0, max_value=120),
+    n_strata=st.integers(min_value=1, max_value=4),
+    k=st.integers(min_value=1, max_value=15),
+)
+def test_stratified_topk_matches_reference_semantics(spark, n_rows, n_strata, k):
+    """Property: stratified_topk_sample == 'k smallest (md5(id), id) per
+    stratum' computed independently in Python, for any shape — including
+    strata smaller than k and the empty frame."""
+    import hashlib
+
+    from score_spark.operators.pipeline import stratified_topk_sample
+
+    rows = [(i * 7 + 1, f"s{i % n_strata}") for i in range(n_rows)]
+    df = spark.createDataFrame(rows, "doc_id long, source string") if rows else (
+        spark.createDataFrame([], "doc_id long, source string")
+    )
+    got = {(r.source, r.doc_id) for r in stratified_topk_sample(df, ("source",), k=k).collect()}
+    expect = set()
+    for s in {src for _, src in rows}:
+        ranked = sorted(
+            (hashlib.md5(str(i).encode()).hexdigest(), i) for i, src in rows if src == s
+        )[:k]
+        expect |= {(s, i) for _, i in ranked}
+    assert got == expect
