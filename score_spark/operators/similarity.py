@@ -430,6 +430,48 @@ def near_dup_pairs_lsh(
     )
 
 
+def mean_pool_embeddings(
+    df: DataFrame,
+    group_col: str = "doc_id",
+    vec_col: str = "embedding",
+    weight_col: str | None = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """(group, pooled embedding): element-wise (weighted) mean of each
+    group's vectors, optionally L2-normalized — the chunk-embeddings ->
+    document-embedding reducer every retrieval/training pipeline runs after
+    chunked encoding.
+
+    Shape: ONE shuffle on the group key into an Arrow grouped-agg
+    (applyInPandas) whose per-group work is a single numpy column-sum. Spark
+    has no built-in element-wise SUM over array columns, and the
+    posexplode alternative shuffles rows x dim scalars and needs a second
+    exchange to reassemble — this moves each vector once. Groups are
+    documents (many, small): per-task memory is one group's (n_chunks, dim)
+    matrix, bounded by the longest document, not the corpus."""
+    cols = [group_col, vec_col] + ([weight_col] if weight_col else [])
+
+    def pool(pdf: pd.DataFrame) -> pd.DataFrame:
+        M = _stack(pdf[vec_col])
+        if weight_col:
+            w = pdf[weight_col].to_numpy(dtype=np.float64)
+            s = w.sum()
+            v = (w[:, None] * M).sum(axis=0) / (s if s != 0.0 else 1.0)
+        else:
+            v = M.mean(axis=0)
+        if normalize:
+            n = np.linalg.norm(v)
+            if n > 0.0:
+                v = v / n
+        return pd.DataFrame({group_col: [pdf[group_col].iloc[0]], vec_col: [v.tolist()]})
+
+    return (
+        df.select(*cols)
+        .groupBy(group_col)
+        .applyInPandas(pool, f"{group_col} long, {vec_col} array<double>")
+    )
+
+
 # ------------------------------------------------------------- IVF (ANN v2)
 
 

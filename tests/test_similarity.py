@@ -248,3 +248,35 @@ def test_pandas_udfs_evaluate_once_in_executed_plans(clustered):
     pairs.write.format("noop").mode("overwrite").save()
     rerank_plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert rerank_plan.count("ArrowEvalPython") <= 1, rerank_plan
+
+
+def test_mean_pool_embeddings_matches_numpy(spark):
+    import numpy as np
+
+    from score_spark.operators.similarity import mean_pool_embeddings
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 1.0),
+        (1, [0.0, 1.0, 0.0], 3.0),
+        (2, [2.0, 2.0, 2.0], 5.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>, w double")
+
+    # unweighted + normalized
+    got = {r.doc_id: np.array(r.embedding) for r in mean_pool_embeddings(df).collect()}
+    v1 = np.array([0.5, 0.5, 0.0]); v1 = v1 / np.linalg.norm(v1)
+    assert np.allclose(got[1], v1)
+    assert np.allclose(got[2], np.array([2.0, 2.0, 2.0]) / np.linalg.norm([2.0, 2.0, 2.0]))
+
+    # weighted, un-normalized
+    got = {
+        r.doc_id: np.array(r.embedding)
+        for r in mean_pool_embeddings(df, weight_col="w", normalize=False).collect()
+    }
+    assert np.allclose(got[1], (1.0 * np.array([1, 0, 0]) + 3.0 * np.array([0, 1, 0])) / 4.0)
+    assert np.allclose(got[2], [2.0, 2.0, 2.0])
+
+    # zero vector stays zero under normalize (no div-by-zero NaN)
+    z = spark.createDataFrame([(9, [0.0, 0.0], 1.0)], "doc_id long, embedding array<double>, w double")
+    (r,) = mean_pool_embeddings(z).collect()
+    assert r.embedding == [0.0, 0.0]
