@@ -154,12 +154,14 @@ bucketed AS (
   SELECT g, v, {bucket_sql} AS bk FROM src
 ),
 hist AS (
-  -- COALESCE(1): hist is bounded by groups x n_buckets rows, so collapsing
-  -- it to one partition lets the cum windows run WITHOUT their own exchange
-  -- (SinglePartition satisfies the PARTITION BY g clustering; the hint
-  -- applies above the block it annotates, hence here and not in cum). The
-  -- bounded-memory story is unchanged — presentation_sort's rationale.
-  SELECT /*+ COALESCE(1) */ g, bk, count(*) AS bcnt FROM bucketed GROUP BY g, bk
+  -- NOTE (r6, reverted): a COALESCE(1) here removes the cum window's
+  -- exchange (~0.1 s of stage latency locally), but a narrow coalesce
+  -- above this aggregate pulls the FINAL merge of every map task's partial
+  -- histogram into one task — partial volume scales with map-task count
+  -- (P x groups x n_buckets), so at cluster scale the merge serializes
+  -- through one core. The window exchange moves <= groups x n_buckets
+  -- rows and amortizes; the distributed merge does not. Keep the exchange.
+  SELECT g, bk, count(*) AS bcnt FROM bucketed GROUP BY g, bk
 ),
 cum AS (
   SELECT g, bk, bcnt,
@@ -171,11 +173,7 @@ targets AS (
   SELECT g, bk, off, n FROM cum WHERE {is_target}
 ),
 sliced AS (
-  -- COALESCE(1) (with BROADCAST): the slice is percentile-count-bounded
-  -- (~percentiles x 2 target buckets, each bounded by its distinct values),
-  -- so one partition removes the ranked window's (g, bk) exchange; the
-  -- per-task bound grows only by the target-bucket count
-  SELECT /*+ BROADCAST(t), COALESCE(1) */ b.g, b.bk, t.off, t.n, b.v, count(*) AS cnt
+  SELECT /*+ BROADCAST(t) */ b.g, b.bk, t.off, t.n, b.v, count(*) AS cnt
   FROM bucketed b JOIN targets t ON b.g <=> t.g AND b.bk = t.bk
   GROUP BY b.g, b.bk, t.off, t.n, b.v
 )"""
@@ -188,7 +186,7 @@ bucketed AS (
   FROM src s JOIN stats st ON s.g <=> st.g  -- null-safe: NULL group keys profile too
 ),
 hist AS (
-  SELECT /*+ COALESCE(1) */ g, bk, n, count(*) AS bcnt FROM bucketed GROUP BY g, bk, n
+  SELECT g, bk, n, count(*) AS bcnt FROM bucketed GROUP BY g, bk, n
 ),
 cum AS (
   SELECT g, bk, n, bcnt,
@@ -199,7 +197,7 @@ targets AS (
   SELECT g, bk, off FROM cum WHERE {is_target}
 ),
 sliced AS (
-  SELECT /*+ BROADCAST(t), COALESCE(1) */ b.g, b.bk, t.off, b.n, b.v, count(*) AS cnt
+  SELECT /*+ BROADCAST(t) */ b.g, b.bk, t.off, b.n, b.v, count(*) AS cnt
   FROM bucketed b JOIN targets t ON b.g <=> t.g AND b.bk = t.bk
   GROUP BY b.g, b.bk, t.off, b.n, b.v
 )"""

@@ -465,10 +465,11 @@ def mean_pool_embeddings(
                 v = v / n
         return pd.DataFrame({group_col: [pdf[group_col].iloc[0]], vec_col: [v.tolist()]})
 
+    gtype = df.schema[group_col].dataType.simpleString()
     return (
         df.select(*cols)
         .groupBy(group_col)
-        .applyInPandas(pool, f"{group_col} long, {vec_col} array<double>")
+        .applyInPandas(pool, f"{group_col} {gtype}, {vec_col} array<double>")
     )
 
 

@@ -109,9 +109,12 @@ def enrich_with_dimension(
     """Stream-static enrichment join — the most common streaming join in
     practice (events x user/account dimension), and a different animal from
     the stream-stream interval join below: STATELESS. No watermark, no join
-    state; the static side is broadcast, and in Structured Streaming the
-    static relation is re-resolved per micro-batch, so dimension updates
-    become visible without restarting the query. Left join: events with no
+    state; the static side is broadcast. Re-resolution caveat: Structured
+    Streaming re-plans the static side per micro-batch, but a plain
+    file-backed DataFrame snapshots its FILE LISTING at read time, so new
+    dimension files appear only for catalog tables / formats with refreshing
+    indexes (or after restart) — rewriting data inside already-listed files
+    is picked up. Left join: events with no
     dimension row ride through with NULL attributes (an inner join would
     silently drop unknown users — usually wrong for telemetry). Works
     unchanged on a batch frame (unified API; stream==batch pinned in

@@ -269,9 +269,16 @@ def test_stream_static_enrich_join_equals_batch(spark, events_dir, sf_dir, tmp_p
     streamed = spark.table("stream_enrich").collect()
     assert len(streamed) == len(batch) > 0
     assert sorted(map(str, streamed)) == sorted(map(str, batch))
-    # at least one event must have no dimension row and keep NULL enrichment
-    # (left-join semantics), and at least one must be enriched
-    got_null = any(r.c_mktsegment is None for r in streamed)
-    got_val = any(r.c_mktsegment is not None for r in streamed)
-    assert got_val, "no event matched the dimension - fixture keys diverged"
-    assert got_null or all(r.c_mktsegment is not None for r in streamed)
+    # left-join semantics pinned against an INDEPENDENT expectation (an
+    # earlier draft asserted a tautology — review r6): events whose user_id
+    # has a dimension row must be enriched, all others must survive with
+    # NULL, and the counts must match a semi-join computed outside the
+    # operator under test
+    ev = spark.read.parquet(events_dir)
+    dim_keys = {r.c_custkey for r in dim.select("c_custkey").collect()}
+    n_total = ev.count()
+    n_matched = ev.filter(ev.user_id.isin(dim_keys)).count()
+    assert n_matched > 0, "no event matched the dimension - fixture keys diverged"
+    got_matched = sum(1 for r in streamed if r.c_mktsegment is not None)
+    assert got_matched == n_matched
+    assert sum(1 for r in streamed if r.c_mktsegment is None) == n_total - n_matched

@@ -93,7 +93,8 @@ def ensure_fixture(spark: SparkSession) -> tuple[str, str, str | None]:
     js_path = os.path.join(FIXTURE_DIR, "nested_wide.json")
     av_path = os.path.join(FIXTURE_DIR, "nested_wide.avro")
     marker = os.path.join(
-        FIXTURE_DIR, f"nested_wide.ok.v{FIXTURE_VERSION}.{N_ROWS}.{N_JSON_ROWS}"
+        FIXTURE_DIR,
+        f"nested_wide.ok.v{FIXTURE_VERSION}.{N_ROWS}.{N_JSON_ROWS}.{N_AVRO_ROWS}",
     )
     if not os.path.exists(marker):
         df = build_fixture_df(spark, N_ROWS)
@@ -107,9 +108,15 @@ def ensure_fixture(spark: SparkSession) -> tuple[str, str, str | None]:
                 "overwrite"
             ).format("avro").save(av_path)
         except Exception:
+            # remove any partial output: a half-written directory would pass
+            # the existence probe on the NEXT run and benchmark truncated data
+            import shutil
+
+            shutil.rmtree(av_path, ignore_errors=True)
             av_path = None
         open(marker, "w").close()
-    elif not os.path.isdir(av_path):
+    elif not os.path.isfile(os.path.join(av_path, "_SUCCESS")):
+        # _SUCCESS, not isdir: only a commit-protocol-completed write counts
         av_path = None
     return pq_path, js_path, av_path
 
