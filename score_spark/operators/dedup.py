@@ -383,6 +383,10 @@ def simhash_candidate_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate accounting per content fingerprint: group by md5 of
+    the text, keep group size and canonical (min) doc id for groups of
+    duplicates. ONE hash shuffle on a 16-byte key — the minimum possible
+    dedup plan at any scale."""
     d = load_table(spark, sf_dir, "documents")
     return (
         d.groupBy(F.md5("text").alias("fp"))

@@ -256,6 +256,11 @@ def pack_token_stream(
 
 
 def c01_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bounded overlapping document chunks (32-word windows, 8-word
+    overlap) in chunk order — the encoder-input step of a training pipeline.
+    Map-only split+sequence+explode+slice; range-partitioned on doc_id so
+    the id-ordered output is a free in-partition sort (see
+    chunk_documents)."""
     d = load_table(spark, sf_dir, "documents")
     # one chunk pass: range spread on doc_id + free in-partition total order
     # (see chunk_documents ranged_by_id)
@@ -517,6 +522,11 @@ FROM s3
 
 
 def c05_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing over the chunk stream: chunks concatenate
+    in (doc, chunk) order into 512-token packs per shard (8 shards pinned
+    for reproducibility), reported as per-pack chunk/token totals. The
+    cumsum window is the only shuffle and parallelizes across shards (see
+    pack_token_stream)."""
     d = load_table(spark, sf_dir, "documents")
     chunks = chunk_documents(d, chunk_size=32, overlap=8)
     return pack_token_stream(chunks, budget=512, n_shards=8).orderBy("shard", "pack_id")

@@ -629,6 +629,9 @@ def ivf_topk(
 
 
 def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for a small query set — the ANN
+    baseline/verifier: queries broadcast, the corpus streams through one
+    scan (never shuffled), per-query ranks tie-broken by neighbor id."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return cosine_topk(emb, queries, k=5).transform(presentation_sort, "query_id", "rk", shuffle=True)
@@ -655,6 +658,10 @@ ORDER BY query_id, rk
 
 
 def s02_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs above cosine 0.4 via the exact blocked-BLAS path
+    (bounded block rows, dense GEMM per block pair), summarized as
+    count/min/max so the oracle pins the full pair set. The exact tier that
+    verifies the LSH scale path (s05)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return (
         embedding_near_dup_pairs(emb, threshold=0.4)
