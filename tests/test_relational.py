@@ -183,3 +183,25 @@ def test_registry_name_sets_are_consistent():
     # operator lands, list it here explicitly so the weaker rows-only check
     # is a documented decision, not an accident
     assert missing_oracle == set(), missing_oracle
+
+
+def test_operator_catalog_is_fresh():
+    """OPERATORS.md is generated from the registry + docstrings; a stale
+    committed copy misdocuments the gated surface. Regenerate with
+    `python tools/gen_catalog.py > OPERATORS.md` when this fails."""
+    import io
+    import os
+    import sys
+    from contextlib import redirect_stdout
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from gen_catalog import main as gen_main
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        gen_main()
+    committed = open(os.path.join(repo, "OPERATORS.md")).read()
+    assert buf.getvalue().strip() == committed.strip(), (
+        "OPERATORS.md is stale — regenerate: python tools/gen_catalog.py > OPERATORS.md"
+    )
