@@ -34,7 +34,14 @@ def _q(text: str) -> str:
     operators, an already-quoted name — passes through verbatim: that is the
     documented escape hatch for callers handing in SQL fragments
     (ADVICE r5: a name with a space/quote/keyword was silently parsed as
-    different SQL)."""
+    different SQL).
+
+    CONTRACT for non-identifier column NAMES (``a-b``, ``my col``): a raw
+    string like "a-b" is indistinguishable from the SQL fragment a minus b,
+    so this helper cannot quote it for you — pass it pre-backticked
+    ("`a-b`") and it flows through as the (already safe) fragment. One
+    regex cannot close that ambiguity; what it does close is the
+    reserved-word/bare-name class."""
     if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", text):
         return f"`{text}`"
     return text

@@ -219,23 +219,41 @@ def pack_token_stream(
         # sizes come from the Hadoop FileSystem API, not os.path: input
         # files are URIs of ANY scheme (hdfs://, s3a://, percent-encoded
         # file:); a driver-local stat would silently see 0 bytes off-box
-        # and collapse the default to the fixed fallback (review r6)
+        # and collapse the default to the fixed fallback (review r6).
+        # One listStatus per PARENT DIRECTORY, not one RPC per file — at
+        # ~800k files a per-file getFileStatus loop is minutes of serial
+        # driver latency (review r6 #8).
         try:
             files = chunks.inputFiles()
         except Exception:
             files = []
-        total = 0
-        sc = chunks.sparkSession.sparkContext
-        hconf = sc._jsc.hadoopConfiguration()
-        jvm = sc._jvm
-        for f in files:
+        if not files:
+            n_shards = 16  # non-file input (in-memory frame): documented fallback
+        else:
+            sc = chunks.sparkSession.sparkContext
+            hconf = sc._jsc.hadoopConfiguration()
+            jvm = sc._jvm
+            wanted = set(files)
+            parents = {f.rsplit("/", 1)[0] for f in files}
+            total = 0
             try:
-                jpath = jvm.org.apache.hadoop.fs.Path(f)
-                total += jpath.getFileSystem(hconf).getFileStatus(jpath).getLen()
-            except Exception:
-                pass
-        raw = max(1, -(-total // (64 << 20))) if total else 16
-        n_shards = 1 << (raw - 1).bit_length()
+                for d in sorted(parents):
+                    jdir = jvm.org.apache.hadoop.fs.Path(d)
+                    fs = jdir.getFileSystem(hconf)
+                    for st in fs.listStatus(jdir):
+                        if st.getPath().toString() in wanted:
+                            total += st.getLen()
+            except Exception as e:
+                # a partial size would derive a DIFFERENT shard count than a
+                # healthy run over the same data — the exact
+                # non-reproducibility this default exists to prevent. Fail
+                # loudly instead of silently repacking (review r6 #2).
+                raise RuntimeError(
+                    "pack_token_stream could not size its input files to derive "
+                    "n_shards deterministically; pass n_shards explicitly"
+                ) from e
+            raw = max(1, -(-total // (64 << 20)))
+            n_shards = 1 << (raw - 1).bit_length()
     shard = (F.col(id_col) % n_shards).alias("shard")
     w = Window.partitionBy("shard").orderBy(id_col, order_col)
     offset = (F.sum(size_col).over(w) - F.col(size_col)).cast("long")

@@ -36,6 +36,14 @@ from score_spark.xcheck import write_xcheck, xcheck_path
 
 
 def dot(a: Column, b: Column) -> Column:
+    # cast BEFORE multiplying: on array<float> inputs the lambda's x*y is a
+    # FloatType product (rounded to 2^-24 relative) before the double
+    # accumulation, while the DuckDB oracles (DOUBLE[] cast) and cosine_pd
+    # (numpy float64) compute exact double products of the same f32 values —
+    # a residual 4-dp rounding-boundary flake the r6 oracle fix was meant to
+    # close (review r6 #3). float->double widening is exact, so all three
+    # paths now multiply identical doubles.
+    a, b = a.cast("array<double>"), b.cast("array<double>")
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -44,6 +52,7 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def l2_norm(a: Column) -> Column:
+    a = a.cast("array<double>")  # see dot(): float64 products, like the oracle
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
 
 

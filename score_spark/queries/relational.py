@@ -754,13 +754,18 @@ def q28_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # null-safe joins: a NULL returnflag group must survive to the output
     # the way the oracle's GROUP BY keeps it (the operator is null-safe
-    # inside; a plain equi-join would drop the NULL group — review r6)
+    # inside; a plain equi-join would drop the NULL group — review r6).
+    # pct joins LEFT: the operator's src excludes NaN with NULL, so a group
+    # whose prices are ALL NaN/NULL gets no pct row at all — the oracle
+    # still emits that group with NULL quantiles, and an inner join would
+    # delete it (review r6 #6). distincts shares base's grouping so inner
+    # is safe there.
     pct_b = F.broadcast(pct.withColumnRenamed("l_returnflag", "_rf"))
     dd_b = F.broadcast(distincts.withColumnRenamed("l_returnflag", "_rf2"))
     return (
         base.drop("_n_val", "_mn_val", "_mx_val")
         .join(dd_b, F.col("l_returnflag").eqNullSafe(F.col("_rf2")))
-        .join(pct_b, F.col("l_returnflag").eqNullSafe(F.col("_rf")))
+        .join(pct_b, F.col("l_returnflag").eqNullSafe(F.col("_rf")), "left")
         .drop("_rf", "_rf2")
         .select(
             "l_returnflag", "n", "n_suppliers", "n_parts", "min_price",

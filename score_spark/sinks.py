@@ -97,13 +97,15 @@ def write_bucketed(
         # managed-table overwrite hardening: the warehouse DIRECTORY outlives
         # the (in-memory) session catalog, so a table written by a previous
         # session leaves a location that LOCATION_ALREADY_EXISTS rejects even
-        # though the new catalog has no such table. Drop any catalog entry,
-        # then clear a stale orphaned location (only when the catalog does
-        # NOT know the table — a live table's data is handled by overwrite).
+        # though the new catalog has no such table. ONLY that orphaned case
+        # is cleaned here — a table the catalog knows is left entirely to
+        # saveAsTable's own overwrite, which keeps Spark's self-read guard
+        # ("cannot overwrite a table that is also being read from") and
+        # never deletes data before the new write commits (review r6: an
+        # eager DROP destroyed the table on self-referential overwrites and
+        # on any write that failed after the drop).
         spark = df.sparkSession
-        known = spark.catalog.tableExists(table)
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        if not known:
+        if not spark.catalog.tableExists(table):
             import os
             import shutil
 

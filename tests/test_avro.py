@@ -226,3 +226,17 @@ def test_avro_partitioned_directory_layout(avro, tmp_path):
     assert [(r.id, r.someLong) for r in pruned.collect()] == [(3, 20)]
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "someLong" in plan.split("PartitionFilters")[1][:120], plan
+
+
+def test_avro_primitive_promotion_on_read(avro, tmp_path):
+    """Avro-spec widening: reading an int-written field with a wider
+    required type (bigint/double) must decode the promoted value, not crash
+    with a mis-boxed primitive (review r6)."""
+    spark = avro
+    path = str(tmp_path / "promo.avro")
+    spark.sql("SELECT cast(7 as int) n, cast(1.5 as float) f").coalesce(1).write.format(
+        "avro"
+    ).save(path)
+    got = spark.read.schema("n bigint, f double").format("avro").load(path).collect()
+    assert got[0].n == 7 and isinstance(got[0].n, int)
+    assert abs(got[0].f - 1.5) < 1e-12

@@ -96,28 +96,38 @@ def ensure_fixture(spark: SparkSession) -> tuple[str, str, str | None]:
         FIXTURE_DIR,
         f"nested_wide.ok.v{FIXTURE_VERSION}.{N_ROWS}.{N_JSON_ROWS}.{N_AVRO_ROWS}",
     )
+    def _build_avro() -> str | None:
+        """Avro fixture copy (vendored minimal connector). Failure must not
+        block the parquet/json fixtures — and must not be PERMANENT either:
+        the marker governs only the parquet/json builds, so a run whose
+        session lacked the connector just retries the avro copy next time
+        (review r6 #4: stamping the marker on failure disabled the avro
+        audit forever with no recorded error)."""
+        try:
+            build_fixture_df(spark, N_AVRO_ROWS).repartition(16).write.mode(
+                "overwrite"
+            ).format("avro").save(av_path)
+            return av_path
+        except Exception:
+            import shutil
+
+            # remove partial output: a half-written directory would pass an
+            # existence probe next run and benchmark truncated data
+            shutil.rmtree(av_path, ignore_errors=True)
+            return None
+
     if not os.path.exists(marker):
         df = build_fixture_df(spark, N_ROWS)
         df.repartition(8).write.mode("overwrite").parquet(pq_path)
         jdf = build_fixture_df(spark, N_JSON_ROWS).repartition(8)
         jdf.write.mode("overwrite").json(js_path)
-        try:
-            # avro copy (vendored minimal connector); absence must not block
-            # the parquet/json fixtures
-            build_fixture_df(spark, N_AVRO_ROWS).repartition(16).write.mode(
-                "overwrite"
-            ).format("avro").save(av_path)
-        except Exception:
-            # remove any partial output: a half-written directory would pass
-            # the existence probe on the NEXT run and benchmark truncated data
-            import shutil
-
-            shutil.rmtree(av_path, ignore_errors=True)
-            av_path = None
+        av = _build_avro()
         open(marker, "w").close()
-    elif not os.path.isfile(os.path.join(av_path, "_SUCCESS")):
-        # _SUCCESS, not isdir: only a commit-protocol-completed write counts
-        av_path = None
+        return pq_path, js_path, av
+    if not os.path.isfile(os.path.join(av_path, "_SUCCESS")):
+        # _SUCCESS, not isdir: only a commit-protocol-completed write counts;
+        # a previously failed/absent avro copy is retried here
+        return pq_path, js_path, _build_avro()
     return pq_path, js_path, av_path
 
 
