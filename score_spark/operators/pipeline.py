@@ -236,6 +236,7 @@ def pack_token_stream(
             wanted = set(files)
             parents = {f.rsplit("/", 1)[0] for f in files}
             total = 0
+            matched = 0
             try:
                 for d in sorted(parents):
                     jdir = jvm.org.apache.hadoop.fs.Path(d)
@@ -243,6 +244,18 @@ def pack_token_stream(
                     for st in fs.listStatus(jdir):
                         if st.getPath().toString() in wanted:
                             total += st.getLen()
+                            matched += 1
+                if matched != len(wanted):
+                    # listStatus not string-matching inputFiles (URI
+                    # encoding/scheme drift, files deleted between listings)
+                    # must fail like a thrown exception: a PARTIAL total
+                    # derives a different n_shards than a healthy run — the
+                    # silent environment-dependent repacking this guard
+                    # exists to prevent (ADVICE r6: total == 0 collapsed
+                    # n_shards to 1 with no error at all).
+                    raise RuntimeError(
+                        f"matched {matched} of {len(wanted)} input files"
+                    )
             except Exception as e:
                 # a partial size would derive a DIFFERENT shard count than a
                 # healthy run over the same data — the exact

@@ -23,6 +23,21 @@ _STOPLIST = "[" + ", ".join(f"'{w}'" for w in TX.ALL_STOPWORDS) + "]"
 _NSTOP = f"len(list_filter({_TOKENS}, t -> list_contains({_STOPLIST}, t)))"
 
 
+def _check_helper_collisions(df: DataFrame, helpers: tuple[str, ...]) -> None:
+    """The hoisted-projection helpers below are injected with select('*', ...)
+    and referenced by name downstream; an input frame that already carries a
+    column with one of these names would make that reference ambiguous (or
+    silently bind to the wrong array). Fail loudly at the boundary instead
+    (ADVICE r6)."""
+    lower = {c.lower() for c in df.columns}
+    hit = [h for h in helpers if h.lower() in lower]
+    if hit:
+        raise ValueError(
+            f"input columns collide with internal helper name(s) {hit}; "
+            "rename or drop them before calling text-stats operators"
+        )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text", spread: bool = True) -> DataFrame:
     """Append per-document token statistics (all JVM built-ins).
     ``spread=False`` skips the round-robin fan-out for callers that already
@@ -33,6 +48,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text", spread: bool = True) 
     subexpression elimination outside codegen — see text._tokens_sql), and
     CollapseProject keeps a multi-use alias un-inlined, so this is one
     tokenization per row instead of five."""
+    _check_helper_collisions(df, ("_toks",))
     # several regex/split passes per row: ~10-50x a plain byte scan
     base = fan_out(df, min_bytes_per_task=EXPLODE_BYTES_PER_TASK) if spread else df
     toked = base.select("*", TX.tokens(text_col).alias("_toks"))
@@ -52,6 +68,9 @@ def with_language(df: DataFrame, text_col: str = "text", keep_tokens: bool = Fal
     ``_toks``, and the four SCORES are projected as columns before the CASE
     — the en score alone is referenced four times by the argmax, which
     would otherwise re-run its filter pass per reference."""
+    _check_helper_collisions(
+        df, ("_toks", *[f"_ls_{lang}" for lang in TX.STOPWORDS])
+    )
     # predicted_lang is a chain of stopword-filter passes — heavy per
     # byte, so the fan-out floor scales down like with_text_stats above
     spread = fan_out(df, min_bytes_per_task=EXPLODE_BYTES_PER_TASK)

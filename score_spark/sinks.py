@@ -106,14 +106,27 @@ def write_bucketed(
         # on any write that failed after the drop).
         spark = df.sparkSession
         if not spark.catalog.tableExists(table):
-            import os
-            import shutil
-
+            # Location is derived from the FULL identifier — a qualified
+            # 'db.t' lives at <warehouse>/<db>.db/t, and an unqualified name
+            # resolves against the CURRENT database (ADVICE r6: stripping
+            # the qualifier deleted default's unrelated 't' while the real
+            # orphan survived). Deletion goes through the Hadoop FileSystem
+            # API so hdfs://, s3a://, and percent-encoded file: warehouse
+            # URIs all resolve and delete uniformly (ADVICE r6: a POSIX
+            # rmtree silently no-ops on every non-local warehouse).
+            parts = [p.strip("`").lower() for p in table.split(".")]
+            if len(parts) > 2:
+                raise ValueError(f"expected [db.]table, got {table!r}")
+            db = parts[0] if len(parts) == 2 else spark.catalog.currentDatabase().lower()
+            tbl = parts[-1]
             wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-            wh = wh.removeprefix("file:")
-            loc = os.path.join(wh, table.split(".")[-1].lower())
-            if os.path.isdir(loc):
-                shutil.rmtree(loc, ignore_errors=True)
+            segments = ([] if db == "default" else [f"{db}.db"]) + [tbl]
+            jvm = spark.sparkContext._jvm
+            loc = jvm.org.apache.hadoop.fs.Path(wh, "/".join(segments))
+            hconf = spark.sparkContext._jsc.hadoopConfiguration()
+            fs = loc.getFileSystem(hconf)
+            if fs.exists(loc):
+                fs.delete(loc, True)
     writer = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_by)
     if sort_by:
         writer = writer.sortBy(*sort_by)

@@ -234,3 +234,27 @@ def test_stratified_topk_small_stratum_keeps_all(spark):
     df = spark.createDataFrame([(1, "tiny"), (2, "tiny")], ["doc_id", "source"])
     got = stratified_topk_sample(df, ("source",), k=10).collect()
     assert sorted(r.doc_id for r in got) == [1, 2]
+
+
+def test_pack_token_stream_raises_on_unsizeable_input(spark, tmp_path):
+    """A file listed by inputFiles() but missing from listStatus (deleted
+    between listings, URI drift) must RAISE, not silently derive a partial
+    total -> different n_shards -> different pack boundaries (ADVICE r6:
+    total == 0 collapsed n_shards to 1 with no error)."""
+    import glob
+    import os
+
+    import pytest
+
+    from score_spark.operators.pipeline import pack_token_stream
+
+    src = str(tmp_path / "chunks")
+    spark.range(100).selectExpr(
+        "id AS doc_id", "CAST(id % 4 AS INT) AS chunk_idx", "CAST(10 AS INT) AS n_words"
+    ).repartition(4).write.parquet(src)
+    df = spark.read.parquet(src)
+    df.count()  # pin the file listing before the delete
+    victim = sorted(glob.glob(f"{src}/part-*.parquet"))[0]
+    os.remove(victim)
+    with pytest.raises(RuntimeError, match="n_shards"):
+        pack_token_stream(df)  # n_shards=None -> must size the input files

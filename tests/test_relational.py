@@ -205,3 +205,21 @@ def test_operator_catalog_is_fresh():
     assert buf.getvalue().strip() == committed.strip(), (
         "OPERATORS.md is stale — regenerate: python tools/gen_catalog.py > OPERATORS.md"
     )
+
+
+def test_text_stats_rejects_helper_column_collision(spark):
+    """Inputs already carrying a _toks / _ls_* column would make the hoisted
+    helper projections ambiguous downstream — the boundary guard raises
+    instead (ADVICE r6)."""
+    import pytest
+
+    from score_spark.operators.textstats import with_language, with_text_stats
+
+    df = spark.createDataFrame([("a b", ["x"])], ["text", "_toks"])
+    with pytest.raises(ValueError, match="_toks"):
+        with_text_stats(df)
+    with pytest.raises(ValueError, match="_toks"):
+        with_language(df)
+    df2 = spark.createDataFrame([("a b", 1)], ["text", "_ls_en"])
+    with pytest.raises(ValueError, match="_ls_en"):
+        with_language(df2)

@@ -199,3 +199,32 @@ def test_k01_join_plan_is_exchange_free_on_join_sides(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+
+
+def test_bucketed_overwrite_cleans_qualified_orphan_not_default(spark, sf_dir):
+    """Orphan cleanup for a QUALIFIED table name must target
+    <warehouse>/<db>.db/<table>, never the default database's same-named
+    directory (ADVICE r6: the old string-join deleted default's unrelated
+    data and left the real orphan in place)."""
+    import os
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("CREATE DATABASE IF NOT EXISTS sinks_adv")
+    spark.sql("DROP TABLE IF EXISTS sinks_adv.orph")
+    orphan = os.path.join(wh, "sinks_adv.db", "orph")
+    bystander = os.path.join(wh, "orph")
+    os.makedirs(orphan, exist_ok=True)
+    open(os.path.join(orphan, "stale.parquet"), "w").close()
+    os.makedirs(bystander, exist_ok=True)
+    sentinel = os.path.join(bystander, "keep.parquet")
+    open(sentinel, "w").close()
+    try:
+        df = load_table(spark, sf_dir, "region")
+        write_bucketed(df, "sinks_adv.orph", ("r_regionkey",), n_buckets=2)
+        assert os.path.exists(sentinel), "default-db bystander dir was deleted"
+        assert spark.table("sinks_adv.orph").count() == df.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sinks_adv.orph")
+        spark.sql("DROP DATABASE IF EXISTS sinks_adv CASCADE")
+        shutil.rmtree(bystander, ignore_errors=True)
