@@ -795,17 +795,20 @@ ORDER BY l_returnflag
 def q22_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access: pull a field out of a JSON string column
     (events.props) — the map/nested-access analog (:1298-1332) on this
-    dataset. from_json with a one-field schema runs JVM-side and lets
-    JacksonParser skip every other key in the document (schema-pruned
-    parse), where get_json_object re-tokenizes the full string per call —
-    the right shape when one row carries many extracted fields or large
-    documents (VERDICT r5 #1).
+    dataset. get_json_object extracts the raw string then casts — the same
+    semantics as the oracle's json_extract_string + CAST on quoted numbers
+    and partially malformed documents (ADVICE r6: from_json's PERMISSIVE
+    mode nulls those out). A measured A/B at sf0.1 (BASELINE.md, r7) found
+    all three JVM extraction paths — get_json_object, schema-pruned
+    from_json, json_tuple — within ~10% on single-field extraction; the
+    r5 hypothesis that pruned from_json wins was falsified, so semantics
+    decide.
     """
     e = _t(spark, sf_dir, "events")
     return (
         e.select(
             "event_type",
-            F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
         )
         .groupBy("event_type")
         .agg(
