@@ -105,40 +105,75 @@ def test_avro_readback_from_second_engine_shape(avro, tmp_path):
     reader.close()
 
 
-def test_avro_reader_schema_prunes_decode(avro, tmp_path):
-    """The read path must attach a PRUNED reader schema (avro-native schema
-    resolution then skips decoding dropped fields) — assert the pruning
-    function's output directly, since a full-decode-then-project
-    implementation would pass the value-level tests identically."""
-    spark = avro
-    path = str(tmp_path / "p.avro")
-    spark.createDataFrame(
-        [("a", 1, (10, 20))], "s string, n long, inner struct<x: bigint, y: bigint>"
-    ).coalesce(1).write.format("avro").save(path)
-    import glob
+def _write_raw_avro(jvm, schema_json: str, path: str, rows: list[dict]):
+    """Write an avro file with the raw avro Java library (bypassing the
+    connector's writer) so the file can contain shapes our writer never
+    emits."""
+    schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    writer.create(schema, jvm.java.io.File(path))
+    for row in rows:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        for k, v in row.items():
+            rec.put(k, v)
+        writer.append(rec)
+    writer.close()
+    return schema
 
-    f = glob.glob(f"{path}/part-*.avro")[0]
+
+def test_avro_pruned_fields_are_skipped_not_decoded(avro, tmp_path):
+    """The read path must SKIP pruned fields at the binary level, never
+    decode-then-discard them — proven mechanically: the file carries a field
+    whose type the reader cannot DECODE at all (a multi-branch non-null
+    union, outside the supported [null, T] subset) but can always SKIP.
+    A full-decode-then-project implementation fails both reads; the
+    projecting reader serves the pruned one (VERDICT r6 #1)."""
+    spark = avro
+    f = str(tmp_path / "mixed.avro")
+    schema_json = (
+        '{"type":"record","name":"r","fields":['
+        '{"name":"s","type":"string"},'
+        '{"name":"poison","type":["int","string"]},'
+        '{"name":"n","type":"long"}]}'
+    )
     jvm = spark._jvm
-    reader = jvm.org.apache.avro.file.DataFileReader(
-        jvm.java.io.File(f), jvm.org.apache.avro.generic.GenericDatumReader()
+    _write_raw_avro(
+        jvm, schema_json, f, [{"s": "a", "poison": 7, "n": 10}, {"s": "b", "poison": "x", "n": 20}]
     )
-    writer_schema = reader.getSchema()
-    reader.close()
-    # the vendored jar lives on Spark's mutable jar classloader, not the app
-    # classloader — resolve through Spark's own lookup
-    cls = jvm.org.apache.spark.util.Utils.classForName(
-        "org.apache.spark.sql.avro.AvroConversions$", True, True
-    )
-    conv = cls.getField("MODULE$").get(None)
-    required = jvm.org.apache.spark.sql.types.DataType.fromDDL("s string, inner struct<x: bigint>")
-    pruned = conv.pruneAvroSchema(writer_schema, required)
-    names = [str(fld.name()) for fld in pruned.getFields()]
-    assert names == ["s", "inner"]
-    inner = pruned.getField("inner").schema()
-    # unwrap the [null, record] union the writer emits
-    branches = [b for b in inner.getTypes()] if inner.getType().getName() == "union" else [inner]
-    rec = [b for b in branches if b.getType().getName() == "record"][0]
-    assert [str(fld.name()) for fld in rec.getFields()] == ["x"]
+    pruned = spark.read.schema("s string, n bigint").format("avro").load(f)
+    assert sorted((r.s, r.n) for r in pruned.collect()) == [("a", 10), ("b", 20)]
+    with pytest.raises(Exception, match="union|Union|poison|support"):
+        spark.read.schema(
+            "s string, poison string, n bigint"
+        ).format("avro").load(f).collect()
+
+
+def test_avro_large_file_splits_across_tasks(avro, tmp_path):
+    """Sync-marker split handling (VERDICT r6 #2): one multi-block avro file
+    must fan out across >1 input partition and still read every row exactly
+    once. maxPartitionBytes is shrunk so the single file yields many splits;
+    the row set (ids are unique) proves the split tiling neither drops nor
+    duplicates block contents at split boundaries."""
+    spark = avro
+    path = str(tmp_path / "big.avro")
+    n = 200_000
+    spark.range(n).selectExpr(
+        "id", "repeat(uuid(), 4) AS pad"
+    ).coalesce(1).write.format("avro").save(path)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 * 1024))
+        df = spark.read.format("avro").load(path).select("id")
+        parts = df.rdd.getNumPartitions()
+        assert parts > 4, f"unsplit read: {parts} partition(s)"
+        got = df.collect()
+        assert len(got) == n
+        assert len({r.id for r in got}) == n
+        assert df.selectExpr("sum(id) s").collect()[0].s == n * (n - 1) // 2
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
 
 
 def test_avro_timestamp_millis_reads_correctly(avro, tmp_path):
