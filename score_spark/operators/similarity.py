@@ -638,12 +638,34 @@ def ivf_topk(
 
 
 def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force cosine top-5 for a small query set — the ANN
-    baseline/verifier: queries broadcast, the corpus streams through one
-    scan (never shuffled), per-query ranks tie-broken by neighbor id."""
+    """Exact brute-force cosine top-5 — the ANN baseline/verifier: queries
+    broadcast, the corpus streams through one scan (never shuffled),
+    per-query ranks tie-broken by neighbor id. The five query vectors are
+    MEAN-POOLED from the 40 lowest-id corpus vectors (8 chunks per pooled
+    "document", vec_id % 5), putting ``mean_pool_embeddings``'s grouped
+    Arrow column-mean under the driver's oracle (VERDICT r6 #4) — the
+    chunk-embeddings -> document-embedding -> retrieve pipeline shape.
+    ``q_norm`` (L2 norm of the un-normalized pooled vector) pins the mean
+    itself: cosine alone is scale-invariant, so without it a sum-pooled
+    (or re-weighted) vector would hash identically. Pooled ids are offset
+    to 1000+ so the exclude-self join predicate never collides with corpus
+    ids."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    return cosine_topk(emb, queries, k=5).transform(presentation_sort, "query_id", "rk", shuffle=True)
+    chunks = emb.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") % 5 + 1000).alias("vec_id"), "embedding"
+    )
+    pooled = mean_pool_embeddings(chunks, group_col="vec_id", normalize=False)
+    norms = pooled.select(
+        F.col("vec_id").alias("query_id"),
+        F.round(
+            F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)), 4
+        ).alias("q_norm"),
+    )
+    return (
+        cosine_topk(emb, pooled, k=5)
+        .join(F.broadcast(norms), "query_id")
+        .transform(presentation_sort, "query_id", "rk", shuffle=True)
+    )
 
 
 ORACLE_S01 = """
@@ -652,17 +674,26 @@ ORACLE_S01 = """
 -- side's float64 math at the 4-dp rounding boundary often enough to flip a
 -- hash on result sets this size (observed on s05: 0.3257f vs 0.3258d)
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
-q AS (SELECT vec_id AS query_id, embedding AS qv FROM emb WHERE vec_id < 5),
+src AS (SELECT vec_id % 5 + 1000 AS query_id, embedding FROM emb WHERE vec_id < 40),
+pos0 AS (SELECT query_id, unnest(generate_series(1, len(embedding))) AS i, embedding
+         FROM src),
+pos AS (SELECT query_id, i, avg(embedding[i]) AS v FROM pos0 GROUP BY query_id, i),
+pooled AS (SELECT query_id, list(v ORDER BY i) AS qv FROM pos GROUP BY query_id),
+norms AS (SELECT query_id,
+                 round(sqrt(list_sum(list_transform(qv, x -> x * x))), 4) AS q_norm
+          FROM pooled),
 scored AS (
-  SELECT q.query_id, e.vec_id AS neighbor_id,
-         list_cosine_similarity(q.qv, e.embedding) AS sim_raw,
-         row_number() OVER (PARTITION BY q.query_id
-                            ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id) AS rk
-  FROM q JOIN emb e ON e.vec_id <> q.query_id
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(p.qv, e.embedding) AS sim_raw,
+         row_number() OVER (PARTITION BY p.query_id
+                            ORDER BY list_cosine_similarity(p.qv, e.embedding) DESC, e.vec_id) AS rk
+  FROM pooled p JOIN emb e ON e.vec_id <> p.query_id
 )
-SELECT query_id, neighbor_id, round(sim_raw, 4) AS sim, CAST(rk AS INT) AS rk
-FROM scored WHERE rk <= 5
-ORDER BY query_id, rk
+SELECT s.query_id, s.neighbor_id, round(s.sim_raw, 4) AS sim, CAST(s.rk AS INT) AS rk,
+       n.q_norm
+FROM scored s JOIN norms n USING (query_id)
+WHERE s.rk <= 5
+ORDER BY s.query_id, s.rk
 """
 
 

@@ -30,11 +30,18 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str | N
     )
 
 
-def sliding_counts(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+def sliding_counts(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    extra_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Sliding (hopping) window counts; ``extra_keys`` adds grouping
+    dimensions (e.g. an enrichment attribute) alongside event_type."""
     return (
-        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type", *extra_keys)
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .select(F.col("w.start").alias("window_start"), "event_type", *extra_keys, "n")
     )
 
 
@@ -301,16 +308,33 @@ ORDER BY user_id, session_start
 
 
 def w02_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding (hopping) windows: each event lands in width/slide windows.
-    Oracle enumerates the same hops with generate_series."""
+    """Sliding (hopping) windows over DIMENSION-ENRICHED events: the stream
+    is first joined to the customer dimension with
+    ``enrich_with_dimension`` (stateless broadcast left join — the
+    stream-static enrichment operator, now under the driver's oracle per
+    VERDICT r6 #4), then each event lands in width/slide windows counted
+    per (window, event_type, segment). Oracle enumerates the same hops with
+    generate_series over the same LEFT JOIN."""
+    from score_spark.io import load_table
+
     e = load_events(spark, sf_dir)
-    return sliding_counts(e, "1 hour", "30 minutes").orderBy("window_start", "event_type")
+    c = load_table(spark, sf_dir, "customer")
+    enriched = enrich_with_dimension(
+        e, c, on_left="user_id", on_right="c_custkey", cols=("c_mktsegment",)
+    )
+    return sliding_counts(enriched, "1 hour", "30 minutes", extra_keys=("c_mktsegment",)).orderBy(
+        "window_start", "event_type", "c_mktsegment"
+    )
 
 
 ORACLE_W02 = """
-WITH hops AS (
-  SELECT e.event_type, h.hop AS window_start
-  FROM events e,
+WITH enr AS (
+  SELECT e.ts, e.event_type, c.c_mktsegment
+  FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+),
+hops AS (
+  SELECT e.event_type, e.c_mktsegment, h.hop AS window_start
+  FROM enr e,
        LATERAL (
          SELECT unnest(generate_series(
            time_bucket(INTERVAL '30 minutes', e.ts) - INTERVAL '30 minutes',
@@ -319,10 +343,10 @@ WITH hops AS (
        ) h
   WHERE e.ts >= h.hop AND e.ts < h.hop + INTERVAL '1 hour'
 )
-SELECT window_start, event_type, count(*) AS n
+SELECT window_start, event_type, c_mktsegment, count(*) AS n
 FROM hops
-GROUP BY 1, 2
-ORDER BY window_start, event_type
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type, c_mktsegment
 """
 
 
