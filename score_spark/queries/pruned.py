@@ -47,7 +47,7 @@ def _ensure_nested_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     with channel_time(_FIXTURE):
         nested.write.mode("overwrite").parquet(pq)
         nested.write.mode("overwrite").json(js)
-    return pq, js
+    return pq, js, nested.schema
 
 
 def p01_pruned_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,10 +55,14 @@ def p01_pruned_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaf payload.nested.small) through prune(): each source is re-read with
     its minimal nested schema — the parquet reader drops payload entirely,
     the JSON reader skips parsing the fat payload.big field."""
-    pq, js = _ensure_nested_fixture(spark, sf_dir)
+    pq, js, schema = _ensure_nested_fixture(spark, sf_dir)
+    # the JSON source carries the (known — we just wrote it) full schema:
+    # without one, building the pre-prune query pays a full inference scan
+    # of the JSON copy on every call (~0.4 s at sf0.1, and unbounded at
+    # scale; see VERDICT r6 #5's p01 billing audit in BASELINE.md)
     sources = {
         "p": Source(pq, "parquet"),
-        "j": Source(js, "json"),
+        "j": Source(js, "json", schema=schema),
     }
 
     def query_fn(t: dict[str, DataFrame]) -> DataFrame:
@@ -80,9 +84,9 @@ def pruned_schemas_for_fixture(spark: SparkSession, sf_dir: str):
     """Test hook: the minimal read schemas prune() derives for the two
     sources (so tests can assert real narrowing happened, not just result
     equality)."""
-    pq, js = _ensure_nested_fixture(spark, sf_dir)
+    pq, js, schema = _ensure_nested_fixture(spark, sf_dir)
     full_p = spark.read.parquet(pq)
-    full_j = spark.read.json(js)
+    full_j = spark.read.schema(schema).json(js)
     q = (
         full_p.select("doc_id", F.col("meta.a").alias("a"))
         .join(full_j.select("doc_id", F.col("payload.nested.small").alias("small")), "doc_id")

@@ -29,9 +29,16 @@ from score_spark.schema_on_read.generator import SchemaOnRead
 
 @dataclass
 class Source:
+    """``schema`` (optional) is the source's FULL schema when the caller
+    already knows it: schemaless formats (JSON/CSV) otherwise pay a full
+    inference scan just to build the pre-prune query — a driver-blocking
+    read of the entire input that at 100 TB dwarfs the query itself. The
+    pruned re-read always gets the derived minimal schema regardless."""
+
     path: str | list[str]
     format: str = "parquet"
     options: dict[str, Any] = field(default_factory=dict)
+    schema: Any = None
 
     def paths(self) -> list[str]:
         return [self.path] if isinstance(self.path, str) else list(self.path)
@@ -39,6 +46,8 @@ class Source:
 
 def _read(spark: SparkSession, src: Source, schema=None) -> DataFrame:
     reader = spark.read.format(src.format).options(**src.options)
+    if schema is None:
+        schema = src.schema
     if schema is not None:
         reader = reader.schema(schema)
     return reader.load(src.paths())

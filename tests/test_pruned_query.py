@@ -27,7 +27,7 @@ def test_pruned_rewrite_matches_full_run(spark):
     from score_spark.queries.pruned import _ensure_nested_fixture, p01_pruned_rewrite
 
     got = p01_pruned_rewrite(spark, SF).collect()
-    pq, _ = _ensure_nested_fixture(spark, SF)
+    pq, _, _ = _ensure_nested_fixture(spark, SF)
     full = (
         spark.read.parquet(pq)
         .select("doc_id", F.col("meta.a").alias("a"), F.col("payload.nested.small").alias("small"))
