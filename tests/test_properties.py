@@ -58,6 +58,44 @@ def test_percentiles_match_numpy_linear(spark, data, p, use_bounds):
         assert abs(got[g] - want) <= 10**-4 + 1e-9 * abs(want), (g, got[g], want)
 
 
+values_with_nan = st.lists(
+    st.one_of(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        st.just(float("nan")),
+    ),
+    min_size=1,
+    max_size=40,
+)
+groups_nan_data = st.dictionaries(
+    st.sampled_from(["a", "b", "c"]), values_with_nan, min_size=1
+)
+
+
+@SETTINGS
+@given(data=groups_nan_data, p=percentile)
+def test_percentiles_ignore_nan_like_nanquantile(spark, data, p):
+    """NaN values mixed into groups are excluded like quantile_cont /
+    numpy's nanquantile (the exact ADVICE r5 failure mode: NaN sorts
+    greatest in ORDER BY but poisons the bucket arithmetic, so it must be
+    filtered, not ranked — VERDICT r6 #7 asked for this property). A group
+    that is ALL NaN produces no percentile row at all."""
+    from score_spark.operators.profiling import exact_percentiles_by_group
+
+    rows = [(g, float(v)) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {
+        r["g"]: r["q"]
+        for r in exact_percentiles_by_group(df, "g", "v", {"q": p}, round_dp=4).collect()
+    }
+    for g, vs in data.items():
+        arr = np.array(vs, dtype=np.float64)
+        if np.all(np.isnan(arr)):
+            assert g not in got or got[g] is None
+        else:
+            want = float(np.nanquantile(arr, p, method="linear"))
+            assert abs(got[g] - want) <= 10**-4 + 1e-9 * abs(want), (g, got[g], want)
+
+
 # --------------------------------------------------------------- as-of join
 
 asof_rows = st.lists(
