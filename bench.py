@@ -153,6 +153,8 @@ def main() -> None:
             "gate_ratio_le_050": bytes_report["gate_ratio_le_050"],
             "json_speedup": bytes_report["json_nested_agg"]["speedup"],
             "gate_json_speedup_ge_150": bytes_report["gate_json_speedup_ge_150"],
+            "avro_speedup": (bytes_report.get("avro_nested_agg") or {}).get("speedup"),
+            "gate_avro_speedup_ge_120": bytes_report.get("gate_avro_speedup_ge_120"),
             "max_analyzer_warm_sec": bytes_report["max_analyzer_warm_sec"],
             "gate_analyzer_warm_le_50ms": bytes_report["gate_analyzer_warm_le_50ms"],
         }
