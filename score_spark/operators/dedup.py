@@ -645,14 +645,20 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     that pass three times; VERDICT r2 "Next round" #1)."""
     d = load_table(spark, sf_dir, "documents")
     sh = shingle_arrays(d, n=3).persist()
-    sigs = sh.select("doc_id", minhash_signature_col("_shs", 16).alias("sig"))
+    # sigs persisted TOO: the banded self-join reads the signature table from
+    # both sides, and a cached `sh` only deduplicates the shingling — the 16
+    # array_min(transform(...)) minhash passes would still evaluate once per
+    # side (measured 2x the minhash cost at 10x scale in tools/scale_bench's
+    # probe). The cache is doc_count x (8B id + 16x8B sig) — tiny.
+    sigs = sh.select("doc_id", minhash_signature_col("_shs", 16).alias("sig")).persist()
     cand = write_xcheck(minhash_lsh_pairs(d, n_hashes=16, bands=8, sigs=sigs), "d03_candidates")
     g = shingle_table(max_doc_freq=None, shingle_df=sh)
     sizes = sh.select("doc_id", F.size("_shs").alias("sz"))
     res = exact_jaccard_for_pairs(
         cand, d, n=3, shingle_df=g, sizes_df=sizes
-    ).localCheckpoint(eager=True)  # materialize, then free both caches
+    ).localCheckpoint(eager=True)  # materialize, then free all three caches
     sh.unpersist()
+    sigs.unpersist()
     cand.unpersist()
     return res.select("d1", "d2", "est_jaccard", "exact_jac").orderBy("d1", "d2")
 
