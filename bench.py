@@ -221,12 +221,15 @@ def _append_history(result: dict) -> None:
     try:
         with open(path, "a") as f:
             f.write(json.dumps(line) + "\n")
+        ratios = []
         with open(path) as f:
-            ratios = [
-                json.loads(ln).get("ratio")
-                for ln in f
-                if ln.strip()
-            ]
+            for ln in f:
+                if not ln.strip():
+                    continue
+                try:  # a killed run can leave a partial line; skip, don't die
+                    ratios.append(json.loads(ln).get("ratio"))
+                except json.JSONDecodeError:
+                    continue
         window = [r for r in ratios if r is not None][-5:]
         if window and max(window) >= 2.0:
             print(

@@ -648,11 +648,14 @@ def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``q_norm`` (L2 norm of the un-normalized pooled vector) pins the mean
     itself: cosine alone is scale-invariant, so without it a sum-pooled
     (or re-weighted) vector would hash identically. Pooled ids are offset
-    to 1000+ so the exclude-self join predicate never collides with corpus
-    ids."""
+    to 10^9 — far above any corpus vec_id at every SF (ids are dense from
+    0; even sf1000 is ~2x10^7 vectors) — so the exclude-self join predicate
+    never collides with a corpus id (review r7: a 1000+ offset DID collide
+    at sf0.1, silently excluding corpus vectors 1000-1004 from their
+    same-numbered query's candidates on both engines)."""
     emb = load_table(spark, sf_dir, "embeddings")
     chunks = emb.filter(F.col("vec_id") < 40).select(
-        (F.col("vec_id") % 5 + 1000).alias("vec_id"), "embedding"
+        (F.col("vec_id") % 5 + 1_000_000_000).alias("vec_id"), "embedding"
     )
     pooled = mean_pool_embeddings(chunks, group_col="vec_id", normalize=False)
     norms = pooled.select(
@@ -674,7 +677,7 @@ ORACLE_S01 = """
 -- side's float64 math at the 4-dp rounding boundary often enough to flip a
 -- hash on result sets this size (observed on s05: 0.3257f vs 0.3258d)
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
-src AS (SELECT vec_id % 5 + 1000 AS query_id, embedding FROM emb WHERE vec_id < 40),
+src AS (SELECT vec_id % 5 + 1000000000 AS query_id, embedding FROM emb WHERE vec_id < 40),
 pos0 AS (SELECT query_id, unnest(generate_series(1, len(embedding))) AS i, embedding
          FROM src),
 pos AS (SELECT query_id, i, avg(embedding[i]) AS v FROM pos0 GROUP BY query_id, i),

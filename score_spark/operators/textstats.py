@@ -24,11 +24,12 @@ _NSTOP = f"len(list_filter({_TOKENS}, t -> list_contains({_STOPLIST}, t)))"
 
 
 def _check_helper_collisions(df: DataFrame, helpers: tuple[str, ...]) -> None:
-    """The hoisted-projection helpers below are injected with select('*', ...)
-    and referenced by name downstream; an input frame that already carries a
-    column with one of these names would make that reference ambiguous (or
-    silently bind to the wrong array). Fail loudly at the boundary instead
-    (ADVICE r6)."""
+    """The hoisted-projection helpers AND the appended output columns are
+    injected with select('*', ...) and referenced by name downstream; an
+    input frame that already carries any of these names would make the
+    reference ambiguous (or silently bind to the wrong column). Fail loudly
+    at the boundary instead (ADVICE r6; review r7 extended the check from
+    the internal _toks/_ls_* names to the output names too)."""
     lower = {c.lower() for c in df.columns}
     hit = [h for h in helpers if h.lower() in lower]
     if hit:
@@ -48,7 +49,17 @@ def with_text_stats(df: DataFrame, text_col: str = "text", spread: bool = True) 
     subexpression elimination outside codegen — see text._tokens_sql), and
     CollapseProject keeps a multi-use alias un-inlined, so this is one
     tokenization per row instead of five."""
-    _check_helper_collisions(df, ("_toks",))
+    _check_helper_collisions(
+        df,
+        (
+            "_toks",
+            "n_tokens",
+            "n_uniq_tokens",
+            "avg_token_len",
+            "stopword_ratio",
+            "non_alpha_ratio",
+        ),
+    )
     # several regex/split passes per row: ~10-50x a plain byte scan
     base = fan_out(df, min_bytes_per_task=EXPLODE_BYTES_PER_TASK) if spread else df
     toked = base.select("*", TX.tokens(text_col).alias("_toks"))
@@ -69,7 +80,7 @@ def with_language(df: DataFrame, text_col: str = "text", keep_tokens: bool = Fal
     — the en score alone is referenced four times by the argmax, which
     would otherwise re-run its filter pass per reference."""
     _check_helper_collisions(
-        df, ("_toks", *[f"_ls_{lang}" for lang in TX.STOPWORDS])
+        df, ("_toks", "predicted_lang", *[f"_ls_{lang}" for lang in TX.STOPWORDS])
     )
     # predicted_lang is a chain of stopword-filter passes — heavy per
     # byte, so the fan-out floor scales down like with_text_stats above

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 from score_spark.io import load_table
 from score_spark.schema_on_read.generator import SchemaOnRead
@@ -25,7 +26,7 @@ from score_spark.xcheck import channel_time, xcheck_path
 _FIXTURE = "p01_nested"
 
 
-def _ensure_nested_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+def _ensure_nested_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str, StructType]:
     """Write nested parquet + JSON copies derived from documents. Billed to
     the oracle channel: it is shared-input materialization (the oracle reads
     the same files), not part of the prune-and-run path being measured."""

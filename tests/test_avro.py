@@ -205,6 +205,11 @@ def test_avro_timestamp_millis_reads_correctly(avro, tmp_path):
 
     assert got[0].n == 7
     assert got[0].ts == datetime.datetime(2024, 1, 2, 3, 4, 5, 123000)
+    # the x1000 scaling is a TimestampType-slot concern only: an explicit
+    # bigint read of the same field must return the RAW stored millis
+    # (review r7: an unconditional scale inflated such reads 1000x)
+    raw = spark.read.schema("ts bigint, n bigint").format("avro").load(f).collect()
+    assert raw[0].ts == 1704164645123
 
 
 def test_prune_works_over_avro_source(avro, tmp_path):

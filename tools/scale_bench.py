@@ -109,6 +109,20 @@ def _completed_stages(spark: SparkSession) -> dict[int, dict]:
         return {}
 
 
+def _drain_listener_bus(spark: SparkSession) -> None:
+    """The AppStatusStore behind the REST API is fed asynchronously from the
+    listener bus: an action can return while its last stage-completion event
+    is still queued, and the 'after' snapshot would then miss that stage's
+    metrics (review r7). Wait for the bus to drain before reading."""
+    try:
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10_000)
+    except Exception:
+        try:
+            spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+        except Exception:
+            time.sleep(0.5)  # best effort: the API is Spark-internal
+
+
 def _run_op(spark: SparkSession, build, runs: int = 3) -> dict:
     """Best-of-N wall-clock for build() -> noop write, plus per-stage maxima
     and total executor run time for the stages the op ran (stage-set diff
@@ -122,6 +136,7 @@ def _run_op(spark: SparkSession, build, runs: int = 3) -> dict:
         t0 = time.monotonic()
         build().write.format("noop").mode("overwrite").save()
         elapsed = time.monotonic() - t0
+        _drain_listener_bus(spark)
         after = _completed_stages(spark)
         new = [v for k, v in after.items() if k not in before]
         stats = {
@@ -246,7 +261,18 @@ def main() -> None:
     print(json.dumps(out, indent=2))
     _write_md(out)
     spark.stop()
-    shutil.rmtree(WORK_DIR, ignore_errors=True)
+    # delete only the fixture paths this run created — WORK_DIR comes from an
+    # env var, and rmtree of the whole directory would destroy pre-existing
+    # unrelated contents if the var points at a shared location (review r7)
+    for label in ("1x", f"{FACTOR}x"):
+        for base in ("documents", "embeddings"):
+            shutil.rmtree(
+                os.path.join(WORK_DIR, f"{base}_{label}.parquet"), ignore_errors=True
+            )
+    try:
+        os.rmdir(WORK_DIR)  # only removes it when empty
+    except OSError:
+        pass
 
 
 def _write_md(out: dict) -> None:
