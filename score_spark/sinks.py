@@ -29,6 +29,8 @@ beyond-reference surface this engine adds.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -162,6 +164,83 @@ def write_sorted(
     if not sort_by:
         raise ValueError("sort_by must name at least one column")
     out = df.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
+    writer = out.write.mode(mode)
+    if row_group_bytes is not None:
+        writer = writer.option("parquet.block.size", str(row_group_bytes))
+    writer.parquet(path)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cluster_by: tuple[str, ...],
+    bits_per_dim: int = 10,
+    relative_error: float = 0.001,
+    mode: str = "overwrite",
+    row_group_bytes: int | None = None,
+) -> None:
+    """Multi-dimensional clustered write: Z-order (Morton) layout over
+    ``cluster_by``, the generalization of ``write_sorted`` to several
+    clustering dimensions. A plain sort makes row-group stats selective on
+    the LEADING column only; interleaving the columns' rank bits makes
+    every clustered dimension's values locally coherent, so row-group
+    min/max stats skip on ANY of them — the layout Delta/Iceberg OPTIMIZE
+    ZORDER produces, built here from plain parquet + exchanges.
+
+    Mechanics (all bounded, all distributed):
+    1. Per dimension, equal-depth bucket boundaries from ``approxQuantile``
+       (Greenwald-Khanna sketch: one pass, driver result is 2^bits floats —
+       the same sampled-rank approach Delta's range ids use; equal-depth
+       rather than width_bucket's equal-width so skewed columns still
+       spread across the full bucket range).
+    2. Bucket each value with a vectorized Arrow searchsorted (numpy per
+       batch; a 2^bits CASE/HOF chain would be interpreted O(B) per row).
+    3. Interleave bucket bits into the Morton code with built-in bitwise
+       expressions, then one range exchange + in-partition sort on it —
+       exactly the cost profile of write_sorted (sampler + shuffle), paid
+       once at layout time.
+
+    The skipping property on BOTH dimensions is proven from written footers
+    in tests/test_sinks.py, next to write_sorted's 1-D proof."""
+    if len(cluster_by) < 2:
+        raise ValueError("z-ordering needs >= 2 columns; use write_sorted for one")
+    n_buckets = 1 << bits_per_dim
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    def make_bucketizer(arr: "np.ndarray"):
+        @F.pandas_udf("int")
+        def bucketize(v: pd.Series) -> pd.Series:
+            if len(v) == 0:
+                return pd.Series([], dtype="int32")
+            return pd.Series(
+                np.searchsorted(arr, v.to_numpy(dtype=np.float64), side="right").astype(
+                    np.int32
+                )
+            )
+
+        return bucketize
+
+    bucket_cols = []
+    for i, c in enumerate(cluster_by):
+        bounds = df.approxQuantile(c, probs, relative_error)
+        bucketize = make_bucketizer(np.array(bounds, dtype=np.float64))
+        bucket_cols.append(bucketize(F.col(c).cast("double")).alias(f"_zb{i}"))
+    with_buckets = df.select("*", *bucket_cols)
+    # Morton interleave via built-in bitwise ops: bit j of dim i lands at
+    # position j * n_dims + i
+    n_dims = len(cluster_by)
+    z = F.lit(0).cast("long")
+    for i in range(n_dims):
+        b = F.col(f"_zb{i}").cast("long")
+        for j in range(bits_per_dim):
+            z = z.bitwiseOR(
+                F.shiftleft(b.bitwiseAND(F.lit(1 << j)), j * (n_dims - 1) + i)
+            )
+    out = (
+        with_buckets.withColumn("_z", z)
+        .repartitionByRange("_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", *[f"_zb{i}" for i in range(n_dims)])
+    )
     writer = out.write.mode(mode)
     if row_group_bytes is not None:
         writer = writer.option("parquet.block.size", str(row_group_bytes))

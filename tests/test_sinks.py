@@ -228,3 +228,58 @@ def test_bucketed_overwrite_cleans_qualified_orphan_not_default(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS sinks_adv.orph")
         spark.sql("DROP DATABASE IF EXISTS sinks_adv CASCADE")
         shutil.rmtree(bystander, ignore_errors=True)
+
+
+def test_write_zordered_skips_on_both_dimensions(spark, tmp_path):
+    """Z-order layout: row-group stats must be selective on EVERY clustered
+    dimension, where a plain 1-D sort is selective on the leading column
+    only. Proven from written footers like the write_sorted test."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from score_spark.sinks import write_sorted, write_zordered
+
+    n = 120_000
+    df = spark.range(n).selectExpr(
+        "id",
+        "CAST(pmod(xxhash64(id, 1), 1000000) AS DOUBLE) / 1000000 AS x",
+        "CAST(pmod(xxhash64(id, 2), 1000000) AS DOUBLE) / 1000000 AS y",
+    )
+    zdir = str(tmp_path / "zordered")
+    sdir = str(tmp_path / "xsorted")
+    write_zordered(df, zdir, ("x", "y"), bits_per_dim=8, row_group_bytes=24 * 1024)
+    write_sorted(df, sdir, sort_by=("x",), row_group_bytes=24 * 1024)
+
+    def overlap_fraction(d, col, lo, hi):
+        total = hits = 0
+        for f in glob.glob(f"{d}/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            idx = meta.schema.to_arrow_schema().get_field_index(col)
+            for g in range(meta.num_row_groups):
+                st = meta.row_group(g).column(idx).statistics
+                total += 1
+                if st.max >= lo and st.min <= hi:
+                    hits += 1
+        assert total >= 16, f"only {total} row groups in {d}"
+        return hits / total
+
+    # narrow (10%) windows on each dimension
+    zx = overlap_fraction(zdir, "x", 0.45, 0.55)
+    zy = overlap_fraction(zdir, "y", 0.45, 0.55)
+    sx = overlap_fraction(sdir, "x", 0.45, 0.55)
+    sy = overlap_fraction(sdir, "y", 0.45, 0.55)
+    # 1-D sort: near-perfect on x, useless on y
+    assert sx <= 0.2, (sx, sy, zx, zy)
+    assert sy >= 0.9, (sx, sy, zx, zy)
+    # z-order: selective on BOTH (theory: a 10% window on one of two
+    # interleaved dims overlaps ~sqrt(0.1)=32% of groups; assert < 60% to
+    # stay robust to bucket-boundary effects at this tiny size)
+    assert zx <= 0.6 and zy <= 0.6, (sx, sy, zx, zy)
+    # and the layout round-trips every row
+    assert spark.read.parquet(zdir).count() == n
+    # rejects the degenerate call
+    import pytest
+
+    with pytest.raises(ValueError, match="write_sorted"):
+        write_zordered(df, str(tmp_path / "bad"), ("x",))
