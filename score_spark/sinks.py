@@ -219,9 +219,12 @@ def write_zordered(
 
         return bucketize
 
+    # ONE sketch pass for every dimension (approxQuantile takes a column
+    # list) — per-column calls would scan the full input D times for
+    # boundaries alone
+    all_bounds = df.approxQuantile(list(cluster_by), probs, relative_error)
     bucket_cols = []
-    for i, c in enumerate(cluster_by):
-        bounds = df.approxQuantile(c, probs, relative_error)
+    for i, (c, bounds) in enumerate(zip(cluster_by, all_bounds)):
         bucketize = make_bucketizer(np.array(bounds, dtype=np.float64))
         bucket_cols.append(bucketize(F.col(c).cast("double")).alias(f"_zb{i}"))
     with_buckets = df.select("*", *bucket_cols)
