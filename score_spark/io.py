@@ -200,6 +200,14 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark._score_events_cache = cache
     if sf_dir in cache:
         return cache[sf_dir]
+    # deliberately SESSION-GLOBAL, not set/restored around the read: the
+    # returned DataFrame is lazy and memoized, so its scans consult the conf
+    # at every later execution — restoring it here would flip how those
+    # (and only nanos-typed) scans materialize mid-session. The flag only
+    # affects parquet TIMESTAMP(NANOS) columns, which this engine's own
+    # writers never produce (they emit TIMESTAMP_MICROS); external
+    # nanos-parquet readers in the same session inherit ts-as-bigint and
+    # should normalize exactly like this function does (review r7).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = load_table(spark, sf_dir, "events")
     from pyspark.sql import functions as F

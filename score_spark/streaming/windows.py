@@ -142,7 +142,16 @@ def stream_dedup(
     for the watermark horizon — bounded memory at any scale, duplicates
     arriving within the horizon are dropped, older ones age out of state.
     Batch: plain dropDuplicates (a hash-shuffle on the keys)."""
-    if watermark is not None and events.isStreaming:
+    if events.isStreaming:
+        if watermark is None:
+            # falling through to plain dropDuplicates on a stream would
+            # build per-key state FOREVER — the opposite of the bounded-
+            # memory contract this function documents. Fail fast instead of
+            # OOMing in production (review r7).
+            raise ValueError(
+                "stream_dedup on a streaming DataFrame requires a watermark "
+                "(bounded dedup state); pass watermark='10 minutes'-style"
+            )
         return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
     return events.dropDuplicates(list(keys))
 
@@ -231,7 +240,12 @@ def conversion_attribution_stateful(
         if out:
             yield pd.DataFrame(out, columns=["user_id", "click_ts", "purchase_ts", "value"])
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    # only clicks/purchases can touch state or output: filtering BEFORE the
+    # groupBy keeps every other event type (~60% of the fixture stream) out
+    # of the hash shuffle and the Arrow/Python stateful operator entirely
+    # (review r7) — identical output, less than half the stateful volume
+    relevant = events.filter(F.col("event_type").isin("click", "purchase"))
+    return relevant.groupBy("user_id").applyInPandasWithState(
         fn,
         CONVERSION_SCHEMA,
         "last_click_ts timestamp",
@@ -250,9 +264,17 @@ def conversion_attribution_batch(events: DataFrame, horizon_minutes: int = 30) -
     purchases = events.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
     clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
     j = asof_join(purchases, clicks, on="user_id", right_value_cols=[])
-    gap = F.unix_timestamp("ts") - F.unix_timestamp("ts_right")
+    # FULL-precision horizon via interval arithmetic: the streaming operator
+    # compares fractional seconds (total_seconds), and the old
+    # unix_timestamp diff truncated both ends to whole seconds first — a
+    # pair whose true gap falls in (1800 s, 1801 s) would be emitted by
+    # batch but not by streaming, breaking the stream==batch contract on
+    # sub-second data (review r7; j02 already used intervals on both sides)
+    within = F.col("ts") <= F.col("ts_right") + F.expr(
+        f"INTERVAL {int(horizon_minutes)} MINUTES"
+    )
     return (
-        j.filter(F.col("ts_right").isNotNull() & (gap <= horizon_minutes * 60))
+        j.filter(F.col("ts_right").isNotNull() & within)
         .select(
             "user_id",
             F.col("ts_right").alias("click_ts"),
@@ -400,10 +422,16 @@ clicks AS (
   SELECT user_id, ts FROM events WHERE event_type = 'click'
 ),
 attributed AS (
+  -- FULL-precision horizon via a microsecond epoch diff (timestamps are
+  -- micros in both engines), matching the streaming operator's fractional
+  -- seconds — the old date_diff('second') truncated both ends first
+  -- (review r7). Written as an expression, not `p.ts <= c.ts + INTERVAL`:
+  -- DuckDB's binder folds that direct comparison form into the ASOF join
+  -- (even through a CTE) and rejects it as a second join inequality.
   SELECT p.user_id, p.value
   FROM purchases p ASOF JOIN clicks c
     ON p.user_id = c.user_id AND c.ts <= p.ts
-  WHERE date_diff('second', c.ts, p.ts) <= 1800
+  WHERE epoch_us(p.ts) - epoch_us(c.ts) <= 1800 * 1000000
 )
 SELECT user_id, count(*) AS n_conversions,
        round(sum(value), 2) AS converted_value

@@ -28,10 +28,15 @@ from __future__ import annotations
 
 import os
 import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
-XCHECK_DIR = os.environ.get("SCORE_SPARK_XCHECK_DIR", "/root/repo/.xcheck")
+# default derives from the package location (<repo>/.xcheck) so checkouts at
+# any path work without the env var (review r7: a hardcoded /root/repo
+# default silently wrote into an unrelated tree on other machines)
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+XCHECK_DIR = os.environ.get("SCORE_SPARK_XCHECK_DIR", os.path.join(_REPO_ROOT, ".xcheck"))
 
 _ORACLE_SEC: dict[str, float] = {}
 
@@ -57,7 +62,6 @@ def write_xcheck(df: DataFrame, name: str) -> DataFrame:
     return cached
 
 
-from contextlib import contextmanager
 
 
 @contextmanager
