@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from score_spark.functions.text import shingles, tokens
@@ -160,6 +161,21 @@ def ngram_jaccard_pairs(
     if eager:
         res = res.localCheckpoint(eager=True)
         sh0.unpersist()
+    else:
+        # lazy path: the shingle cache must outlive the returned (lazy)
+        # DataFrame, but nothing else can ever reach sh0 — tie its
+        # unpersist to the result's garbage collection so repeated library
+        # calls in a long-lived session don't accumulate pinned
+        # corpus-sized caches (review r7)
+        import weakref
+
+        def _release(cached=sh0):
+            try:
+                cached.unpersist()
+            except Exception:
+                pass  # session already stopped
+
+        weakref.finalize(res, _release)
     return res
 
 
@@ -176,7 +192,11 @@ def exact_jaccard_for_pairs(
     Pass a persisted ``shingle_df`` (doc_id, sh) and ``sizes_df``
     (doc_id, sz) to avoid re-shingling the corpus per branch (the caller owns
     their lifecycle — see ``shingle_arrays``). Any extra columns on ``pairs``
-    ride through unchanged; pairs sharing no shingle get exact_jac = 0.0."""
+    ride through unchanged; pairs sharing no shingle get exact_jac = 0.0;
+    a pair referencing a doc id ABSENT from the corpus/sizes keeps its row
+    with exact_jac = NULL (review r7: the old inner size-joins silently
+    DROPPED such pairs, so a rerank report over a filtered corpus
+    under-counted candidates with no error)."""
     if shingle_df is None or sizes_df is None:
         base = shingle_arrays(docs, n)
         shingle_df = shingle_df if shingle_df is not None else shingle_table(
@@ -196,13 +216,21 @@ def exact_jaccard_for_pairs(
     )
     i = F.coalesce(F.col("inter"), F.lit(0))
     denom = F.col("sz1") + F.col("sz2") - i
+    # size joins are LEFT so unknown ids surface as NULL exact_jac rather
+    # than vanishing; a NULL sz makes denom NULL and the WHEN falls through
+    # to the otherwise only when both sizes are known
+    jac = (
+        F.when(F.col("sz1").isNull() | F.col("sz2").isNull(), F.lit(None).cast("double"))
+        .when(denom > 0, F.round(i / denom, 4))
+        .otherwise(F.lit(0.0))
+    )
     return (
         p.join(inter, ["d1", "d2"], "left")
-        .join(sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1")), "d1")
-        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2")), "d2")
+        .join(sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1")), "d1", "left")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2")), "d2", "left")
         .select(
             *[F.col(c) for c in pairs.columns],
-            F.when(denom > 0, F.round(i / denom, 4)).otherwise(F.lit(0.0)).alias("exact_jac"),
+            jac.alias("exact_jac"),
         )
     )
 
@@ -265,6 +293,15 @@ def minhash_lsh_pairs(
 
     Pass a precomputed ``sigs`` (doc_id, sig) — e.g. derived from a persisted
     ``shingle_arrays`` table — to skip the internal shingling pass."""
+    if not 0 < bands <= n_hashes or n_hashes % bands != 0:
+        # bands > n_hashes makes rows = 0 and every band key the SAME
+        # constant — the banded join silently degenerates to an all-pairs
+        # cross product; a non-divisor drops trailing signature values and
+        # shifts the effective threshold away from what the caller computed
+        # from t ~ (1/b)^(r) (review r7)
+        raise ValueError(
+            f"bands must divide n_hashes (got n_hashes={n_hashes}, bands={bands})"
+        )
     rows = n_hashes // bands
     if sigs is None:
         sigs = minhash_signature(df, n_hashes, n)
@@ -338,11 +375,19 @@ def hamming_pairs(
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     n_chunks = max_hamming + 1
-    width = -(-64 // n_chunks)  # ceil: chunks cover all 64 bits
-    # width == 64 (max_hamming = 0: exact-duplicate blocking) masks nothing —
-    # and (1 << 64) - 1 would overflow a bigint literal
+    # balanced PARTITION of the 64 bits: chunk i covers [i*64//n, (i+1)*64//n)
+    # — every chunk non-empty, every shift < 64. The old uniform ceil-width
+    # layout shifted chunk starts past bit 63 for max_hamming >= 8, and
+    # Spark's shiftrightunsigned (Java >>>) masks the shift amount to 6
+    # bits, so the high chunks silently ALIASED the low ones and a pair at
+    # exactly the bound could be missed (review r7, confirmed by execution:
+    # sigs 0x0 vs 0x0101010101010101 at distance 8 returned no pair).
     def chunk_expr(c: int) -> str:
-        shifted = f"shiftrightunsigned(`{sig_col}`, {c * width})"
+        start = c * 64 // n_chunks
+        width = (c + 1) * 64 // n_chunks - start
+        shifted = f"shiftrightunsigned(`{sig_col}`, {start})"
+        # width == 64 (max_hamming = 0: exact-duplicate blocking) masks
+        # nothing — and (1 << 64) - 1 would overflow a bigint literal
         return shifted if width >= 64 else f"{shifted} & {(1 << width) - 1}L"
 
     chunk_structs = ", ".join(
@@ -487,7 +532,14 @@ def duplicate_clusters(
                     parent[ra] = rb
         nodes = {r.src for r in rows} | {r.dst for r in rows}
         out = [(n, find(n)) for n in sorted(nodes)]
-        return pairs.sparkSession.createDataFrame(out, "node long, label long")
+        # schema derives from the id column's actual type — a hardcoded
+        # 'node long' made this tier reject string ids the distributed tier
+        # accepts (review r7)
+        id_type = pairs.schema[id1].dataType
+        schema = T.StructType(
+            [T.StructField("node", id_type, False), T.StructField("label", id_type, False)]
+        )
+        return pairs.sparkSession.createDataFrame(out, schema)
     parts = max(1, min(int(n_edges // 200_000) + 1, edges.sparkSession.sparkContext.defaultParallelism))
     edges = edges.coalesce(parts)
     labels = (

@@ -63,7 +63,12 @@ def _fake_decode(payload: bytes, sha_hex: str | None = None) -> tuple[int, int, 
     return 64 + b0 % 192, 64 + b1 % 192, "fake"
 
 
-def decode_image(payload: bytes, sha_hex: str | None = None) -> tuple[int, int, str]:
+def decode_image(payload: bytes | None, sha_hex: str | None = None) -> tuple[int | None, int | None, str]:
+    # NULL payloads yield null features, matching how SQL engines aggregate
+    # the row (review r7: sha256(None) raised TypeError and killed the whole
+    # mapInPandas task for one bad row)
+    if payload is None:
+        return None, None, "null"
     if _PIL_Image is not None:
         try:
             import io
@@ -134,7 +139,9 @@ def frame_sample_plan(df: DataFrame, id_col: str, binary_col: str, every_n: int 
     explicit floor so the DuckDB mirror is unambiguous). Real decoders
     replace ``n_frames``; partitioning/explode shape is what matters at
     scale: the payload is dropped before the explode, so only (id, idx)
-    pairs fan out."""
+    pairs fan out. NULL payloads emit no frame rows (explode of null) —
+    intentionally different from the feature extractors, which keep the
+    row with null features: a frame LIST has no null-shaped analog."""
     n_frames = F.floor(F.length(F.col(binary_col)) / 100).cast("int") + 1
     return df.select(
         F.col(id_col),
@@ -195,15 +202,30 @@ def resize_images(
         for pdf in batches:
             rows = []
             for payload, sha in zip(pdf[binary_col], pdf["content_sha256"]):
-                w, h, dec = decode_image(payload, sha)
-                if dec == "pil":  # pragma: no cover - codec not in container
-                    import io as _io
+                if payload is None:
+                    # null payload -> null features, not a task-killing
+                    # TypeError (review r7); decoder column records why
+                    rows.append((None, None, None, None, None, "null"))
+                    continue
+                dec = None
+                if _PIL_Image is not None:  # pragma: no cover - codec not in container
+                    try:
+                        import io as _io
 
-                    img = _PIL_Image.open(_io.BytesIO(payload))
-                    img.thumbnail((target_w, target_h))
-                    rw, rh = img.width, img.height
-                    rsha = hashlib.sha256(img.tobytes()).hexdigest()
-                else:
+                        # ONE open serves both the original dims and the
+                        # thumbnail (review r7: decode_image + a second
+                        # open decoded every image twice — 2x the stage's
+                        # dominant CPU cost)
+                        img = _PIL_Image.open(_io.BytesIO(payload))
+                        w, h = img.width, img.height
+                        img.thumbnail((target_w, target_h))
+                        rw, rh = img.width, img.height
+                        rsha = hashlib.sha256(img.tobytes()).hexdigest()
+                        dec = "pil"
+                    except Exception:
+                        dec = None
+                if dec is None:
+                    w, h, dec = _fake_decode(payload, sha)
                     rw, rh = min(w, target_w), min(h, target_h)
                     rsha = hashlib.sha256(f"{sha}|{rw}x{rh}".encode()).hexdigest()
                 rows.append((w, h, rw, rh, rsha, dec))

@@ -93,6 +93,13 @@ def exact_percentiles_by_group(
     whole-partition window sum. Groups spanning a narrow slice of the global
     range use fewer distinct buckets — slices get proportionally coarser,
     never incorrect."""
+    if not percentiles:
+        # an empty map would otherwise generate malformed SQL (empty WHERE,
+        # dangling SELECT comma) and die deep in the parser (review r7)
+        raise ValueError("percentiles must name at least one (alias -> p) entry")
+    for name, p in percentiles.items():
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"percentile {name!r} must be in [0, 1], got {p}")
     spark = df.sparkSession
     vid = next(_view_ids)
     src_view = f"_pct_src_{vid}"

@@ -83,23 +83,30 @@ def cosine_pd(a: Column, b: Column) -> Column:
     return _cos.asNondeterministic()(a, b)
 
 
-_DIM_CACHE: dict[tuple[int, str], int] = {}
+_DIM_CACHE: dict[tuple[int, str], tuple["weakref.ref", int]] = {}
 
 
 def embedding_dim(df: DataFrame, vec_col: str = "embedding") -> int:
     """Embedding width derived from the data. ``.first()`` runs a real (if
     tiny — one row, one column) Spark job, so the result is cached per
     (DataFrame, column): operators that derive the dim twice per call pay one
-    job total, not one per use (ADVICE r2)."""
+    job total, not one per use (ADVICE r2). The cache holds a WEAK reference
+    and validates identity on read: a bare id() key could alias a freed
+    DataFrame's recycled address and serve a stale dim to an unrelated frame
+    (review r7)."""
+    import weakref
+
     key = (id(df._jdf), vec_col)
-    if key not in _DIM_CACHE:
-        row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-        if row is None or row["d"] is None or row["d"] <= 0:
-            raise ValueError(f"cannot derive embedding dim from column {vec_col!r}")
-        _DIM_CACHE[key] = int(row["d"])
-        if len(_DIM_CACHE) > 256:
-            _DIM_CACHE.pop(next(iter(_DIM_CACHE)))
-    return _DIM_CACHE[key]
+    hit = _DIM_CACHE.get(key)
+    if hit is not None and hit[0]() is df._jdf:
+        return hit[1]
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot derive embedding dim from column {vec_col!r}")
+    _DIM_CACHE[key] = (weakref.ref(df._jdf), int(row["d"]))
+    if len(_DIM_CACHE) > 256:
+        _DIM_CACHE.pop(next(iter(_DIM_CACHE)))
+    return _DIM_CACHE[key][1]
 
 
 def cosine_topk(
@@ -558,23 +565,59 @@ def ivf_train_centroids(
         .collect()
     )
     centroids = [_normalize(list(r[vec_col])) for r in seeds]
-    def _cluster_sums(pdf: pd.DataFrame) -> pd.DataFrame:
-        M = np.array(list(pdf["_v"]), dtype=np.float64)
-        return pd.DataFrame(
-            {"_c": [int(pdf["_c"].iloc[0])], "_s": [M.sum(axis=0).tolist()], "_n": [len(pdf)]}
-        )
+
+    def _partial_sums(batches):
+        # MAP-SIDE partial (sum, count) per cluster, accumulated across the
+        # partition's batches: at most K rows leave each partition, so the
+        # driver collects K x n_partitions model rows. The r6 shape —
+        # groupBy(_c).applyInPandas — materialized each cluster's ENTIRE
+        # vector set (corpus/K rows) as one pandas frame in one task, the
+        # exact unbounded-buffer hazard real distributed kmeans avoids with
+        # partial aggregation (review r7).
+        sums: dict[int, "np.ndarray"] = {}
+        counts: dict[int, int] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.array(list(pdf["_v"]), dtype=np.float64)
+            c = pdf["_c"].to_numpy()
+            for ci in np.unique(c):
+                mask = c == ci
+                part = M[mask].sum(axis=0)
+                key = int(ci)
+                if key in sums:
+                    sums[key] += part
+                    counts[key] += int(mask.sum())
+                else:
+                    sums[key] = part
+                    counts[key] = int(mask.sum())
+        if sums:
+            yield pd.DataFrame(
+                {
+                    "_c": list(sums),
+                    "_s": [s.tolist() for s in sums.values()],
+                    "_n": [counts[k] for k in sums],
+                }
+            )
 
     for _ in range(max(0, n_iters)):
         assigned = base.select(
             _nearest_centroid(F.col(vec_col), centroids).alias("_c"),
             F.col(vec_col).alias("_v"),
         )
-        # one shuffle on the cluster int, one vectorized sum per cluster;
-        # K (sum, count) rows reach the driver — the model, not the data
-        sums = assigned.groupBy("_c").applyInPandas(
-            _cluster_sums, "_c int, _s array<double>, _n long"
-        ).collect()
-        by_cluster = {r["_c"]: (r["_s"], r["_n"]) for r in sums}
+        # zero shuffle: per-partition partials, final K-row reduce on the
+        # driver — the model, not the data, moves
+        partials = assigned.mapInPandas(_partial_sums, "_c int, _s array<double>, _n long").collect()
+        by_cluster: dict[int, tuple[list[float], int]] = {}
+        for r in partials:
+            prev = by_cluster.get(r["_c"])
+            if prev is None:
+                by_cluster[r["_c"]] = (list(r["_s"]), r["_n"])
+            else:
+                by_cluster[r["_c"]] = (
+                    [a + b for a, b in zip(prev[0], r["_s"])],
+                    prev[1] + r["_n"],
+                )
         centroids = [
             _normalize([x / by_cluster[i][1] for x in by_cluster[i][0]])
             if i in by_cluster

@@ -166,3 +166,50 @@ def test_duplicate_clusters_raises_on_non_convergence(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], ["d1", "d2"])
     with pytest.raises(RuntimeError, match="did not converge"):
         duplicate_clusters(pairs, driver_threshold=0, max_iter=2).collect()
+
+
+def test_hamming_pairs_full_recall_at_large_bounds(spark):
+    """Pigeonhole recall must hold for max_hamming >= 8 (review r7: the old
+    uniform chunk layout shifted past bit 63, where Java >>> wraps, aliasing
+    high chunks onto low ones — a distance-8 pair with one differing bit per
+    byte was missed entirely)."""
+    from score_spark.operators.dedup import hamming_pairs
+
+    # one bit per byte differs: hamming(a, b) == 8 exactly
+    rows = [(0, 0), (1, 0x0101010101010101)]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = hamming_pairs(df, max_hamming=8).collect()
+    assert [(r.d1, r.d2, r.hamming) for r in got] == [(0, 1, 8)]
+    # and a spread of bounds on a worst-case evenly-spread difference
+    for d in (9, 15, 31, 63):
+        step = 64 // d
+        sig = sum(1 << (i * step) for i in range(d) if i * step < 64)
+        df2 = spark.createDataFrame([(0, 0), (1, sig)], "doc_id long, simhash long")
+        res = hamming_pairs(df2, max_hamming=d).collect()
+        assert len(res) == 1 and res[0].hamming == bin(sig).count("1"), (d, res)
+
+
+def test_duplicate_clusters_string_ids_and_tier_equivalence(spark):
+    """Both tiers must accept the same inputs and produce identical labels —
+    the driver tier's hardcoded 'node long' schema rejected string ids the
+    distributed tier handles (review r7)."""
+    from score_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "d1 string, d2 string"
+    )
+    drv = {(r.node, r.label) for r in duplicate_clusters(pairs).collect()}
+    dist = {(r.node, r.label) for r in duplicate_clusters(pairs, driver_threshold=0).collect()}
+    assert drv == dist == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+
+
+def test_minhash_lsh_pairs_rejects_bad_bands(spark):
+    import pytest
+
+    from score_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(df, n_hashes=16, bands=32)
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(df, n_hashes=16, bands=5)

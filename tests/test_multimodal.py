@@ -33,3 +33,21 @@ def test_frame_sample_plan_shape(spark):
     rows = frame_sample_plan(df, "doc_id", "payload", every_n=1).collect()
     # 250 bytes → 3 fake frames (250//100 + 1)
     assert [r.frame_idx for r in rows] == [0, 1, 2]
+
+
+def test_null_payload_yields_null_features_not_crash(spark):
+    """A NULL binary payload must flow through as null features (matching
+    how the SQL oracle aggregates the row), not kill the Arrow task with
+    sha256(None) (review r7)."""
+    from score_spark.operators.multimodal import extract_binary_features, resize_images
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, None)], "doc_id long, payload binary"
+    )
+    feats = {r.doc_id: r for r in extract_binary_features(df).collect()}
+    assert feats[1].width is not None and feats[1].decoder == "fake"
+    assert feats[2].width is None and feats[2].height is None
+    assert feats[2].decoder == "null" and feats[2].byte_len is None
+    rs = {r.doc_id: r for r in resize_images(df).collect()}
+    assert rs[1].resized_sha is not None
+    assert rs[2].resized_sha is None and rs[2].decoder == "null"
