@@ -63,57 +63,62 @@ def asof_join(
     # PYTHON DataType cannot render a quoted SQL type string (simpleString
     # drops backticks, so exotic field names would break a cast literal)
     l_struct = "struct(" + ", ".join(f"`{c}`" for c in left.columns) + ")"
+    # ONE struct carries the whole right ROW (values + ts): per-column
+    # last(ignorenulls) carries mixed NULL payload columns from DIFFERENT
+    # right rows — a frankenrow no real right row ever was, diverging from
+    # ASOF semantics (review r7, confirmed by execution: r1(v=5), r2(v=NULL)
+    # paired r1's value with r2's timestamp). A struct is non-null for every
+    # right row even when all its payload fields are null, so last(_r, true)
+    # selects the latest right ROW atomically.
+    r_struct = "struct(" + ", ".join(
+        [f"`{c}`" for c in right_value_cols] + [f"`{right_ts}`"]
+    ) + ")"
+    r_tagged = right.select(
+        F.expr(f"`{on}` AS _k"),
+        F.expr(f"`{right_ts}` AS _ts"),
+        F.expr("0 AS _is_left"),
+        F.expr(f"{r_struct} AS _r"),
+    )
     l_tagged = left.select(
         F.expr(f"`{on}` AS _k"),
         F.expr(f"`{left_ts}` AS _ts"),
         F.expr("1 AS _is_left"),
         F.expr(f"{l_struct} AS _l"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-            for c in right_value_cols
-        ],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+        F.lit(None).cast(r_tagged.schema["_r"].dataType).alias("_r"),
     )
-    r_tagged = right.select(
-        F.expr(f"`{on}` AS _k"),
-        F.expr(f"`{right_ts}` AS _ts"),
-        F.expr("0 AS _is_left"),
-        F.lit(None).cast(l_tagged.schema["_l"].dataType).alias("_l"),
-        *[F.expr(f"`{c}` AS `_r_{c}`") for c in right_value_cols],
-        F.expr(f"`{right_ts}` AS _r_ts"),
+    r_tagged = r_tagged.select(
+        "_k", "_ts", "_is_left", F.lit(None).cast(l_tagged.schema["_l"].dataType).alias("_l"), "_r"
     )
     tagged = l_tagged.unionByName(r_tagged)
     if ranged_by_key:
         tagged = tagged.repartitionByRange("_k")
-    carry_cols = [*right_value_cols]
     if time_buckets is None:
         # right rows sort before left rows at equal _ts → right_ts <= left_ts
         over = (
             "OVER (PARTITION BY _k ORDER BY _ts, _is_left"
             " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         )
-        carried = tagged.selectExpr(
-            "*",
-            *[f"last(`_r_{c}`, true) {over} AS `_last_{c}`" for c in carry_cols],
-            f"last(_r_ts, true) {over} AS _last_ts",
-        )
+        carried = tagged.selectExpr("*", f"last(_r, true) {over} AS _lastrow")
     else:
-        carried = _bucketed_carry(tagged, carry_cols, time_buckets)
+        carried = _bucketed_carry(tagged, time_buckets)
     out_cols = [f"_l.`{c}` AS `{c}`" for c in left.columns]
-    out_cols += [f"`_last_{c}` AS `{c}{suffix}`" for c in right_value_cols]
-    out_cols.append(f"_last_ts AS `{right_ts}{suffix}`")
+    out_cols += [f"_lastrow.`{c}` AS `{c}{suffix}`" for c in right_value_cols]
+    out_cols.append(f"_lastrow.`{right_ts}` AS `{right_ts}{suffix}`")
     return carried.filter("_is_left = 1").selectExpr(*out_cols)
 
 
-def _bucketed_carry(tagged: DataFrame, carry_cols: list[str], n_buckets: int) -> DataFrame:
-    """Two-phase last-value carry: window within (key, time bucket), then a
-    per-bucket carry-in computed over the tiny (key, bucket) spine.
+def _bucketed_carry(tagged: DataFrame, n_buckets: int) -> DataFrame:
+    """Two-phase last-ROW carry: window within (key, time bucket), then a
+    per-bucket carry-in computed over the small (key, bucket) spine.
 
     Phase 1 bounds every window task at ~1/n_buckets of the hottest key.
-    Phase 2's spine has |keys| x n_buckets rows — broadcast-size — so the
-    carry-in join adds no meaningful shuffle. Works for any row-to-bucket
-    assignment that is monotone in _ts; contiguous equal-width ranges from
-    one scalar min/max job keep it deterministic."""
+    Phase 2's spine has |keys| x n_buckets rows; the join strategy is left
+    to AQE — a forced broadcast was unbounded in the key count and could
+    OOM exactly at the scale this escape hatch exists for (review r7).
+    Every carry moves the whole ``_r`` row-struct, never per-column lasts —
+    see asof_join's frankenrow note. Works for any row-to-bucket assignment
+    that is monotone in _ts; contiguous equal-width ranges from one scalar
+    min/max job keep it deterministic."""
     lo, hi = tagged.select(F.min("_ts"), F.max("_ts")).first()
     if lo is None or lo == hi:
         bkt = F.lit(0)
@@ -129,18 +134,11 @@ def _bucketed_carry(tagged: DataFrame, carry_cols: list[str], n_buckets: int) ->
         .orderBy("_ts", "_is_left")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    in_bucket = b.select(
-        "*",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w_in).alias(f"_in_{c}") for c in carry_cols],
-        F.last("_r_ts", ignorenulls=True).over(w_in).alias("_in_ts"),
-    )
+    in_bucket = b.select("*", F.last("_r", ignorenulls=True).over(w_in).alias("_in"))
     # last right row per (key, bucket): max_by over right rows only
     right_rows = b.filter(F.col("_is_left") == 0)
     summary = right_rows.groupBy("_k", "_bkt").agg(
-        F.max_by(
-            F.struct(*[F.col(f"_r_{c}").alias(c) for c in carry_cols], F.col("_r_ts").alias("ts_v")),
-            F.struct(F.col("_ts"), F.col("_is_left")),
-        ).alias("_lastrow")
+        F.max_by(F.col("_r"), F.struct(F.col("_ts"), F.col("_is_left"))).alias("_lastrow")
     )
     spine = b.select("_k", "_bkt").distinct()
     w_prev = (
@@ -153,15 +151,13 @@ def _bucketed_carry(tagged: DataFrame, carry_cols: list[str], n_buckets: int) ->
         .select(
             "_k",
             "_bkt",
-            *[F.last(F.col(f"_lastrow.{c}"), ignorenulls=True).over(w_prev).alias(f"_ci_{c}") for c in carry_cols],
-            F.last(F.col("_lastrow.ts_v"), ignorenulls=True).over(w_prev).alias("_ci_ts"),
+            F.last(F.col("_lastrow"), ignorenulls=True).over(w_prev).alias("_ci"),
         )
     )
-    joined = in_bucket.join(F.broadcast(carry_in), ["_k", "_bkt"])
+    joined = in_bucket.join(carry_in, ["_k", "_bkt"])
     return joined.select(
         *[c for c in tagged.columns],
-        *[F.coalesce(F.col(f"_in_{c}"), F.col(f"_ci_{c}")).alias(f"_last_{c}") for c in carry_cols],
-        F.coalesce(F.col("_in_ts"), F.col("_ci_ts")).alias("_last_ts"),
+        F.coalesce(F.col("_in"), F.col("_ci")).alias("_lastrow"),
     )
 
 

@@ -267,6 +267,20 @@ def pack_token_stream(
                 ) from e
             raw = max(1, -(-total // (64 << 20)))
             n_shards = 1 << (raw - 1).bit_length()
+    id_type = chunks.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        # a non-numeric id makes `id % n` NULL for every row, silently
+        # collapsing the corpus into one null shard — a single window task
+        # over everything, the exact scale-killer sharding exists to
+        # prevent (review r7). The modulo itself stays (deterministic AND
+        # mirrored literally by the c05 oracle); callers with string ids
+        # hash them to a long first (e.g. xxhash64), which keeps packing
+        # content-stable.
+        raise ValueError(
+            f"pack_token_stream shards by {id_col!r} % n_shards, which needs "
+            f"an integral id column (got {id_type}); derive one first, e.g. "
+            f"F.xxhash64({id_col!r})"
+        )
     shard = (F.col(id_col) % n_shards).alias("shard")
     w = Window.partitionBy("shard").orderBy(id_col, order_col)
     offset = (F.sum(size_col).over(w) - F.col(size_col)).cast("long")

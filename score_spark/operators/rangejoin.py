@@ -36,17 +36,31 @@ def interval_join(
     """Rows of ``left`` matched to every interval containing their timestamp
     (start inclusive, end exclusive), optionally also matching on ``keys``.
     Output: left columns + the interval's columns."""
-    lb = left.withColumn("_b", F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds))
-    ib = intervals.withColumn(
-        "_b",
-        F.explode(
-            F.sequence(
-                F.floor(F.unix_timestamp(F.col(start_col)) / bucket_seconds),
-                # end is exclusive: an interval ending exactly on a bucket
-                # boundary does not reach into that bucket
-                F.floor((F.unix_timestamp(F.col(end_col)) - 1) / bucket_seconds),
-            )
-        ),
+    # MICROSECOND arithmetic throughout: unix_timestamp truncates to whole
+    # seconds, and truncating an exclusive sub-second end before the -1
+    # adjustment cut off the final bucket — an event at 18:00:00.2 inside
+    # [.., 18:00:00.5) was silently dropped (review r7, confirmed by
+    # execution). Event-side truncation was bucket-safe (floor can't cross
+    # a boundary downward) but micros keep the two sides symmetric.
+    bucket_us = bucket_seconds * 1_000_000
+    lb = left.withColumn("_b", F.floor(F.unix_micros(F.col(ts_col)) / bucket_us))
+    ib = (
+        # empty/reversed intervals (corrupt or swapped columns) contain
+        # nothing under exclusive-end semantics; dropping them here also
+        # stops F.sequence's implicit -1 step from exploding a reversed
+        # pair into thousands of descending bucket rows (review r7)
+        intervals.filter(F.col(end_col) > F.col(start_col))
+        .withColumn(
+            "_b",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_micros(F.col(start_col)) / bucket_us),
+                    # end is exclusive: an interval ending exactly on a bucket
+                    # boundary does not reach into that bucket
+                    F.floor((F.unix_micros(F.col(end_col)) - 1) / bucket_us),
+                )
+            ),
+        )
     )
     return (
         lb.join(ib, ["_b", *keys])

@@ -18,7 +18,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 from score_spark.io import load_events, presentation_sort
 
-MERGEABLE = ("n", "total_value", "min_value", "max_value")
+# fine -> coarse order of the date_trunc grains this rollup understands
+_GRAIN_ORDER = (
+    "second",
+    "minute",
+    "hour",
+    "day",
+    "week",
+    "month",
+    "quarter",
+    "year",
+)
 
 
 def time_rollup(
@@ -28,9 +38,29 @@ def time_rollup(
     grains: tuple[str, ...] = ("hour", "day"),
 ) -> DataFrame:
     """Stacked aggregates: (grain, bucket_start, n, total_value, min_value,
-    max_value) for each grain, coarse grains computed FROM the finer ones."""
+    max_value) for each grain, coarse grains computed FROM the finer ones.
+    ``grains`` must run fine-to-coarse: re-truncating a coarse bucket at a
+    finer grain is a no-op, so a coarse-before-fine order would silently
+    emit rows LABELED with the finer grain but aggregated at the coarser
+    one (review r7) — validated here. 'week' and 'month'/'quarter' are
+    incomparable (weeks cross month boundaries), so week only follows
+    day-or-finer grains."""
     if not grains:
         raise ValueError("need at least one grain")
+    ranks = []
+    for g in grains:
+        if g not in _GRAIN_ORDER:
+            raise ValueError(f"unknown grain {g!r}; one of {_GRAIN_ORDER}")
+        ranks.append(_GRAIN_ORDER.index(g))
+    if any(b <= a for a, b in zip(ranks, ranks[1:])):
+        raise ValueError(f"grains must be ordered fine to coarse, got {grains}")
+    if "week" in grains and any(
+        _GRAIN_ORDER.index(g) > _GRAIN_ORDER.index("week") for g in grains
+    ):
+        raise ValueError(
+            "week buckets cross month boundaries; a coarser grain cannot be "
+            "derived from them — split into separate rollups"
+        )
     cur = (
         df.groupBy(F.date_trunc(grains[0], F.col(ts_col)).alias("bucket_start"))
         .agg(

@@ -211,7 +211,19 @@ class SchemaOnRead:
         is_selection = cname in _SELECTION and (cname != "Join" or expr_trees(node.get("condition")))
         if is_selection and not found:
             self._state.upper_most.add(id(node))
-            found = True
+            # Only Project and Aggregate fully DEFINE their output; Sort,
+            # Join, Window, and Generate pass their children's columns
+            # through to the final output, so the descent continues and the
+            # first output-defining node below is ALSO upper-most. The
+            # reference stops at the first selection node of any kind
+            # (SchemaOnReadGenerator.java:66-73), which skeletonizes a
+            # complex column projected as final output under e.g. an
+            # orderBy — silent data loss on the pruned re-read (review r7,
+            # confirmed by execution: select('s','x').orderBy('x') pruned s
+            # to struct<>). Deliberate deviation, documented in the module
+            # docstring's deviation list.
+            if cname in ("Project", "Aggregate"):
+                found = True
         for c in node["_children"]:
             self._mark_upper_most(c, found)
 
@@ -329,9 +341,31 @@ class SchemaOnRead:
 
     def _on_Intersect(self, node: Node) -> None:
         self._link_positional(node)
+        self._require_outputs(node)
 
     def _on_Except(self, node: Node) -> None:
         self._link_positional(node)
+        self._require_outputs(node)
+
+    def _on_Deduplicate(self, node: Node) -> None:
+        # dropDuplicates / SQL UNION DISTINCT: the dedup keys compare whole
+        # values, exactly like Aggregate grouping keys — mandatory-full
+        # (review r7: unmarked keys let a descendant prune a compared struct
+        # field, making rows that differ only in the pruned field equal)
+        for e in expr_trees(node.get("keys")):
+            self._walk_expr(e, "require")
+
+    def _require_outputs(self, node: Node) -> None:
+        """Intersect/Except compare ENTIRE rows across branches: every
+        branch's output column is mandatory-full, like Aggregate grouping
+        keys (review r7, confirmed by execution: exceptAll branches pruned
+        to a queried subfield made rows differing only in a pruned field
+        compare equal — wrong result set, no error)."""
+        st = self._state
+        for c in node["_children"]:
+            for eid in _node_output(c):
+                for h in st.exprid_map.get(eid, []):
+                    h.materialize().require()
 
     def _link_positional(self, node: Node) -> None:
         """Union/Intersect/Except output = head child's exprIds; link every
@@ -384,6 +418,12 @@ class SchemaOnRead:
                 src = st.exprid_map.get(def_out[i], [])
                 if src:
                     st.exprid_map.setdefault(eid, []).extend(src)
+        # like LocalRelation: this subtree is not a direct file relation, so
+        # an enclosing SubqueryAlias must NOT bind to whatever relation was
+        # registered last elsewhere in the plan (review r7: for_view() of a
+        # CTE-backed alias silently returned an unrelated relation's pruned
+        # schema); best-effort means unregistered, never wrong
+        st.current_relation = None
 
     # ------------------------------------------------------------ mechanics
 

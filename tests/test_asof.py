@@ -125,3 +125,23 @@ def test_a01_fused_order_matches_global_sort(spark, sf_dir):
         .collect()
     )
     assert got == want
+
+
+def test_asof_null_payload_carries_whole_row(spark):
+    """NULL right payload values must ride with their OWN row: the flat path
+    once mixed r1's value with r2's timestamp via per-column
+    last(ignorenulls) (review r7, confirmed vs DuckDB ASOF semantics)."""
+    from score_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 1, 5), (1, 2, None)], "k long, ts long, v long"
+    )
+    for tb in (None, 4):
+        got = asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts", time_buckets=tb
+        ).collect()
+        assert len(got) == 1
+        r = got[0]
+        # most recent right row is ts=2 with v=NULL — both fields from IT
+        assert (r.ts_right, r.v_right) == (2, None), (tb, r)

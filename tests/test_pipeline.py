@@ -258,3 +258,15 @@ def test_pack_token_stream_raises_on_unsizeable_input(spark, tmp_path):
     os.remove(victim)
     with pytest.raises(RuntimeError, match="n_shards"):
         pack_token_stream(df)  # n_shards=None -> must size the input files
+
+
+def test_pack_token_stream_rejects_non_integral_ids(spark):
+    import pytest
+
+    from score_spark.operators.pipeline import pack_token_stream
+
+    df = spark.createDataFrame(
+        [("doc-1", 0, 10)], "doc_id string, chunk_idx int, n_words int"
+    )
+    with pytest.raises(ValueError, match="integral id"):
+        pack_token_stream(df, n_shards=4)

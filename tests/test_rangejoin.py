@@ -84,3 +84,30 @@ def test_plan_is_hash_join_not_cartesian(spark):
     naive.collect()
     nplan = naive._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in nplan or "CartesianProduct" in nplan
+
+
+def test_interval_join_subsecond_end_and_reversed_intervals(spark):
+    """(1) A sub-second exclusive end must not lose the final bucket
+    (unix_timestamp truncation did — review r7, confirmed); (2) reversed
+    intervals contain nothing and must not explode into descending bucket
+    lists."""
+    import datetime
+
+    from score_spark.operators.rangejoin import interval_join
+
+    d = datetime.datetime
+    events = spark.createDataFrame(
+        [(1, d(2024, 1, 1, 18, 0, 0, 200000))], "event_id long, ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [(d(2024, 1, 1, 17, 59, 0), d(2024, 1, 1, 18, 0, 0, 500000))],
+        "start timestamp, end timestamp",
+    )
+    got = interval_join(events, iv, bucket_seconds=1800).collect()
+    assert len(got) == 1, got
+    # reversed interval: no rows, and the plan never builds a giant sequence
+    bad = spark.createDataFrame(
+        [(d(2024, 1, 1, 18, 0, 0), d(2023, 1, 1, 0, 0, 0))],
+        "start timestamp, end timestamp",
+    )
+    assert interval_join(events, bad, bucket_seconds=1800).count() == 0

@@ -52,3 +52,18 @@ def test_day_grain_aggregates_hour_output_and_reuses_exchange(spark):
     r.collect()
     plan = r._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan or "ReusedQueryStage" in plan or "TableCacheQueryStage" in plan, plan
+
+
+def test_time_rollup_rejects_misordered_grains(spark):
+    import pytest
+
+    from score_spark.operators.rollup import time_rollup
+    from score_spark.io import load_events
+
+    e = spark.createDataFrame([], "ts timestamp, value double")
+    with pytest.raises(ValueError, match="fine to coarse"):
+        time_rollup(e, grains=("day", "hour"))
+    with pytest.raises(ValueError, match="unknown grain"):
+        time_rollup(e, grains=("hour", "fortnight"))
+    with pytest.raises(ValueError, match="week"):
+        time_rollup(e, grains=("week", "month"))
