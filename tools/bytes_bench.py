@@ -43,12 +43,14 @@ N_ROWS = 120_000
 # below) puts the full parse at seconds — parse-dominated, the regime the
 # pruning claim is about.
 N_JSON_ROWS = 480_000
-# avro decode is ~3x faster per row than JSON tokenization, so the avro
+# avro decode is much faster per row than JSON tokenization (r7's direct
+# projecting decoder made the full read another ~11x faster), so the avro
 # wall-clock fixture needs proportionally more rows or the 32-thread
-# session's constant schedule cost swamps the decode delta (measured: the
-# same fixture read 1.92x pruned on local[8] but 1.04x on the busy
-# local[32] bench session)
-N_AVRO_ROWS = 1_440_000
+# session's constant schedule cost swamps the decode delta: at 1.44M rows
+# the r7 reader measured 1.6-2.1x pruned on clean sessions but 1.26x on a
+# heavily loaded bench host — too close to the 1.2 gate for comfort; 2.88M
+# rows doubles the decode delta the constants have to hide.
+N_AVRO_ROWS = 2_880_000
 FIXTURE_VERSION = 4  # bump when build_fixture_df or the format set changes
 
 
