@@ -6,7 +6,14 @@ pruned schema still runs the query to the same result.
 
 Deliberate deviations (exprId tracking instead of SQL-string parsing):
 - dropped columns vanish entirely instead of leaving skeletons (:1507-1532);
-- alias names shadowing real columns do NOT over-include (:1680-1711).
+- alias names shadowing real columns do NOT over-include (:1680-1711);
+- the upper-most descent passes THROUGH Sort/Join/Window/Generate (the
+  reference stops at the first selection node of any kind, which
+  skeletonizes a complex column projected as final output under an
+  orderBy — r7 review, confirmed data loss);
+- Intersect/Except/Deduplicate mark compared columns mandatory-full (the
+  reference does not handle set ops at all; pruning a compared field
+  changed result sets — r7 review).
 """
 
 from __future__ import annotations
