@@ -42,7 +42,11 @@ def _q(text: str) -> str:
     ("`a-b`") and it flows through as the (already safe) fragment. One
     regex cannot close that ambiguity; what it does close is the
     reserved-word/bare-name class."""
-    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", text):
+    # digit-leading names included (review r7): a column literally named
+    # "2022" is never a valid bare SQL fragment on its own, and unquoted it
+    # parses as a NUMERIC LITERAL — split(2022, ' ') silently token-counts
+    # the constant instead of the column
+    if re.fullmatch(r"[A-Za-z0-9_]+", text):
         return f"`{text}`"
     return text
 
@@ -88,21 +92,21 @@ def token_count(text: str = "text", tokens_col: str | None = None) -> Column:
     return F.expr(f"size({_tokens_sql(text, tokens_col)})")
 
 
+def _sum_len_sql(toks: str) -> str:
+    # ONE definition of the length-sum fragment (seed + lambda), shared by
+    # sum/avg the way the stopword helpers share _stopword_count_sql
+    return f"aggregate(transform({toks}, t -> length(t)), 0, (acc, x) -> acc + x)"
+
+
 def sum_token_len(text: str = "text", tokens_col: str | None = None) -> Column:
-    toks = _tokens_sql(text, tokens_col)
-    return F.expr(
-        f"aggregate(transform({toks}, t -> length(t)), 0, (acc, x) -> acc + x)"
-    )
+    return F.expr(_sum_len_sql(_tokens_sql(text, tokens_col)))
 
 
 def avg_token_len(
     text: str = "text", decimals: int = 4, tokens_col: str | None = None
 ) -> Column:
     toks = _tokens_sql(text, tokens_col)
-    return F.expr(
-        f"round(aggregate(transform({toks}, t -> length(t)), 0,"
-        f" (acc, x) -> acc + x) / size({toks}), {decimals})"
-    )
+    return F.expr(f"round({_sum_len_sql(toks)} / size({toks}), {decimals})")
 
 
 def distinct_token_count(text: str = "text", tokens_col: str | None = None) -> Column:
@@ -174,20 +178,21 @@ def lang_scores(text: str = "text", tokens_col: str | None = None) -> dict[str, 
 
 
 def lang_argmax_sql(s: dict[str, str]) -> str:
-    """The language-ID CASE over four score FRAGMENTS (column names or SQL).
-    Deterministic tie-break by the fixed order en > fr > de > es, 'und'
-    (unknown) when all zero. Callers with non-trivial score expressions
-    should project them into columns first: the en score is referenced four
-    times here, and interpreted filter passes re-run per reference."""
-    return (
-        "CASE"
-        f" WHEN {s['en']} >= {s['fr']} AND {s['en']} >= {s['de']}"
-        f"  AND {s['en']} >= {s['es']} AND {s['en']} > 0 THEN 'en'"
-        f" WHEN {s['fr']} >= {s['de']} AND {s['fr']} >= {s['es']} AND {s['fr']} > 0 THEN 'fr'"
-        f" WHEN {s['de']} >= {s['es']} AND {s['de']} > 0 THEN 'de'"
-        f" WHEN {s['es']} > 0 THEN 'es'"
-        " ELSE 'und' END"
-    )
+    """The language-ID CASE over per-language score FRAGMENTS (column names
+    or SQL). GENERATED from the fragments' key order (STOPWORDS insertion
+    order = tie-break priority: earlier wins ties), 'und' (unknown) when all
+    zero — so adding a language to STOPWORDS extends the argmax instead of
+    silently scoring-but-never-predicting it (review r7). Callers with
+    non-trivial score expressions should project them into columns first:
+    the first language's score is referenced once per branch, and
+    interpreted filter passes re-run per reference."""
+    langs = list(s)
+    branches = []
+    for i, lang in enumerate(langs):
+        later = langs[i + 1 :]
+        conds = [f"{s[lang]} >= {s[o]}" for o in later] + [f"{s[lang]} > 0"]
+        branches.append(f" WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE" + "".join(branches) + " ELSE 'und' END"
 
 
 def predicted_lang(text: str = "text", tokens_col: str | None = None) -> Column:

@@ -235,10 +235,14 @@ LIMIT 10
 
 
 def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way join across the dimension chain. The small dims
-    (region, nation, supplier, customer at this ratio) broadcast — explicitly
-    hinted so the plan holds even when stats are stale; only orders⋈lineitem
-    shuffles. Parity: multi-join + broadcast hints (tests :1042-1102).
+    """TPC-H Q5 shape: 6-way join across the dimension chain. The
+    FIXED-SIZE dims (region, nation, supplier) broadcast — explicitly
+    hinted so the plan holds even when stats are stale. Customer is
+    deliberately UNHINTED: it grows linearly with SF, so a pinned
+    broadcast would OOM at scale — AQE broadcasts it at small SFs where
+    its measured size warrants it (review r7: the docstring previously
+    claimed all four were hinted). Parity: multi-join + broadcast hints
+    (tests :1042-1102).
     """
     r = F.broadcast(_t(spark, sf_dir, "region"))
     n = F.broadcast(_t(spark, sf_dir, "nation"))
@@ -536,9 +540,11 @@ def q20_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation bounding the explosion. Parity: Generate/explode family
     (tests :274-318).
     """
+    from score_spark.functions.text import tokens
+
     d = _t(spark, sf_dir, "documents")
     return (
-        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        d.select(F.explode(tokens("text")).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -661,7 +667,12 @@ def q27_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     def n_rows(v: pd.Series) -> int:
         return len(v)
 
-    o = _t(spark, sf_dir, "orders")
+    # geometric mean is defined on POSITIVE values only; the domain filter
+    # is explicit in BOTH engines (review r7: without it, a zero/negative
+    # price made Spark silently emit 0.0 / drop rows via NaN-skipping means
+    # while the oracle's ln() raised — a latent divergence the clean
+    # fixture could never exercise)
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
     return (
         o.groupBy("o_orderpriority")
         .agg(F.round(geomean("o_totalprice"), 2).alias("geomean_price"),
@@ -675,6 +686,7 @@ SELECT o_orderpriority,
        round(exp(avg(ln(o_totalprice))), 2) AS geomean_price,
        count(*) AS n_orders
 FROM orders
+WHERE o_totalprice > 0
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
@@ -795,10 +807,15 @@ ORDER BY l_returnflag
 def q22_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access: pull a field out of a JSON string column
     (events.props) — the map/nested-access analog (:1298-1332) on this
-    dataset. get_json_object extracts the raw string then casts — the same
-    semantics as the oracle's json_extract_string + CAST on quoted numbers
-    and partially malformed documents (ADVICE r6: from_json's PERMISSIVE
-    mode nulls those out). A measured A/B at sf0.1 (BASELINE.md, r7) found
+    dataset. get_json_object extracts the raw string then casts — closer to
+    the oracle's json_extract_string + CAST than from_json's PERMISSIVE
+    mode, which nulled out quoted numbers entirely (ADVICE r6). The parity
+    boundary, stated precisely (review r7): both engines agree on integer-
+    valued k (the generated corpus); a quoted NON-integer like "12.5" still
+    diverges (Spark's string->int cast truncates, DuckDB's rounds), and a
+    malformed document is NULL here but an ERROR in DuckDB — cross-engine
+    cast/error semantics no extraction function choice can close. A
+    measured A/B at sf0.1 (BASELINE.md, r7) found
     all three JVM extraction paths — get_json_object, schema-pruned
     from_json, json_tuple — within ~10% on single-field extraction; the
     r5 hypothesis that pruned from_json wins was falsified, so semantics
