@@ -223,3 +223,29 @@ def test_text_stats_rejects_helper_column_collision(spark):
     df2 = spark.createDataFrame([("a b", 1)], ["text", "_ls_en"])
     with pytest.raises(ValueError, match="_ls_en"):
         with_language(df2)
+
+
+def test_lang_argmax_extends_with_new_languages(spark):
+    """The argmax CASE is generated from the score map's key order, so a new
+    language participates instead of being scored-but-never-predicted
+    (review r7); earlier keys win ties."""
+    from score_spark.functions.text import lang_argmax_sql
+
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(0, 2, 5)], "s_en int, s_fr int, s_it int")
+    expr = lang_argmax_sql({"en": "s_en", "fr": "s_fr", "it": "s_it"})
+    assert df.select(F.expr(expr).alias("l")).first().l == "it"
+    tie = spark.createDataFrame([(3, 3, 3)], "s_en int, s_fr int, s_it int")
+    assert tie.select(F.expr(expr).alias("l")).first().l == "en"
+    zero = spark.createDataFrame([(0, 0, 0)], "s_en int, s_fr int, s_it int")
+    assert zero.select(F.expr(expr).alias("l")).first().l == "und"
+
+
+def test_q_quotes_digit_leading_names(spark):
+    """A column literally named '2022' must be quoted, not parsed as a
+    numeric literal (review r7)."""
+    from score_spark.functions.text import token_count
+
+    df = spark.createDataFrame([("a b c",)], ["2022"])
+    assert df.select(token_count("2022").alias("n")).first().n == 3
