@@ -67,3 +67,52 @@ def test_time_rollup_rejects_misordered_grains(spark):
         time_rollup(e, grains=("hour", "fortnight"))
     with pytest.raises(ValueError, match="week"):
         time_rollup(e, grains=("week", "month"))
+
+
+def test_uniq_sketch_channel_union_equals_direct_and_exact(spark):
+    """The mergeable-distinct contract: (a) day-level estimate derived by
+    UNIONING hour sketches equals the estimate of sketching the day's raw
+    ids directly (lossless same-lg_k union), (b) at small cardinality the
+    estimate equals the exact distinct count, (c) the binary sketch column
+    is present so the rollup output stays further-mergeable."""
+    rows = [
+        (dt.datetime(2026, 4, 1, h, m), float(h), uid)
+        for h in (0, 1, 2)
+        for m, uid in [(0, h * 10), (10, h * 10 + 1), (20, h * 10), (30, 999)]
+    ]
+    df = spark.createDataFrame(rows, ["ts", "value", "user_id"])
+    r = time_rollup(df, grains=("hour", "day"), uniq_col="user_id")
+    out = {(x.grain, x.bucket_start): x for x in r.collect()}
+    assert all(hasattr(x, "uniq_sketch") for x in out.values())
+
+    day_key = ("day", dt.datetime(2026, 4, 1))
+    # exact distinct per day: {0,1,10,11,20,21,999} -> 7
+    assert out[day_key].est_uniques == 7
+    for h in (0, 1, 2):
+        hour_key = ("hour", dt.datetime(2026, 4, 1, h))
+        assert out[hour_key].est_uniques == 3  # {h*10, h*10+1, 999}
+
+    direct = (
+        df.groupBy(F.date_trunc("day", "ts").alias("b"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias("est"))
+        .collect()[0]
+        .est
+    )
+    assert out[day_key].est_uniques == direct
+
+
+def test_uniq_sketch_mixed_lgk_union_raises(spark):
+    """allowDifferentLgConfigK is pinned False: merging sketches built at
+    different precisions would silently degrade to the coarsest — the
+    rollup requires one lg_k end-to-end and surfaces a mix loudly."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    rows = [(dt.datetime(2026, 4, 1, 0, 0), 1.0, 1), (dt.datetime(2026, 4, 1, 1, 0), 1.0, 2)]
+    df = spark.createDataFrame(rows, ["ts", "value", "user_id"])
+    a = df.limit(1).agg(F.hll_sketch_agg("user_id", 12).alias("uniq_sketch"))
+    b = df.agg(F.hll_sketch_agg("user_id", 13).alias("uniq_sketch"))
+    mixed = a.unionByName(b)
+    with pytest.raises((Py4JJavaError, PySparkException)):
+        mixed.agg(F.hll_union_agg("uniq_sketch", False)).collect()
