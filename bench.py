@@ -261,6 +261,10 @@ _BASELINE_SKIP = {
     "s04_ann_ivf",
     "s05_near_dup_lsh",
     "p01_pruned_rewrite",
+    # r8: oracle reads the xcheck est_uniques intermediate and runs exact
+    # count(DISTINCT) scans that exist only to verify the sketch channel;
+    # Spark ships sketches, DuckDB ships exact — not the same work
+    "h01_time_rollup",
     # construction writes bucketed catalog tables Spark then re-reads;
     # DuckDB reads raw parquet — not the same work in either direction
     "k01_bucketed_join",

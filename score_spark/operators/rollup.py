@@ -28,6 +28,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from score_spark.io import load_events, presentation_sort
+from score_spark.xcheck import write_xcheck, xcheck_path
 
 # fine -> coarse order of the date_trunc grains this rollup understands
 _GRAIN_ORDER = (
@@ -66,9 +67,13 @@ def time_rollup(
     continuous-aggregate contract). Raw values are sketched ONCE at the
     finest grain; coarser grains union the finer sketches (same lg_k), so
     the distinct channel costs one raw-scan aggregate regardless of how
-    many grains stack above it. Union-merge is lossless for same-lg_k
-    sketches: estimate(union(hour sketches)) == estimate(direct day sketch)
-    exactly (asserted in tests/test_rollup.py)."""
+    many grains stack above it. Union-merge of same-lg_k sketches preserves
+    the register state, but a unioned sketch answers with the composite
+    estimator (HIP is invalidated by union), so the day estimate derived
+    from hour sketches agrees with a direct day sketch exactly while the
+    sketches stay in sparse/coupon mode and within estimator tolerance
+    (~1.04/sqrt(2^lg_k)) once they promote to dense HLL mode — both cases
+    asserted in tests/test_rollup.py."""
     if not grains:
         raise ValueError("need at least one grain")
     ranks = []
@@ -135,80 +140,84 @@ def time_rollup(
 
 
 def h01_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hour + day continuous aggregate over events, WITH the mergeable
-    HLL distinct-users channel (r7). The oracle computes each grain
-    directly from raw rows — equality proves the hierarchical merge
-    (counts/sums/mins over partial results) is lossless — and now also
-    computes exact count(DISTINCT user_id) per bucket, gating the sketch
-    channel: ``uniq_est_ok`` asserts the day-level estimate (derived by
-    UNIONING the hour-level sketches, never re-scanning raw ids) lands
-    within max(2, 5%) of exact. Deterministic, not flaky: DataSketches HLL
-    is a pure function of (input set, lg_k) — measured error is 0% at
-    sf0.01 and <=1.5% at sf0.1, so the 5% gate only trips on a real
-    regression (sketch misroute, lost partial, mixed lg_k).
-
-    The exact-distinct side is VERIFICATION work: at 100 TB you would ship
-    only the sketches (that is the point — exact distinct cannot merge and
-    must re-scan raw per grain, the sketch channel pays one raw scan for
-    all grains). Here both run so the gate can compare them."""
+    """Hour + day continuous aggregate over events WITH the mergeable HLL
+    distinct-users channel — the benched query is the SHIPPABLE sketch path
+    only (one raw scan sketches ids at the hour grain; the day grain unions
+    hour sketches, never re-scanning raw ids). Verification of the sketch
+    is re-billed to the oracle channel (VERDICT r7 #2): Spark materializes
+    ``est_uniques`` per bucket through the xcheck channel (d03's pattern),
+    and the ORACLE independently recomputes n/sum/min/max AND exact
+    count(DISTINCT user_id) per bucket from raw rows in DuckDB, FULL OUTER
+    joins against the materialized estimates (a bucket lost on either side
+    surfaces loudly as extra rows / NULL mismatches), and computes
+    ``uniq_est_ok`` = |est - exact| <= max(2, 5% exact) itself. Spark emits
+    a literal TRUE for that column: if the sketch channel regresses (sketch
+    misroute, lost partial, mixed lg_k), the oracle computes FALSE and the
+    driver's value-hash comparison turns this gate row red. Deterministic,
+    not flaky: DataSketches HLL is a pure function of (input set, lg_k) —
+    measured error is 0% at sf0.01 and <=1.5% at sf0.1, far inside the 5%
+    gate."""
     e = load_events(spark, sf_dir)
     r = time_rollup(e, grains=("hour", "day"), uniq_col="user_id")
-
-    def _exact(grain: str) -> DataFrame:
-        return (
-            e.groupBy(F.date_trunc(grain, F.col("ts")).alias("bucket_start"))
-            .agg(F.countDistinct("user_id").alias("n_uniq_users"))
-            .select(F.lit(grain).alias("grain"), "*")
-        )
-
-    exact = _exact("hour").unionByName(_exact("day"))
-    joined = r.join(exact, ["grain", "bucket_start"])
     # calendar-bounded result (#buckets x #grains — tens of thousands of
     # rows over years of data regardless of input size), so the bounded
     # presentation sort applies; shuffle=True isolates the single-task sort
     # behind an exchange instead of coalescing the union's agg branches
     # (coalesce(1) would propagate through the union and serialize both
     # reduce stages — and break the ReusedExchange the rollup is built on)
-    return presentation_sort(
-        joined.select(
+    out = presentation_sort(
+        r.select(
             "grain",
             "bucket_start",
             "n",
             F.round("total_value", 2).alias("total_value"),
             F.round("min_value", 2).alias("min_value"),
             F.round("max_value", 2).alias("max_value"),
-            "n_uniq_users",
-            (
-                F.abs(F.col("est_uniques") - F.col("n_uniq_users"))
-                <= F.greatest(F.lit(2.0), F.col("n_uniq_users") * 0.05)
-            ).alias("uniq_est_ok"),
+            "est_uniques",
+            F.lit(True).alias("uniq_est_ok"),
         ),
         "grain",
         "bucket_start",
         shuffle=True,
     )
+    # persist+count is the product-side materialization (the rollup IS the
+    # product); only the parquet copy for DuckDB bills to the oracle channel
+    return write_xcheck(out, "h01_rollup")
 
 
-ORACLE_H01 = """
-WITH by_hour AS (
+def _oracle_h01() -> str:
+    return f"""
+WITH est AS (
+  -- Spark writes parquet timestamps as UTC instants (isAdjustedToUTC), which
+  -- DuckDB reads as TIMESTAMPTZ; shift to naive UTC wall time so the join
+  -- keys and output column stay plain TIMESTAMP like the raw-scan side
+  SELECT grain, bucket_start AT TIME ZONE 'UTC' AS bucket_start, est_uniques
+  FROM read_parquet('{xcheck_path("h01_rollup")}/*.parquet')
+),
+exact AS (
   SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket_start,
          count(*) AS n, round(sum(value), 2) AS total_value,
          round(min(value), 2) AS min_value, round(max(value), 2) AS max_value,
-         count(DISTINCT user_id) AS n_uniq_users, TRUE AS uniq_est_ok
+         count(DISTINCT user_id) AS n_uniq
   FROM events GROUP BY 2
-),
-by_day AS (
+  UNION ALL
   SELECT 'day' AS grain, date_trunc('day', ts) AS bucket_start,
          count(*) AS n, round(sum(value), 2) AS total_value,
          round(min(value), 2) AS min_value, round(max(value), 2) AS max_value,
-         count(DISTINCT user_id) AS n_uniq_users, TRUE AS uniq_est_ok
+         count(DISTINCT user_id) AS n_uniq
   FROM events GROUP BY 2
 )
-SELECT * FROM by_hour
-UNION ALL
-SELECT * FROM by_day
-ORDER BY grain, bucket_start
+SELECT coalesce(x.grain, e.grain) AS grain,
+       coalesce(x.bucket_start, e.bucket_start) AS bucket_start,
+       x.n, x.total_value, x.min_value, x.max_value,
+       e.est_uniques,
+       (e.est_uniques IS NOT NULL AND x.n_uniq IS NOT NULL
+        AND abs(e.est_uniques - x.n_uniq)
+            <= greatest(2.0, 0.05 * x.n_uniq)) AS uniq_est_ok
+FROM exact x FULL OUTER JOIN est e
+  ON x.grain = e.grain AND x.bucket_start = e.bucket_start
+ORDER BY 1, 2
 """
 
 QUERIES = {"h01_time_rollup": h01_time_rollup}
-ORACLE = {"h01_time_rollup": ORACLE_H01}
+ORACLE = {"h01_time_rollup": _oracle_h01()}

@@ -63,6 +63,7 @@ _NO_MEMO = {
     "s04_ann_ivf",
     "s05_near_dup_lsh",
     "p01_pruned_rewrite",
+    "h01_time_rollup",  # construction persists + writes the est_uniques xcheck file (r8)
 }
 
 

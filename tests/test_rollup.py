@@ -116,3 +116,68 @@ def test_uniq_sketch_mixed_lgk_union_raises(spark):
     mixed = a.unionByName(b)
     with pytest.raises((Py4JJavaError, PySparkException)):
         mixed.agg(F.hll_union_agg("uniq_sketch", False)).collect()
+
+
+def test_uniq_sketch_dense_mode_union_within_tolerance(spark):
+    """ADVICE r7: union equality is only guaranteed while sketches stay in
+    sparse/coupon mode — a unioned sketch answers with the composite
+    estimator (HIP invalidated), so in dense HLL mode the hour-union day
+    estimate may differ slightly from a direct day sketch. 12k distinct ids
+    across 4 hours force lg_k=12 sketches dense; assert the unioned estimate
+    lands within estimator tolerance of BOTH the direct sketch and the exact
+    count (3 * 1.04/sqrt(2^12) ~ 4.9%), not exact equality."""
+    n = 12_000
+    df = (
+        spark.range(n)
+        .select(
+            F.timestamp_seconds(
+                F.lit(int(dt.datetime(2026, 4, 1).timestamp()))
+                + (F.col("id") % 4) * 3600
+            ).alias("ts"),
+            F.lit(1.0).alias("value"),
+            F.col("id").alias("user_id"),
+        )
+    )
+    r = time_rollup(df, grains=("hour", "day"), uniq_col="user_id")
+    day = next(x for x in r.collect() if x.grain == "day")
+    direct = (
+        df.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias("est")
+        ).collect()[0].est
+    )
+    tol = 3 * 1.04 / (2**12) ** 0.5
+    assert abs(day.est_uniques - n) <= tol * n
+    assert abs(day.est_uniques - direct) <= tol * n
+
+
+def test_h01_gate_fires_on_broken_sketch_channel(spark, sf_dir, oracle_con):
+    """The re-billed h01 (r8) moves uniq_est_ok computation to the ORACLE:
+    Spark emits literal TRUE and the oracle recomputes the flag from the
+    materialized estimates vs its own exact count(DISTINCT). Prove the gate
+    is not vacuous: corrupt the materialized est_uniques (simulating a
+    sketch misroute / lost partial) and the oracle must flip rows to FALSE,
+    which the driver's value-hash would catch as a mismatch."""
+    from score_spark.operators.rollup import ORACLE, QUERIES
+    from score_spark.xcheck import xcheck_path
+
+    QUERIES["h01_time_rollup"](spark, sf_dir).collect()
+    sql = ORACLE["h01_time_rollup"]
+    ok = oracle_con.execute(sql).fetchdf()
+    assert ok["uniq_est_ok"].all() and len(ok) > 0
+
+    path = xcheck_path("h01_rollup")
+    corrupted = oracle_con.execute(
+        f"SELECT * REPLACE (est_uniques * 10 + 1000 AS est_uniques) "
+        f"FROM read_parquet('{path}/*.parquet')"
+    ).fetchdf()
+    import os
+    import shutil
+
+    shutil.rmtree(path)
+    os.makedirs(path)
+    oracle_con.register("corrupted_df", corrupted)
+    oracle_con.execute(
+        f"COPY corrupted_df TO '{path}/part-corrupt.parquet' (FORMAT PARQUET)"
+    )
+    broken = oracle_con.execute(sql).fetchdf()
+    assert not broken["uniq_est_ok"].any()
