@@ -49,6 +49,7 @@ _PATH_EXPRS = {
     "GetMapValue",
     "GetArrayItem",
     "ElementAt",
+    "Get",  # F.get(arr, i): NULL-on-out-of-bounds ElementAt (r8 fuzz find)
 }
 
 
@@ -465,6 +466,16 @@ class SchemaOnRead:
                 n = h.materialize()
                 if mode == "require":
                     n.require()
+            if not handles and expr["_children"]:
+                # backstop (r8 fuzz find): a path head whose base hides an
+                # UNKNOWN extraction node (a Spark version adds a new
+                # ElementAt-like head) resolves to nothing — recursing
+                # generically in 'require' mode keeps any attribute buried
+                # below fully, instead of silently dropping the dependency
+                # from the read schema. Over-keeping is the best-effort
+                # contract; under-keeping is silent data loss.
+                for c in expr["_children"]:
+                    self._walk_expr(c, "require")
             return handles
         if cname == "Alias":
             child_handles = self._walk_expr(expr["_children"][0], mode)
@@ -515,7 +526,7 @@ class SchemaOnRead:
             fld = expr.get("field")
             name = fld.get("name") if isinstance(fld, dict) else None
             return [h.descend(name) for h in base] if name else base
-        if cname in ("GetMapValue", "GetArrayItem", "ElementAt"):
+        if cname in ("GetMapValue", "GetArrayItem", "ElementAt", "Get"):
             # collection index/key access never narrows (SQLExpressionParser
             # strips [0] / ['key'] — :12-44); keys/ordinals may still
             # reference columns

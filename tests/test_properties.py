@@ -333,3 +333,176 @@ def test_stratified_topk_matches_reference_semantics(spark, n_rows, n_strata, k)
         )[:k]
         expect |= {(s, i) for _, i in ranked}
     assert got == expect
+
+
+# ------------------------------------------- prune-analyzer plan fuzz (r8)
+#
+# VERDICT r7 #8: the r7 review found three silent-wrong analyzer cases by
+# hand (output-under-Sort skeletonization, set-op compared-field pruning,
+# CTERelationRef misbinding). The invariant that catches the whole class:
+# for ANY composed query Q, re-running Q over a reader restricted to the
+# derived read-schema must return row-for-row the same result as over the
+# full schema. This fuzz generates random filter/explode/project/agg/sort
+# compositions over a nulls-and-empties-rich nested fixture and asserts
+# exactly that — with NO best-effort fallback (a schema that breaks the
+# rebuilt query fails the test; `prune()`'s fallback would hide it).
+
+import json as _json
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="session")
+def fuzz_paths(spark, tmp_path_factory):
+    """Nested fixture with nulls, empty arrays, absent branches, and dup
+    rows — 2-row sample.parquet can't distinguish 'pruned away' from
+    'never there' for every branch; this one can."""
+    from tests.fixtures_nested import SAMPLE_SCHEMA
+
+    base = tmp_path_factory.mktemp("prune_fuzz")
+    full = {
+        "someStr": "bla", "someLong": 12345678987654321, "someDouble": 0.5,
+        "someBoolean": True, "someStrArray": ["a", "b"],
+        "someComplexArray": [{"col1": 1, "col2": 2}, {"col1": 3, "col2": 4}],
+        "struct": {"col1": 1, "col2": 2, "col3": 3, "subArray": [1, 2]},
+        "nestedStruct": {"childStruct": {"col1": 10, "col2": 20}, "str": "ns"},
+        "someArrayOfArrays": [[0, 1], [4]],
+        "someArrayOfComplexArrays": [{"col1": 1, "col2": [7], "col3": 9}],
+    }
+    rows = [
+        full,
+        {**full, "someStr": None, "struct": {"col1": None, "col2": 5, "col3": None, "subArray": None}},
+        {**full, "someLong": -1, "nestedStruct": None, "someComplexArray": []},
+        {**full, "someBoolean": False, "someStrArray": [], "someArrayOfArrays": None,
+         "someComplexArray": None, "someArrayOfComplexArrays": []},
+        dict(full),  # exact duplicate
+        {**full, "someDouble": None, "someStr": "blu",
+         "someComplexArray": [{"col1": None, "col2": 6}]},
+    ]
+    pq = str(base / "fuzz.parquet")
+    js = str(base / "fuzz.json")
+    spark.createDataFrame(rows, SAMPLE_SCHEMA).coalesce(1).write.mode("overwrite").parquet(pq)
+    with open(js, "w") as f:
+        _json.dump(rows, f, indent=1, default=str)
+    return {"parquet": pq, "json": js}
+
+
+_FUZZ_PREDICATES = [
+    ("long_pos", lambda d: d.filter(F.col("someLong") > 0)),
+    ("bool_true", lambda d: d.filter(F.col("someBoolean"))),
+    ("str_or_null", lambda d: d.filter(F.col("someStr").isNull() | (F.col("someStr") != "zzz"))),
+    ("struct_col1", lambda d: d.filter(F.col("struct.col1").isNotNull())),
+    ("child_col2", lambda d: d.filter(F.col("nestedStruct.childStruct.col2") >= 0)),
+]
+
+_FUZZ_EXPLODES = [
+    ("complex", "someComplexArray"),
+    ("subarr", "struct.subArray"),
+    ("strarr", "someStrArray"),
+    ("aoca", "someArrayOfComplexArrays"),
+    ("aoa", "someArrayOfArrays"),
+]
+
+# (name, expr builder, groupable, numeric)
+_FUZZ_BASE_FIELDS = [
+    ("someStr", lambda: F.col("someStr"), True, False),
+    ("someLong", lambda: F.col("someLong"), True, True),
+    ("someDouble", lambda: F.col("someDouble"), False, True),
+    ("someBoolean", lambda: F.col("someBoolean"), True, False),
+    ("struct_col1", lambda: F.col("struct.col1"), True, True),
+    ("whole_struct", lambda: F.col("struct"), False, False),
+    ("child_col2", lambda: F.col("nestedStruct.childStruct.col2"), False, True),
+    ("ns_str", lambda: F.col("nestedStruct.str"), True, False),
+    ("str_array", lambda: F.col("someStrArray"), False, False),
+    ("complex_whole", lambda: F.col("someComplexArray"), False, False),
+    # F.get (NULL on out-of-bounds), not [..]: ANSI mode throws on indexing
+    # an empty array, and the fixture has empty someComplexArray rows
+    ("complex0_col2", lambda: F.get("someComplexArray", 0)["col2"], False, True),
+    ("aoa_01", lambda: F.get(F.get("someArrayOfArrays", 0), 1), False, True),
+    ("sub_array", lambda: F.col("struct.subArray"), False, False),
+]
+
+_FUZZ_EXPLODE_FIELDS = {
+    "complex": [
+        ("ex_complex_col1", lambda: F.col("ex_complex.col1"), True, True),
+        ("ex_complex", lambda: F.col("ex_complex"), False, False),
+    ],
+    "subarr": [("ex_subarr", lambda: F.col("ex_subarr"), True, True)],
+    "strarr": [("ex_strarr", lambda: F.col("ex_strarr"), True, False)],
+    "aoca": [
+        ("ex_aoca_col2", lambda: F.col("ex_aoca.col2"), False, False),
+        ("ex_aoca_col3", lambda: F.col("ex_aoca.col3"), True, True),
+    ],
+    "aoa": [("ex_aoa", lambda: F.col("ex_aoa"), False, False)],
+}
+
+
+def _canon_rows(df) -> list[str]:
+    return sorted(
+        _json.dumps(r.asDict(recursive=True), sort_keys=True, default=str)
+        for r in df.collect()
+    )
+
+
+@settings(max_examples=50, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_pruned_reread_equals_full_for_random_plans(spark, fuzz_paths, data):
+    from tests.fixtures_nested import SAMPLE_SCHEMA
+    from score_spark.schema_on_read.generator import SchemaOnRead
+
+    fmt = data.draw(st.sampled_from(["parquet", "json"]), label="format")
+    preds = data.draw(
+        st.lists(st.sampled_from(_FUZZ_PREDICATES), max_size=2,
+                 unique_by=lambda p: p[0]),
+        label="filters",
+    )
+    explodes = data.draw(
+        st.lists(st.sampled_from(_FUZZ_EXPLODES), max_size=2,
+                 unique_by=lambda e: e[0]),
+        label="explodes",
+    )
+    candidates = list(_FUZZ_BASE_FIELDS)
+    for name, _ in explodes:
+        candidates += _FUZZ_EXPLODE_FIELDS[name]
+    fields = data.draw(
+        st.lists(st.sampled_from(candidates), min_size=1, max_size=4,
+                 unique_by=lambda f: f[0]),
+        label="projection",
+    )
+    do_agg = data.draw(st.booleans(), label="aggregate")
+    do_sort = data.draw(st.booleans(), label="sort")
+
+    def pipeline(df):
+        for _, fn in preds:
+            df = fn(df)
+        for name, col in explodes:
+            df = df.withColumn(f"ex_{name}", F.explode_outer(F.col(col)))
+        df = df.select(*[fn().alias(name) for name, fn, _, _ in fields])
+        if do_agg:
+            gcols = [n for n, _, g, _ in fields if g]
+            ncols = [n for n, _, _, num in fields if num]
+            if gcols:
+                aggs = [F.count(F.lit(1)).alias("cnt")]
+                if ncols:
+                    aggs.append(F.min(ncols[0]).alias("mn"))
+                df = df.groupBy(*gcols[:1]).agg(*aggs)
+        if do_sort:
+            df = df.orderBy(df.columns[0])
+        return df
+
+    path = fuzz_paths[fmt]
+
+    def read(schema):
+        r = spark.read.schema(schema)
+        if fmt == "json":
+            return r.option("multiLine", "true").json(path)
+        return r.parquet(path)
+
+    full_df = pipeline(read(SAMPLE_SCHEMA))
+    pruned_schema = SchemaOnRead.generate(full_df).for_paths(path)
+    pruned_df = pipeline(read(pruned_schema))
+    assert _canon_rows(pruned_df) == _canon_rows(full_df), (
+        f"pruned re-read diverged; schema={pruned_schema.simpleString()}"
+    )

@@ -323,6 +323,17 @@ def test_array_index_struct_field(spark, fx):
     assert schema_of(df, fx) == st(f("someComplexArray", T.ArrayType(st(f("col1", LONG)))))
 
 
+def test_get_function_index_struct_field(spark, fx):
+    # F.get(arr, 0).field — the NULL-on-out-of-bounds sibling of arr[0]
+    # analyzes to a `Get` head, not GetArrayItem; r8's plan fuzz caught the
+    # walker dropping the someComplexArray dependency entirely (unresolved
+    # column on pruned re-read). Same strip-the-index semantics as [0].
+    df = spark.read.parquet(fx["sample_parquet"]).select(
+        F.get("someComplexArray", 0)["col1"].alias("v")
+    )
+    assert schema_of(df, fx) == st(f("someComplexArray", T.ArrayType(st(f("col1", LONG)))))
+
+
 def test_filter_field_through_array(spark, fx):
     # predicate over arr.col2 (:1400-1454)
     df = (
