@@ -43,6 +43,8 @@ WORK_DIR = os.environ.get("SCORE_SPARK_SCALE_DIR", "/root/repo/.scale_fixtures")
 SEED = 7
 BASE_DOCS = 5_000  # sf0.1-shaped
 BASE_VECS = 2_000
+BASE_EVENTS = 100_000  # sf0.1-shaped: 100k events / 1.5k users / 30 days
+BASE_USERS = 1_500
 FACTOR = 10
 
 
@@ -79,6 +81,29 @@ def gen_embeddings(spark: SparkSession, n_vecs: int, dim: int = 64) -> DataFrame
             "vec_id",
             f"transform(sequence(0, {dim - 1}),"
             f" d -> CAST(pmod(xxhash64(_base, d, {SEED}), 2001) / 1000.0 - 1.0 AS FLOAT)) AS embedding",
+        )
+    )
+
+
+def gen_events(spark: SparkSession, n_events: int, n_users: int) -> DataFrame:
+    """Deterministic synthetic events shaped like sf0.1's events table
+    (100k rows / 1.5k users / 30 days / 5 event types incl. click and
+    purchase). Scaling multiplies EVENTS AND USERS together — per-user
+    density (sessions, funnel depth, as-of right-side run length) stays
+    constant, which is how real traffic grows; scaling events onto a fixed
+    user set would quadratically inflate per-key state instead and charge
+    the operators for a skew artifact of the generator."""
+    span_us = 30 * 24 * 3600 * 1_000_000
+    base_us = 1_704_067_200_000_000  # 2024-01-01 UTC
+    return (
+        spark.range(n_events)
+        .selectExpr(
+            "id AS event_id",
+            f"pmod(xxhash64(id, 1, {SEED}), {n_users}) AS user_id",
+            f"timestamp_micros({base_us} + pmod(xxhash64(id, 2, {SEED}), {span_us})) AS ts",
+            f"element_at(array('click','view','purchase','scroll','share'),"
+            f" CAST(pmod(xxhash64(id, 3, {SEED}), 5) + 1 AS INT)) AS event_type",
+            f"CAST(pmod(xxhash64(id, 4, {SEED}), 10000) AS DOUBLE) / 100 AS value",
         )
     )
 
@@ -164,7 +189,8 @@ def _run_op(spark: SparkSession, build, runs: int = 3) -> dict:
     return {"sec": round(best, 3), **best_stats}
 
 
-def ops(spark: SparkSession, docs_path: str, embs_path: str):
+def ops(spark: SparkSession, docs_path: str, embs_path: str, events_path: str):
+    from score_spark.operators.asof import asof_join
     from score_spark.operators.dedup import (
         duplicate_clusters,
         minhash_lsh_pairs,
@@ -173,10 +199,13 @@ def ops(spark: SparkSession, docs_path: str, embs_path: str):
         shingle_arrays,
     )
     from score_spark.operators.pipeline import chunk_documents, pack_token_stream
+    from score_spark.operators.rollup import time_rollup
     from score_spark.operators.similarity import lsh_pair_candidates, near_dup_pairs_lsh
+    from score_spark.streaming.windows import conversion_attribution_batch, session_stats
 
     docs = lambda: spark.read.parquet(docs_path)  # noqa: E731
     embs = lambda: spark.read.parquet(embs_path)  # noqa: E731
+    events = lambda: spark.read.parquet(events_path)  # noqa: E731
 
     def d02():
         return ngram_jaccard_pairs(docs(), n=3, threshold=0.03, max_doc_freq=50, eager=True)
@@ -204,7 +233,43 @@ def ops(spark: SparkSession, docs_path: str, embs_path: str):
         chunks = chunk_documents(docs(), chunk_size=32, overlap=8)
         return pack_token_stream(chunks, budget=512, n_shards=8)
 
-    return {"d02": d02, "d03": d03, "d05": d05, "s05": s05, "c05": c05}
+    # --- stateful / window family (VERDICT r7 #7): same work-ratio
+    # methodology over the events corpus; these are the operators whose
+    # per-key STATE (session buffers, funnel windows, as-of right rows,
+    # sketch registers) is the at-scale risk rather than pair explosion
+    def w01():
+        return session_stats(
+            events().repartitionByRange("user_id"), gap="30 minutes"
+        ).sortWithinPartitions("user_id", "session_start")
+
+    def w04():
+        return (
+            conversion_attribution_batch(events(), horizon_minutes=30)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_conversions"), F.round(F.sum("value"), 2).alias("v"))
+        )
+
+    def h01():
+        # shippable sketch path only (r8 re-bill): hour sketches raw ids
+        # once, day unions hour sketches
+        return time_rollup(events(), grains=("hour", "day"), uniq_col="user_id")
+
+    def a01():
+        e = events()
+        purchases = e.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        clicks = e.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("click_id")
+        )
+        return asof_join(
+            purchases, clicks, on="user_id", right_value_cols=["click_id"], ranged_by_key=True
+        )
+
+    return {
+        "d02": d02, "d03": d03, "d05": d05, "s05": s05, "c05": c05,
+        "w01": w01, "w04": w04, "h01": h01, "a01": a01,
+    }
 
 
 def main() -> None:
@@ -228,14 +293,17 @@ def main() -> None:
     for label, factor in (("1x", 1), (f"{FACTOR}x", FACTOR)):
         docs_path = os.path.join(WORK_DIR, f"documents_{label}.parquet")
         embs_path = os.path.join(WORK_DIR, f"embeddings_{label}.parquet")
+        events_path = os.path.join(WORK_DIR, f"events_{label}.parquet")
         _materialize(gen_documents(spark, BASE_DOCS * factor), docs_path)
         _materialize(gen_embeddings(spark, BASE_VECS * factor), embs_path)
+        _materialize(gen_events(spark, BASE_EVENTS * factor, BASE_USERS * factor), events_path)
         rows = {
             "docs": spark.read.parquet(docs_path).count(),
             "vecs": spark.read.parquet(embs_path).count(),
+            "events": spark.read.parquet(events_path).count(),
         }
         results = {}
-        for name, build in ops(spark, docs_path, embs_path).items():
+        for name, build in ops(spark, docs_path, embs_path, events_path).items():
             results[name] = _run_op(spark, build)
         report[label] = {"rows": rows, "ops": results}
 
@@ -256,7 +324,8 @@ def main() -> None:
             f"max_stage_input_mb_{FACTOR}x": b["max_stage_input_mb"],
             f"max_stage_shuffle_write_mb_{FACTOR}x": b["max_stage_shuffle_write_mb"],
         }
-    out = {"base_docs": BASE_DOCS, "base_vecs": BASE_VECS, "factor": FACTOR,
+    out = {"base_docs": BASE_DOCS, "base_vecs": BASE_VECS, "base_events": BASE_EVENTS,
+           "base_users": BASE_USERS, "factor": FACTOR,
            "detail": report, "summary": summary}
     print(json.dumps(out, indent=2))
     _write_md(out)
@@ -265,7 +334,7 @@ def main() -> None:
     # env var, and rmtree of the whole directory would destroy pre-existing
     # unrelated contents if the var points at a shared location (review r7)
     for label in ("1x", f"{FACTOR}x"):
-        for base in ("documents", "embeddings"):
+        for base in ("documents", "embeddings", "events"):
             shutil.rmtree(
                 os.path.join(WORK_DIR, f"{base}_{label}.parquet"), ignore_errors=True
             )
@@ -278,17 +347,23 @@ def main() -> None:
 def _write_md(out: dict) -> None:
     factor = out["factor"]
     lines = [
-        "# SCALE — measured 10x scaling point (r7, VERDICT r6 #8)",
+        "# SCALE — measured 10x scaling points (r7 dedup/ANN; r8 adds the stateful/window family per VERDICT r7 #7)",
         "",
         f"Synthetic corpora from `tools/scale_bench.py` (deterministic seeded",
         f"generator, 2% planted exact-duplicate rate so duplicate structure is",
         f"content-linear — see the module docstring for why naive replication",
         f"would be a quadratic strawman): 1x = {out['base_docs']} docs /",
-        f"{out['base_vecs']} vectors (sf0.1-shaped), {factor}x = "
-        f"{out['base_docs'] * factor} / {out['base_vecs'] * factor}. local[32],",
-        "best-of-3 per op, noop sink. s05 runs the production LSH family",
-        "(4x16 bands, threshold 0.9), not the gate-corpus family — rationale",
-        "in the module docstring.",
+        f"{out['base_vecs']} vectors / {out.get('base_events', 0)} events over "
+        f"{out.get('base_users', 0)} users (sf0.1-shaped), {factor}x = "
+        f"{out['base_docs'] * factor} / {out['base_vecs'] * factor} / "
+        f"{out.get('base_events', 0) * factor}. Events and users scale TOGETHER",
+        "so per-user density (session length, funnel depth, as-of run length)",
+        "stays constant — real-traffic growth, not per-key state inflation.",
+        "local[32], best-of-3 per op, noop sink. s05 runs the production LSH",
+        "family (4x16 bands, threshold 0.9), not the gate-corpus family —",
+        "rationale in the module docstring. w01 = session windows, w04 =",
+        "stateful funnel twin, h01 = hour->day rollup with the HLL sketch",
+        "channel, a01 = bucketed as-of join.",
         "",
         f"| op | 1x wall | {factor}x wall | wall ratio | 1x executor | {factor}x executor "
         f"| work ratio | max stage input ({factor}x) | max stage shuffle write ({factor}x) |",
