@@ -506,3 +506,87 @@ def test_pruned_reread_equals_full_for_random_plans(spark, fuzz_paths, data):
     assert _canon_rows(pruned_df) == _canon_rows(full_df), (
         f"pruned re-read diverged; schema={pruned_schema.simpleString()}"
     )
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_pruned_reread_equals_full_for_random_multi_source_plans(spark, fuzz_paths, data):
+    """The multi-relation half of the fuzz invariant: random set-ops
+    (union / intersect / except — the r7 compared-field pruning class),
+    equi-joins across a parquet source and a JSON source of the same
+    shape, and CTE-through-temp-view plans (the CTERelationRef class).
+    Both sources get their own derived read schema; the rebuilt query must
+    match row-for-row."""
+    from tests.fixtures_nested import SAMPLE_SCHEMA
+    from score_spark.schema_on_read.generator import SchemaOnRead
+
+    shape = data.draw(
+        st.sampled_from(["union", "unionByName", "intersect", "except", "join", "cte"]),
+        label="shape",
+    )
+    fields = data.draw(
+        st.lists(st.sampled_from(_FUZZ_BASE_FIELDS), min_size=1, max_size=3,
+                 unique_by=lambda f: f[0]),
+        label="projection",
+    )
+    preds_a = data.draw(
+        st.lists(st.sampled_from(_FUZZ_PREDICATES), max_size=1), label="filters_a"
+    )
+    preds_b = data.draw(
+        st.lists(st.sampled_from(_FUZZ_PREDICATES), max_size=1), label="filters_b"
+    )
+    do_agg = data.draw(st.booleans(), label="aggregate")
+
+    def read(which, schema):
+        r = spark.read.schema(schema)
+        if which == "json":
+            return r.option("multiLine", "true").json(fuzz_paths["json"])
+        return r.parquet(fuzz_paths["parquet"])
+
+    def pipeline(schema_pq, schema_js):
+        a, b = read("parquet", schema_pq), read("json", schema_js)
+        for _, fn in preds_a:
+            a = fn(a)
+        for _, fn in preds_b:
+            b = fn(b)
+        sel = lambda d: d.select(*[fn().alias(name) for name, fn, _, _ in fields])  # noqa: E731
+        if shape == "union":
+            df = sel(a).union(sel(b))
+        elif shape == "unionByName":
+            df = sel(a).unionByName(sel(b))
+        elif shape == "intersect":
+            df = sel(a).intersect(sel(b))
+        elif shape == "except":
+            df = sel(a).exceptAll(sel(b))
+        elif shape == "join":
+            left = a.select(F.col("someLong").alias("k"),
+                            *[fn().alias(f"l_{name}") for name, fn, _, _ in fields])
+            right = b.select(F.col("someLong").alias("k"),
+                             *[fn().alias(f"r_{name}") for name, fn, _, _ in fields])
+            df = left.join(right, "k")
+        else:  # cte: temp view over the parquet source, SQL WITH on top
+            sel(a).createOrReplaceTempView("fuzz_cte_v")
+            cols = ", ".join(name for name, _, _, _ in fields)
+            df = spark.sql(
+                f"WITH c AS (SELECT {cols} FROM fuzz_cte_v) SELECT {cols} FROM c"
+            )
+        if do_agg:
+            gcols = [c for c in df.columns if not c.endswith("struct")][:1]
+            if gcols:
+                df = df.groupBy(*gcols).agg(F.count(F.lit(1)).alias("cnt"))
+        return df
+
+    full_df = pipeline(SAMPLE_SCHEMA, SAMPLE_SCHEMA)
+    sor = SchemaOnRead.generate(full_df)
+
+    def derived(path):
+        try:
+            return sor.for_paths(path)
+        except KeyError:
+            # single-source shapes (cte) legitimately never read the other
+            # file; its schema is irrelevant to the rebuilt plan
+            return SAMPLE_SCHEMA
+
+    pruned_df = pipeline(derived(fuzz_paths["parquet"]), derived(fuzz_paths["json"]))
+    assert _canon_rows(pruned_df) == _canon_rows(full_df)
