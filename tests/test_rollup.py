@@ -179,5 +179,11 @@ def test_h01_gate_fires_on_broken_sketch_channel(spark, sf_dir, oracle_con):
     oracle_con.execute(
         f"COPY corrupted_df TO '{path}/part-corrupt.parquet' (FORMAT PARQUET)"
     )
-    broken = oracle_con.execute(sql).fetchdf()
-    assert not broken["uniq_est_ok"].any()
+    try:
+        broken = oracle_con.execute(sql).fetchdf()
+        assert not broken["uniq_est_ok"].any()
+    finally:
+        # restore the real materialization — a later reader of the channel
+        # (another test, a driver run against this tree) must not see the
+        # corrupted file
+        QUERIES["h01_time_rollup"](spark, sf_dir).collect()
