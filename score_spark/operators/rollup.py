@@ -185,14 +185,22 @@ def h01_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return write_xcheck(out, "h01_rollup")
 
 
-def _oracle_h01() -> str:
-    return f"""
+# module-level constant like every other query module's oracle; the f-string
+# (and XCHECK_DIR inside xcheck_path) resolve at import, same as d03/s03
+ORACLE_H01 = f"""
 WITH est AS (
   -- Spark writes parquet timestamps as UTC instants (isAdjustedToUTC), which
   -- DuckDB reads as TIMESTAMPTZ; shift to naive UTC wall time so the join
-  -- keys and output column stay plain TIMESTAMP like the raw-scan side
-  SELECT grain, bucket_start AT TIME ZONE 'UTC' AS bucket_start, est_uniques
+  -- keys and output column stay plain TIMESTAMP like the raw-scan side.
+  -- Aggregated to ONE row per bucket so the oracle's row set stays
+  -- independent of Spark's (review r8: a non-aggregated est channel would
+  -- MIRROR a duplicated rollup row through the FULL OUTER JOIN and hash
+  -- green); n_est > 1 — a duplicated bucket in the rollup output — fails
+  -- both uniq_est_ok here and the row-count compare.
+  SELECT grain, bucket_start AT TIME ZONE 'UTC' AS bucket_start,
+         min(est_uniques) AS est_uniques, count(*) AS n_est
   FROM read_parquet('{xcheck_path("h01_rollup")}/*.parquet')
+  GROUP BY 1, 2
 ),
 exact AS (
   SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket_start,
@@ -212,6 +220,7 @@ SELECT coalesce(x.grain, e.grain) AS grain,
        x.n, x.total_value, x.min_value, x.max_value,
        e.est_uniques,
        (e.est_uniques IS NOT NULL AND x.n_uniq IS NOT NULL
+        AND e.n_est = 1
         AND abs(e.est_uniques - x.n_uniq)
             <= greatest(2.0, 0.05 * x.n_uniq)) AS uniq_est_ok
 FROM exact x FULL OUTER JOIN est e
@@ -220,4 +229,4 @@ ORDER BY 1, 2
 """
 
 QUERIES = {"h01_time_rollup": h01_time_rollup}
-ORACLE = {"h01_time_rollup": _oracle_h01()}
+ORACLE = {"h01_time_rollup": ORACLE_H01}

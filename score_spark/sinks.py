@@ -321,10 +321,12 @@ def k01_bucketed_join(spark, sf_dir: str):
     # boundaries by a few of the 256 buckets — layout quality, not
     # correctness, which the hash gate below pins exactly
     raw_o = raw_o.persist()
-    write_zordered(
-        raw_o, z_path, ("o_custkey", "o_totalprice"), bits_per_dim=8, relative_error=0.01
-    )
-    raw_o.unpersist()
+    try:
+        write_zordered(
+            raw_o, z_path, ("o_custkey", "o_totalprice"), bits_per_dim=8, relative_error=0.01
+        )
+    finally:
+        raw_o.unpersist()
     o = spark.read.parquet(z_path)
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     write_bucketed(o, t_orders, ("o_custkey",), n_buckets=8, sort_by=("o_custkey",))

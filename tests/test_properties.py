@@ -584,9 +584,14 @@ def test_pruned_reread_equals_full_for_random_multi_source_plans(spark, fuzz_pat
         try:
             return sor.for_paths(path)
         except KeyError:
-            # single-source shapes (cte) legitimately never read the other
-            # file; its schema is irrelevant to the rebuilt plan
-            return SAMPLE_SCHEMA
+            # ONLY the single-source cte shape legitimately never reads the
+            # JSON file; for every two-source shape a missing relation IS
+            # the regression this fuzz exists to catch (review r8: a
+            # blanket fallback would mask a lost relation and trivially
+            # pass), so re-raise
+            if shape == "cte" and path == fuzz_paths["json"]:
+                return SAMPLE_SCHEMA
+            raise
 
     pruned_df = pipeline(derived(fuzz_paths["parquet"]), derived(fuzz_paths["json"]))
     assert _canon_rows(pruned_df) == _canon_rows(full_df)
