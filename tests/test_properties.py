@@ -595,3 +595,119 @@ def test_pruned_reread_equals_full_for_random_multi_source_plans(spark, fuzz_pat
 
     pruned_df = pipeline(derived(fuzz_paths["parquet"]), derived(fuzz_paths["json"]))
     assert _canon_rows(pruned_df) == _canon_rows(full_df)
+
+
+# map / deep-repeated-struct fuzz over the crazy fixture: the map-value
+# class (keys never pruned), chained explodes, and deep GetArrayStructFields
+# paths — the shapes the reference's crazy.json e2e suite exercises
+
+_CRAZY_FIELDS = [
+    ("someStr", lambda: F.col("someStr"), True),
+    ("map_whole", lambda: F.col("mapOfArray"), False),
+    ("map_key_val1", lambda: F.get(F.col("mapOfArray")["someKey"], 0)["val1"], True),
+    ("map_key_val3", lambda: F.get(F.col("mapOfArray")["otherKey"], 0)["val3"], True),
+    ("just_a_string", lambda: F.col("crazyStruct.justAString"), True),
+    ("repeated_whole", lambda: F.col("crazyStruct.repeatedStuff"), False),
+    ("repeated_bools", lambda: F.col("crazyStruct.repeatedStuff.justABool"), False),
+    # NOTE no dotted innerField1 here: repeatedStuff.anotherRepeatedStuff is
+    # array<array<struct>> and a further dotted field is an invalid index op
+    # in Spark — that path is reachable only through an explode (below)
+    ("repeated_long_arrays", lambda: F.col("crazyStruct.repeatedStuff.longArray"), False),
+]
+
+_CRAZY_EXPLODES = [
+    ("rep", "crazyStruct.repeatedStuff"),
+    ("mapval", "mapOfArray.someKey"),
+]
+
+_CRAZY_EXPLODE_FIELDS = {
+    "rep": [
+        ("ex_rep_bool", lambda: F.col("ex_rep.justABool"), True),
+        ("ex_rep_longs", lambda: F.col("ex_rep.longArray"), False),
+        ("ex_rep_inner2", lambda: F.col("ex_rep.anotherRepeatedStuff.innerField2"), False),
+    ],
+    "mapval": [
+        ("ex_mapval_val2", lambda: F.col("ex_mapval.val2"), True),
+        ("ex_mapval", lambda: F.col("ex_mapval"), False),
+    ],
+}
+
+
+@pytest.fixture(scope="session")
+def crazy_fuzz_paths(spark, tmp_path_factory):
+    """crazy-schema rows with an absent map key, empty repeatedStuff, and
+    NULL branches — written as parquet and multiline JSON."""
+    from tests.fixtures_nested import CRAZY_MAP_SCHEMA, _crazy_rows
+
+    full = _crazy_rows()[0]
+    rows = [
+        full,
+        {**full, "someStr": "nokey",
+         "mapOfArray": {"thirdKey": [{"val1": "x", "val2": None, "val3": None, "val4": "y"}]}},
+        {**full, "someStr": "empty",
+         "crazyStruct": {"justAString": None, "repeatedStuff": []}},
+        {**full, "someStr": None, "mapOfArray": None, "crazyStruct": None},
+        dict(full),
+    ]
+    base = tmp_path_factory.mktemp("crazy_fuzz")
+    pq = str(base / "crazy.parquet")
+    js = str(base / "crazy.json")
+    spark.createDataFrame(rows, CRAZY_MAP_SCHEMA).coalesce(1).write.mode("overwrite").parquet(pq)
+    with open(js, "w") as f:
+        _json.dump(rows, f, indent=1, default=str)
+    return {"parquet": pq, "json": js}
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_pruned_reread_equals_full_for_random_map_plans(spark, crazy_fuzz_paths, data):
+    from tests.fixtures_nested import CRAZY_MAP_SCHEMA
+    from score_spark.schema_on_read.generator import SchemaOnRead
+
+    fmt = data.draw(st.sampled_from(["parquet", "json"]), label="format")
+    explodes = data.draw(
+        st.lists(st.sampled_from(_CRAZY_EXPLODES), max_size=2, unique_by=lambda e: e[0]),
+        label="explodes",
+    )
+    candidates = list(_CRAZY_FIELDS)
+    for name, _ in explodes:
+        candidates += _CRAZY_EXPLODE_FIELDS[name]
+    fields = data.draw(
+        st.lists(st.sampled_from(candidates), min_size=1, max_size=4,
+                 unique_by=lambda f: f[0]),
+        label="projection",
+    )
+    filter_on_map = data.draw(st.booleans(), label="filter_on_map")
+    do_agg = data.draw(st.booleans(), label="aggregate")
+
+    def pipeline(df):
+        if filter_on_map:
+            df = df.filter(
+                F.col("mapOfArray").isNull()
+                | F.get(F.col("mapOfArray")["someKey"], 0)["val1"].isNotNull()
+                | F.lit(True)
+            )
+        for name, col in explodes:
+            df = df.withColumn(f"ex_{name}", F.explode_outer(F.col(col)))
+        df = df.select(*[fn().alias(name) for name, fn, _ in fields])
+        if do_agg:
+            gcols = [n for n, _, g in fields if g]
+            if gcols:
+                df = df.groupBy(*gcols[:1]).agg(F.count(F.lit(1)).alias("cnt"))
+        return df
+
+    path = crazy_fuzz_paths[fmt]
+
+    def read(schema):
+        r = spark.read.schema(schema)
+        if fmt == "json":
+            return r.option("multiLine", "true").json(path)
+        return r.parquet(path)
+
+    full_df = pipeline(read(CRAZY_MAP_SCHEMA))
+    pruned_schema = SchemaOnRead.generate(full_df).for_paths(path)
+    pruned_df = pipeline(read(pruned_schema))
+    assert _canon_rows(pruned_df) == _canon_rows(full_df), (
+        f"pruned re-read diverged; schema={pruned_schema.simpleString()}"
+    )
