@@ -83,6 +83,20 @@ def chunk_documents(
     )
 
 
+def _check_hex_threshold(thr: str) -> None:
+    """md5() yields LOWERCASE hex compared lexicographically; an uppercase
+    or malformed threshold doesn't error — it silently skews the split
+    ('C' sorts below 'a'-'f' but above digits, so 'C'*32 keeps ~62.5%
+    instead of the ~80% the caller intended). Fail loudly (review r8)."""
+    import re
+
+    if not isinstance(thr, str) or not re.fullmatch(r"[0-9a-f]{1,32}", thr):
+        raise ValueError(
+            f"hex threshold must be 1-32 LOWERCASE hex chars (compared "
+            f"against lowercase md5 output), got {thr!r}"
+        )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -93,6 +107,7 @@ def hash_split(
     lexicographically against a hex threshold (both engines produce identical
     lowercase hex, so the assignment is reproducible anywhere). ~0.8/0.2 at
     the default threshold."""
+    _check_hex_threshold(train_hex_threshold)
     h = F.md5(F.col(id_col).cast("string"))
     return df.withColumn(
         split_col,
@@ -172,7 +187,17 @@ def scrub_pii(
     span never double-counts). Map-only codegen'd regexp_replace chain — at
     100 TB this fuses into the scan stage with zero shuffle. Returns the
     frame with ``text_col`` scrubbed plus n_<kind> counters."""
-    out = df
+    if count_cols:
+        # re-scrubbing already-annotated data would emit duplicate n_<kind>
+        # columns — ambiguous downstream references or double-persisted
+        # columns; fail loudly at the boundary like textstats (review r8)
+        lower = {c.lower() for c in df.columns}
+        hit = [f"n_{kind}" for kind, _, _ in patterns if f"n_{kind}" in lower]
+        if hit:
+            raise ValueError(
+                f"input columns collide with scrub_pii counter name(s) {hit}; "
+                "rename or drop them (or pass count_cols=False)"
+            )
     scrubbed = F.col(text_col)
     counters = []
     for kind, pat, token in patterns:
@@ -180,7 +205,7 @@ def scrub_pii(
         scrubbed = F.regexp_replace(scrubbed, pat, token)
     cols = [c for c in df.columns if c != text_col]
     sel = [*cols, scrubbed.alias(text_col)] + (counters if count_cols else [])
-    return out.select(*sel)
+    return df.select(*sel)
 
 
 def pack_token_stream(
@@ -269,20 +294,37 @@ def pack_token_stream(
             n_shards = 1 << (raw - 1).bit_length()
     id_type = chunks.schema[id_col].dataType.simpleString()
     if id_type not in ("tinyint", "smallint", "int", "bigint"):
-        # a non-numeric id makes `id % n` NULL for every row, silently
-        # collapsing the corpus into one null shard — a single window task
-        # over everything, the exact scale-killer sharding exists to
-        # prevent (review r7). The modulo itself stays (deterministic AND
-        # mirrored literally by the c05 oracle); callers with string ids
-        # hash them to a long first (e.g. xxhash64), which keeps packing
-        # content-stable.
+        # a non-numeric id makes the shard modulo NULL for every row,
+        # silently collapsing the corpus into one null shard — a single
+        # window task over everything, the exact scale-killer sharding
+        # exists to prevent (review r7). The modulo itself stays
+        # (deterministic, mirrored by the c05 oracle); callers with string
+        # ids hash them to a long first (e.g. xxhash64), which keeps
+        # packing content-stable.
         raise ValueError(
-            f"pack_token_stream shards by {id_col!r} % n_shards, which needs "
-            f"an integral id column (got {id_type}); derive one first, e.g. "
-            f"F.xxhash64({id_col!r})"
+            f"pack_token_stream shards by pmod({id_col!r}, n_shards), which "
+            f"needs an integral id column (got {id_type}); derive one first, "
+            f"e.g. F.xxhash64({id_col!r})"
         )
-    shard = (F.col(id_col) % n_shards).alias("shard")
-    w = Window.partitionBy("shard").orderBy(id_col, order_col)
+    if not isinstance(budget, int) or budget < 1:
+        # budget=0 under non-ANSI SQL makes `_off DIV 0` NULL for every row,
+        # silently collapsing each shard into one NULL pack (review r8)
+        raise ValueError(f"budget must be a positive int, got {budget!r}")
+    # pmod, not %: sign-preserving modulo on negative ids (e.g. the
+    # xxhash64-derived longs the id-type error above recommends) would emit
+    # shards in (-n, n) — up to 2n-1 groups, breaking the ~64MB-per-shard
+    # sizing. The oracle mirrors with ((id % n) + n) % n (review r8).
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard")
+    # ROWS frame, not the default RANGE: RANGE sums ALL peer rows at a tied
+    # (id, order) key, corrupting every offset after a duplicate chunk key;
+    # ROWS packs sequentially, matching the oracle's explicit ROWS
+    # UNBOUNDED PRECEDING (review r8). Tie ORDER amongst duplicates is
+    # unspecified but offsets/pack assignment stay correct either way.
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col, order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     offset = (F.sum(size_col).over(w) - F.col(size_col)).cast("long")
     pack_id = F.expr(f"_off DIV {int(budget)}").alias("pack_id")
     return (
@@ -347,9 +389,12 @@ def hash_sample(
     strata map. Unlisted strata keep everything ('f' * 32)."""
     h = F.md5(F.col(id_col).cast("string"))
     if isinstance(hex_threshold, str):
+        _check_hex_threshold(hex_threshold)
         return df.filter(h < F.lit(hex_threshold))
     if strata_col is None:
         raise ValueError("per-stratum thresholds need strata_col")
+    for thr in hex_threshold.values():
+        _check_hex_threshold(thr)
     expr = F.lit("f" * 32)
     for value, thr in sorted(hex_threshold.items()):
         expr = F.when(F.col(strata_col) == value, F.lit(thr)).otherwise(expr)
@@ -378,6 +423,16 @@ def stratified_topk_sample(
     the result is layout-independent."""
     from pyspark.sql import Window
 
+    # same boundary rule as textstats' helper guard: the _h/_pid/_rk helper
+    # names are injected by name; an input column with one of those names
+    # would bind ambiguously (review r8)
+    lower = {c.lower() for c in df.columns}
+    hit = [h for h in ("_h", "_pid", "_rk") if h in lower]
+    if hit:
+        raise ValueError(
+            f"input columns collide with internal helper name(s) {hit}; "
+            "rename or drop them before calling stratified_topk_sample"
+        )
     h = F.md5(F.col(id_col).cast("string")).alias("_h")
     base = df.select(*strata_cols, id_col, h, F.spark_partition_id().alias("_pid"))
     w_local = Window.partitionBy(*strata_cols, "_pid").orderBy("_h", id_col)
@@ -587,8 +642,11 @@ chunks AS (
   FROM s
 ),
 offs AS (
-  SELECT doc_id % 8 AS shard, doc_id, chunk_idx, n_words,
-         sum(n_words) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_idx
+  -- ((x % n) + n) % n == Spark's pmod for negative ids; identical to plain
+  -- % on the non-negative gate ids
+  SELECT ((doc_id % 8) + 8) % 8 AS shard, doc_id, chunk_idx, n_words,
+         sum(n_words) OVER (PARTITION BY ((doc_id % 8) + 8) % 8
+                            ORDER BY doc_id, chunk_idx
                             ROWS UNBOUNDED PRECEDING) - n_words AS off
   FROM chunks
 )

@@ -101,20 +101,30 @@ def exact_percentiles_by_group(
         if not 0.0 <= p <= 1.0:
             raise ValueError(f"percentile {name!r} must be in [0, 1], got {p}")
     spark = df.sparkSession
-    vid = next(_view_ids)
-    src_view = f"_pct_src_{vid}"
-    df.createOrReplaceTempView(src_view)
     g, v = f"`{group_col}`", f"`{value_col}`"
+    # ALL argument coercions that can raise happen BEFORE any temp view is
+    # registered — a bad bounds/n_buckets previously left _pct_src_<vid>
+    # leaked in the catalog, the exact per-failed-call leak the finally
+    # block below exists to prevent (review r8)
     nb = int(n_buckets)
-
-    stats_cte = None
+    lo = hi = span = None
     if bounds is not None:
         lo, hi = float(bounds[0]), float(bounds[1])
         span = max(hi - lo, 1e-12)
+    vid = next(_view_ids)
+    src_view = f"_pct_src_{vid}"
+    df.createOrReplaceTempView(src_view)
+
+    stats_cte = None
+    if bounds is not None:
         bucket_sql = _bucket_sql("v", f"{lo!r}d", f"{span!r}d", nb)
     elif stats is not None:
         stats_view = f"_pct_stats_{vid}"
-        stats.createOrReplaceTempView(stats_view)
+        try:
+            stats.createOrReplaceTempView(stats_view)
+        except Exception:
+            spark.catalog.dropTempView(src_view)
+            raise
         stats_cte = f"SELECT {g} AS g, _n AS n, _mn AS mn, _span AS span FROM {stats_view}"
     else:
         stats_cte = (
@@ -259,27 +269,38 @@ def parquet_column_bounds(df: DataFrame, value_col: str) -> tuple[float, float] 
         import pyarrow.parquet as pq
     except ImportError:
         return None
-    lo = hi = None
-    for f in files:
+
+    def _file_bounds(f: str) -> tuple[float, float] | None:
         path = f[len("file:"):] if f.startswith("file:") else f
         try:
             md = pq.ParquetFile(path).metadata
-        except Exception:
-            return None
-        try:
             ci = md.schema.names.index(value_col)
-        except ValueError:
-            return None
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(ci).statistics
-            if st is None or not st.has_min_max:
-                return None
-            try:
+            f_lo = f_hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    return None
                 mn, mx = float(st.min), float(st.max)
-            except (TypeError, ValueError):
-                return None  # non-numeric column (string/binary/date stats)
-            lo = mn if lo is None or mn < lo else lo
-            hi = mx if hi is None or mx > hi else hi
+                f_lo = mn if f_lo is None or mn < f_lo else f_lo
+                f_hi = mx if f_hi is None or mx > f_hi else f_hi
+            return (f_lo, f_hi)
+        except Exception:
+            return None  # missing name, non-numeric stats, unreadable footer
+
+    # footer reads are driver-side IO: serial, 100k+ files would block
+    # q28's plan-build for minutes (the same per-file-RPC latency class
+    # pack_token_stream's sizing loop documents) — a thread pool keeps the
+    # open+parse latency overlapped; a SAMPLE would not do (bounds must
+    # COVER the true range, so every file must be read) (review r8)
+    from concurrent.futures import ThreadPoolExecutor
+
+    lo = hi = None
+    with ThreadPoolExecutor(max_workers=min(32, len(files))) as ex:
+        for fb in ex.map(_file_bounds, files):
+            if fb is None:
+                return None
+            lo = fb[0] if lo is None or fb[0] < lo else lo
+            hi = fb[1] if hi is None or fb[1] > hi else hi
     import math
 
     # non-finite bounds (a column containing inf/nan) cannot form a SQL

@@ -270,3 +270,92 @@ def test_pack_token_stream_rejects_non_integral_ids(spark):
     )
     with pytest.raises(ValueError, match="integral id"):
         pack_token_stream(df, n_shards=4)
+
+
+def test_pack_token_stream_rows_frame_on_tied_keys(spark):
+    """Duplicate (id, chunk_idx) keys (a unioned / re-epoched chunk stream)
+    must pack SEQUENTIALLY: the default RANGE window frame summed all peer
+    rows at a tied key, corrupting every offset after the duplicate
+    (review r8). With ROWS, two 10-word chunks at the same key under
+    budget=8 get offsets 0 and 10 -> packs 0 and 1; RANGE gave both rows
+    offset 10 -> both in pack 1."""
+    from score_spark.operators.pipeline import pack_token_stream
+
+    df = spark.createDataFrame(
+        [(1, 0, 10), (1, 0, 10)], "doc_id long, chunk_idx int, n_words int"
+    )
+    out = {r.pack_id: (r.n_chunks, r.pack_tokens)
+           for r in pack_token_stream(df, budget=8, n_shards=1).collect()}
+    assert out == {0: (1, 10), 1: (1, 10)}
+
+
+def test_pack_token_stream_rejects_nonpositive_budget(spark):
+    """budget=0 under non-ANSI SQL made `_off DIV 0` NULL row-wide, silently
+    collapsing each shard into one NULL pack (review r8)."""
+    import pytest
+
+    from score_spark.operators.pipeline import pack_token_stream
+
+    df = spark.createDataFrame([(1, 0, 10)], "doc_id long, chunk_idx int, n_words int")
+    with pytest.raises(ValueError, match="budget"):
+        pack_token_stream(df, budget=0, n_shards=1)
+
+
+def test_pack_token_stream_negative_ids_shard_in_range(spark):
+    """xxhash64-derived ids are negative ~half the time; sign-preserving %
+    put them in shards (-n, 0), doubling the shard-group count the sizing
+    math assumes (review r8). pmod keeps every shard in [0, n)."""
+    from score_spark.operators.pipeline import pack_token_stream
+
+    df = spark.createDataFrame(
+        [(-9, 0, 4), (-2, 0, 4), (3, 0, 4), (8, 0, 4)],
+        "doc_id long, chunk_idx int, n_words int",
+    )
+    shards = {r.shard for r in pack_token_stream(df, budget=64, n_shards=4).collect()}
+    assert shards <= {0, 1, 2, 3} and len(shards) >= 2
+
+
+def test_hash_split_rejects_malformed_threshold(spark):
+    """md5 output is lowercase hex; an uppercase threshold silently skewed
+    the split (~62.5% instead of ~80% for 'C'*32) instead of erroring
+    (review r8)."""
+    import pytest
+
+    from score_spark.operators.pipeline import hash_sample, hash_split
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="LOWERCASE"):
+        hash_split(df, train_hex_threshold="C" * 32)
+    with pytest.raises(ValueError, match="LOWERCASE"):
+        hash_sample(df, {"web": "0X"}, strata_col="doc_id")
+
+
+def test_scrub_pii_rejects_counter_collision(spark):
+    """Re-scrubbing already-annotated data would emit duplicate n_<kind>
+    columns (review r8)."""
+    import pytest
+
+    from score_spark.operators.pipeline import scrub_pii
+
+    df = spark.createDataFrame([("x", 0)], "text string, n_email int")
+    with pytest.raises(ValueError, match="n_email"):
+        scrub_pii(df)
+    # count_cols=False has no counter outputs, so no collision
+    assert scrub_pii(df, count_cols=False).columns == ["n_email", "text"]
+
+
+def test_percentiles_no_view_leak_on_bad_args(spark):
+    """A bad bounds/n_buckets arg previously raised AFTER registering the
+    source temp view, leaking _pct_src_<vid> per failed call (review r8)."""
+    import pytest
+
+    from score_spark.operators.profiling import exact_percentiles_by_group
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    before = {t.name for t in spark.catalog.listTables()}
+    with pytest.raises((TypeError, ValueError)):
+        exact_percentiles_by_group(df, "g", "v", {"p50": 0.5}, bounds=("low", "high"))
+    with pytest.raises((TypeError, ValueError)):
+        exact_percentiles_by_group(df, "g", "v", {"p50": 0.5}, n_buckets="4k")
+    after = {t.name for t in spark.catalog.listTables()}
+    assert after == before
