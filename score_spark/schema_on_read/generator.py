@@ -36,7 +36,7 @@ from typing import Any
 from pyspark.sql import DataFrame, types as T
 
 from score_spark.schema_on_read.plan_json import Node, build_tree, cls_name, expr_id, expr_trees
-from score_spark.schema_on_read.trie import Handle, TrieNode, prune_schema
+from score_spark.schema_on_read.trie import Handle, TrieNode, merge_requirements, prune_schema
 
 # Selection nodes "own" their columns (SchemaOnReadUtils.java:32-39). Join
 # participates only when it has a condition (TreeNodeProcessingRegistry.java:77-82).
@@ -70,6 +70,10 @@ class _State:
     cte_defs: dict[int, list[tuple[str, int]]] = field(default_factory=dict)  # cteId -> output exprIds
     upper_most: set[int] = field(default_factory=set)  # id(node) of upper-most selection nodes
     current_relation: RelationInfo | None = None
+    # one bucket per set-op output position: Union/Intersect/Except branch
+    # columns are the SAME value stream, so their pruned types must agree
+    # across branches (see _merge_setop_groups)
+    setop_groups: list[list[Handle]] = field(default_factory=list)
 
 
 def _norm_path(p: str) -> str:
@@ -184,6 +188,45 @@ class SchemaOnRead:
         self._rel_iter = iter(relations)
         self._mark_upper_most(root, found=False)
         self._visit(root)
+        self._merge_setop_groups()
+
+    def _merge_setop_groups(self) -> None:
+        """Reconcile set-op branch tries after the walk (r8 fuzz find).
+
+        A Union/Intersect/Except output column is one value stream fed by
+        every branch, so on the pruned re-read the branches' column types
+        must stay union-compatible. Requirements arriving from ABOVE the
+        set-op already reach all branches through the positional exprId
+        link, but a branch-LOCAL touch — e.g. a filter on ``struct.col1``
+        inside one branch while the other branch projects the same struct
+        untouched — lands in only that branch's trie. The pruned re-read
+        then unions ``STRUCT<col1>`` against skeleton ``STRUCT<>`` and
+        fails analysis (found by the multi-source plan fuzz; the reference
+        avoids the same hazard by merging per-branch results at set-ops,
+        TreeNodeProcessingRegistry.java:108-115).
+
+        Fix: for every linked output position, union the requirement
+        subtrees across branches — sticky ``required`` wins everywhere,
+        otherwise touched child sets merge recursively. Only nodes the walk
+        actually materialized participate (a pending handle is not a touch,
+        so no spurious columns appear). Iterated to a fixpoint because
+        nested set-ops can chain groups through a shared branch."""
+        groups = self._state.setop_groups
+        if not groups:
+            return
+        for _ in range(64):  # fixpoint; depth bounded by nested set-op chains
+            changed = False
+            for bucket in groups:
+                nodes, seen = [], set()
+                for h in bucket:
+                    n = h.node.children.get(h.name) if h.name is not None else h.node
+                    if n is not None and id(n) not in seen:
+                        seen.add(id(n))
+                        nodes.append(n)
+                if len(nodes) >= 2:
+                    changed |= merge_requirements(nodes)
+            if not changed:
+                return
 
     def _mark_upper_most(self, node: Node, found: bool) -> None:
         """Root-down pre-pass (SchemaOnReadGenerator.java:66-73): the first
@@ -384,6 +427,11 @@ class SchemaOnRead:
             for other in outs[1:]:
                 if i < len(other):
                     bucket.extend(st.exprid_map.get(other[i], []))
+            # remember the group: _visit is bottom-up, so a branch-LOCAL
+            # touch (a filter inside one branch) has already landed in that
+            # branch's trie only; _merge_setop_groups reconciles after the
+            # walk (r8 fuzz find — see its docstring)
+            st.setop_groups.append(bucket)
 
     def _on_Expand(self, node: Node) -> None:
         # rollup/cube: output attrs take the union of every projection's

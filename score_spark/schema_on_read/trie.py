@@ -96,6 +96,36 @@ class Handle:
         return Handle(self.materialize(), field_name.lower())
 
 
+def merge_requirements(nodes: list[TrieNode]) -> bool:
+    """Union the requirement subtrees of trie nodes that feed the same
+    set-op output position, in place, so every branch emits the same pruned
+    shape (generator._merge_setop_groups has the why). Sticky ``required``
+    propagates to all; otherwise the touched-children sets merge
+    recursively — ``child()`` resolves each new node's dtype from its own
+    branch's schema, so the merge adapts to per-source type differences.
+    Returns True when anything changed (the caller iterates to fixpoint)."""
+    changed = False
+    if any(n.required for n in nodes):
+        for n in nodes:
+            if not n.required:
+                n.require()
+                changed = True
+        # required keeps the full subtree at emission; children are moot
+        return changed
+    names: set[str] = set()
+    for n in nodes:
+        names.update(n.children)
+    for name in sorted(names):
+        kids = []
+        for n in nodes:
+            if name not in n.children:
+                changed = True
+            kids.append(n.child(name))
+        if merge_requirements(kids):
+            changed = True
+    return changed
+
+
 def skeleton(dtype: T.DataType) -> T.DataType:
     """Structurally-needed-but-unread complex type
     (SchemaElementImpl.java:53-77; visible in reference tests :694-697)."""

@@ -382,6 +382,48 @@ def test_union_per_branch_pruning(spark, fx):
     assert got_js["struct"].dataType.fieldNames() == ["col3"]
 
 
+def test_union_branch_local_touch_mirrors_to_other_branch(spark, fx):
+    # r8 fuzz find: a filter INSIDE one branch touches struct.col1; the other
+    # branch projects the same struct untouched. Without cross-branch
+    # reconciliation the pruned re-read unions STRUCT<col1> against skeleton
+    # STRUCT<> and fails analysis. Branch-local requirements must mirror to
+    # every linked branch (the reference merges per-branch results at set-ops,
+    # TreeNodeProcessingRegistry.java:108-115).
+    pq = spark.read.parquet(fx["sample_parquet"]).select(
+        F.col("struct").alias("whole_struct"), "someStr"
+    )
+    js = (
+        spark.read.option("multiline", True)
+        .json(fx["sample_json"])
+        .filter(F.col("struct.col1").isNotNull())
+        .select(F.col("struct").alias("whole_struct"), "someStr")
+    )
+    df = pq.unionAll(js).groupBy("someStr").agg(F.count(F.lit(1)).alias("n"))
+    sor = gen(df)
+    got_pq = sor.for_paths(fx["sample_parquet"])
+    got_js = sor.for_paths(fx["sample_json"])
+    # both branches carry the filter's col1 so the union stays type-compatible
+    assert got_pq["struct"].dataType.fieldNames() == ["col1"]
+    assert got_js["struct"].dataType.fieldNames() == ["col1"]
+    # and the pruned re-read actually analyzes + returns the same rows
+    full = sorted(map(tuple, df.collect()))
+    pruned = (
+        spark.read.schema(got_pq)
+        .parquet(fx["sample_parquet"])
+        .select(F.col("struct").alias("whole_struct"), "someStr")
+        .unionAll(
+            spark.read.schema(got_js)
+            .option("multiline", True)
+            .json(fx["sample_json"])
+            .filter(F.col("struct.col1").isNotNull())
+            .select(F.col("struct").alias("whole_struct"), "someStr")
+        )
+        .groupBy("someStr")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, pruned.collect())) == full
+
+
 # ---------------------------------------------------- other source handling
 
 
