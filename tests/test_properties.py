@@ -471,23 +471,41 @@ def test_pruned_reread_equals_full_for_random_plans(spark, fuzz_paths, data):
                  unique_by=lambda f: f[0]),
         label="projection",
     )
+    do_window = data.draw(st.booleans(), label="window")
     do_agg = data.draw(st.booleans(), label="aggregate")
+    do_dedup = data.draw(st.booleans(), label="dedup")
     do_sort = data.draw(st.booleans(), label="sort")
 
     def pipeline(df):
+        from pyspark.sql.window import Window
+
         for _, fn in preds:
             df = fn(df)
         for name, col in explodes:
             df = df.withColumn(f"ex_{name}", F.explode_outer(F.col(col)))
         df = df.select(*[fn().alias(name) for name, fn, _, _ in fields])
-        if do_agg:
-            gcols = [n for n, _, g, _ in fields if g]
-            ncols = [n for n, _, _, num in fields if num]
-            if gcols:
-                aggs = [F.count(F.lit(1)).alias("cnt")]
-                if ncols:
-                    aggs.append(F.min(ncols[0]).alias("mn"))
-                df = df.groupBy(*gcols[:1]).agg(*aggs)
+        gcols = [n for n, _, g, _ in fields if g]
+        ncols = [n for n, _, _, num in fields if num]
+        # window stage: partition/order keys are mandatory-full in the
+        # analyzer; partitioning by whole_struct exercises that rule on a
+        # complex column. min/count over Spark's default RANGE frame are
+        # value-determined, so ties can't make the compare flaky.
+        wpart = (gcols or (["whole_struct"] if any(n == "whole_struct" for n, *_ in fields) else []))
+        if do_window and wpart:
+            w = Window.partitionBy(wpart[0])
+            if ncols:
+                df = df.withColumn("w_min", F.min(ncols[0]).over(w.orderBy(ncols[0])))
+            else:
+                df = df.withColumn("w_min", F.count(F.lit(1)).over(w))
+        if do_agg and gcols:
+            aggs = [F.count(F.lit(1)).alias("cnt")]
+            if ncols:
+                aggs.append(F.min(ncols[0]).alias("mn"))
+            if "w_min" in df.columns:
+                aggs.append(F.max("w_min").alias("mx_w"))
+            df = df.groupBy(*gcols[:1]).agg(*aggs)
+        if do_dedup:
+            df = df.dropDuplicates()
         if do_sort:
             df = df.orderBy(df.columns[0])
         return df
