@@ -32,9 +32,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     once — and cuts ~0.1 s of driver-side plan-build cost from every query
     (measured: the per-query constant floor is half plan build). The cache
     dies with the session; tables are immutable driver fixtures, so the
-    snapshot-at-first-use listing is safe here."""
+    snapshot-at-first-use listing is safe here.
+
+    ``events`` routes through :func:`load_events` so the PUBLIC surface is
+    always the ts-normalized frame (review r8: load_events previously parked
+    its RAW bigint/ntz read in this shared cache, so a later
+    ``load_table("events")`` silently returned un-normalized timestamps —
+    and, before the legacy conf was set, could fail the nanos read
+    outright)."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return load_events(spark, sf_dir)
     cache = getattr(spark, "_score_table_cache", None)
     if cache is None:
         cache = {}
@@ -63,6 +72,14 @@ def parse_byte_size(raw: str, default: int | None = None) -> int:
         pass
     units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
     body = s.removesuffix("b")
+    if body != s:
+        # Spark's JavaUtils.byteStringAs accepts a bare "b" bytes suffix
+        # ("134217728b"); treat it as plain bytes rather than falling through
+        # to the default (review r8)
+        try:
+            return int(body)
+        except ValueError:
+            pass
     if body and body[-1] in units:
         try:
             return int(float(body[:-1]) * units[body[-1]])
@@ -209,7 +226,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nanos-parquet readers in the same session inherit ts-as-bigint and
     # should normalize exactly like this function does (review r7).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = load_table(spark, sf_dir, "events")
+    # direct read, NOT via load_table: the raw frame must never enter the
+    # shared table cache (load_table routes "events" here, and caching the
+    # un-normalized frame under the public key was the r8 review bug)
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
     from pyspark.sql import functions as F
 
     dt = dict(e.dtypes).get("ts")

@@ -236,17 +236,19 @@ LIMIT 10
 
 def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join across the dimension chain. The
-    FIXED-SIZE dims (region, nation, supplier) broadcast — explicitly
-    hinted so the plan holds even when stats are stale. Customer is
-    deliberately UNHINTED: it grows linearly with SF, so a pinned
-    broadcast would OOM at scale — AQE broadcasts it at small SFs where
-    its measured size warrants it (review r7: the docstring previously
-    claimed all four were hinted). Parity: multi-join + broadcast hints
-    (tests :1042-1102).
+    FIXED-SIZE dims (region: 5 rows, nation: 25 rows) broadcast —
+    explicitly hinted so the plan holds even when stats are stale.
+    Customer AND supplier are deliberately UNHINTED: both grow linearly
+    with SF (supplier is SF x 10k rows — ~1e9 at the 100 TB posture), so
+    a pinned broadcast would OOM at scale; AQE broadcasts them at small
+    SFs where their measured size warrants it (review r7 fixed this claim
+    for customer; review r8 caught supplier mislabeled 'fixed-size' and
+    un-pinned it). Parity: multi-join + broadcast hints (tests
+    :1042-1102).
     """
     r = F.broadcast(_t(spark, sf_dir, "region"))
     n = F.broadcast(_t(spark, sf_dir, "nation"))
-    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    s = _t(spark, sf_dir, "supplier")
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -671,8 +673,12 @@ def q27_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is explicit in BOTH engines (review r7: without it, a zero/negative
     # price made Spark silently emit 0.0 / drop rows via NaN-skipping means
     # while the oracle's ln() raised — a latent divergence the clean
-    # fixture could never exercise)
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    # fixture could never exercise). NaN is excluded explicitly too (review
+    # r8): both engines order NaN above every number so it PASSES `> 0`,
+    # then pandas .mean() skips it while DuckDB's avg propagates it.
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_totalprice") > 0) & ~F.isnan("o_totalprice")
+    )
     return (
         o.groupBy("o_orderpriority")
         .agg(F.round(geomean("o_totalprice"), 2).alias("geomean_price"),
@@ -686,7 +692,7 @@ SELECT o_orderpriority,
        round(exp(avg(ln(o_totalprice))), 2) AS geomean_price,
        count(*) AS n_orders
 FROM orders
-WHERE o_totalprice > 0
+WHERE o_totalprice > 0 AND NOT isnan(o_totalprice)
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
@@ -852,8 +858,14 @@ def q23_event_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window aggregation in batch mode — the same
     F.window expression Structured Streaming uses, so this plan lifts to a
     readStream unchanged (streaming variant lives in score_spark.streaming).
+
+    NULL event times are excluded EXPLICITLY in both engines (review r8):
+    Spark's TimeWindowing rule injects an isnotnull(ts) filter silently,
+    while DuckDB's time_bucket would keep a NULL window_start group — the
+    explicit filter makes the already-true Spark semantics visible and
+    keeps the oracle aligned if the fixture ever grows NULL timestamps.
     """
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
@@ -873,6 +885,7 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        count(*) AS n,
        round(sum(value), 2) AS total_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 ORDER BY window_start, event_type
 """

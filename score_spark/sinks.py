@@ -49,12 +49,30 @@ def write_partitioned(
     ``files_per_partition > 1`` salts the pre-write repartition so a hot
     partition value (one day holding half the data) spreads across that many
     tasks instead of funneling through one; ``maxRecordsPerFile`` still
-    splits oversized task outputs as the final backstop."""
+    splits oversized task outputs as the final backstop.
+
+    The salt is a content hash, so the write stays deterministic under task
+    retries (a rand()/monotonic-id salt re-rolls on retry and can lose or
+    duplicate rows through the exchange). Two consequences (review r8):
+    map-typed columns are excluded from the hash (xxhash64 rejects MapType
+    — previously any map column made files_per_partition>1 raise), and rows
+    that are FULLY identical on every hashable column share a salt by
+    definition, so a hot partition made only of such duplicates still
+    funnels through one task; maxRecordsPerFile still bounds its file
+    sizes."""
     w = df
     if partition_by:
         keys = [F.col(c) for c in partition_by]
         if files_per_partition > 1:
-            salt = F.pmod(F.xxhash64(*df.columns), F.lit(files_per_partition))
+            hashable = [
+                f.name for f in df.schema.fields if "map<" not in f.dataType.simpleString()
+            ]
+            if not hashable:
+                raise ValueError(
+                    "files_per_partition > 1 needs at least one non-map column "
+                    "to derive the deterministic salt from"
+                )
+            salt = F.pmod(F.xxhash64(*hashable), F.lit(files_per_partition))
             # explicit partition count: a user-specified repartition width is
             # final (AQE will not coalesce it away), so the salt reliably
             # splits hot partition values even when the input is small
@@ -116,7 +134,23 @@ def write_bucketed(
             # API so hdfs://, s3a://, and percent-encoded file: warehouse
             # URIs all resolve and delete uniformly (ADVICE r6: a POSIX
             # rmtree silently no-ops on every non-local warehouse).
-            parts = [p.strip("`").lower() for p in table.split(".")]
+            # split on dots OUTSIDE backtick quoting: a table literally
+            # named `ord.ers` is ONE identifier, not db "ord" + table "ers"
+            # — the naive split computed the wrong location and recursively
+            # deleted an unrelated table's directory (review r8)
+            parts, buf, quoted = [], [], False
+            for ch in table:
+                if ch == "`":
+                    quoted = not quoted
+                elif ch == "." and not quoted:
+                    parts.append("".join(buf))
+                    buf = []
+                else:
+                    buf.append(ch)
+            parts.append("".join(buf))
+            if quoted:
+                raise ValueError(f"unbalanced backticks in table name {table!r}")
+            parts = [p.lower() for p in parts]
             if len(parts) > 2:
                 raise ValueError(f"expected [db.]table, got {table!r}")
             db = parts[0] if len(parts) == 2 else spark.catalog.currentDatabase().lower()
@@ -212,6 +246,21 @@ def write_zordered(
     in tests/test_sinks.py, next to write_sorted's 1-D proof."""
     if len(cluster_by) < 2:
         raise ValueError("z-ordering needs >= 2 columns; use write_sorted for one")
+    if len(cluster_by) * bits_per_dim > 63:
+        # the Morton code is a signed 64-bit long: bit positions >= 63 hit
+        # the sign bit / Java's shift-count wraparound and silently corrupt
+        # the clustering order (review r8) — fail loudly instead
+        raise ValueError(
+            f"{len(cluster_by)} dims x {bits_per_dim} bits = "
+            f"{len(cluster_by) * bits_per_dim} Morton bits > 63; lower "
+            f"bits_per_dim to <= {63 // len(cluster_by)} for this many columns"
+        )
+    # internal column names must not shadow user columns: withColumn would
+    # silently REPLACE (then drop) a real `_z`, and a real `_zb0` would make
+    # the interleave ambiguous (review r8)
+    zpfx = "_z"
+    while any(c == zpfx or c.startswith(zpfx + "b") for c in df.columns):
+        zpfx += "_"
     n_buckets = 1 << bits_per_dim
     probs = [i / n_buckets for i in range(1, n_buckets)]
 
@@ -235,14 +284,14 @@ def write_zordered(
     bucket_cols = []
     for i, (c, bounds) in enumerate(zip(cluster_by, all_bounds)):
         bucketize = make_bucketizer(np.array(bounds, dtype=np.float64))
-        bucket_cols.append(bucketize(F.col(c).cast("double")).alias(f"_zb{i}"))
+        bucket_cols.append(bucketize(F.col(c).cast("double")).alias(f"{zpfx}b{i}"))
     with_buckets = df.select("*", *bucket_cols)
     # Morton interleave via built-in bitwise ops: bit j of dim i lands at
     # position j * n_dims + i
     n_dims = len(cluster_by)
     z = F.lit(0).cast("long")
     for i in range(n_dims):
-        b = F.col(f"_zb{i}").cast("long")
+        b = F.col(f"{zpfx}b{i}").cast("long")
         for j in range(bits_per_dim):
             z = z.bitwiseOR(
                 F.shiftleft(b.bitwiseAND(F.lit(1 << j)), j * (n_dims - 1) + i)
@@ -252,12 +301,12 @@ def write_zordered(
     # full input (sampling reads every partition even though it keeps few
     # rows) — measured ~0.4 s of the sf0.1 layout pass; at 100 TB a second
     # full Arrow round trip per layout write
-    coded = with_buckets.withColumn("_z", z).persist()
+    coded = with_buckets.withColumn(zpfx, z).persist()
     try:
         out = (
-            coded.repartitionByRange("_z")
-            .sortWithinPartitions("_z")
-            .drop("_z", *[f"_zb{i}" for i in range(n_dims)])
+            coded.repartitionByRange(zpfx)
+            .sortWithinPartitions(zpfx)
+            .drop(zpfx, *[f"{zpfx}b{i}" for i in range(n_dims)])
         )
         writer = out.write.mode(mode)
         if row_group_bytes is not None:

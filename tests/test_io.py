@@ -60,3 +60,22 @@ def test_fan_out_density_cap_skips_tiny_inputs(spark, tmp_path):
     df = spark.read.parquet(p)
     assert fan_out(df, min_partitions=8) is df
     assert fan_out(df, min_partitions=8, min_bytes_per_task=0).rdd.getNumPartitions() == 8
+
+
+def test_parse_byte_size_bare_b_suffix():
+    """Spark's JavaUtils.byteStringAs accepts a bare 'b' bytes suffix —
+    previously '1000000b' silently fell through to the default (review r8)."""
+    assert parse_byte_size("134217728b") == 134217728
+    assert parse_byte_size("1000000b", default=7) == 1000000
+
+
+def test_load_table_events_returns_normalized_timestamps(spark, sf_dir):
+    """The PUBLIC load_table surface must hand out the ts-normalized events
+    frame: load_events previously parked its RAW bigint/ntz read in the
+    shared table cache, so load_table('events') after load_events silently
+    returned un-normalized timestamps (review r8)."""
+    from score_spark.io import load_events, load_table
+
+    load_events(spark, sf_dir)  # populate caches in the hazardous order
+    e = load_table(spark, sf_dir, "events")
+    assert dict(e.dtypes)["ts"] == "timestamp"

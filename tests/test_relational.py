@@ -249,3 +249,70 @@ def test_q_quotes_digit_leading_names(spark):
 
     df = spark.createDataFrame([("a b c",)], ["2022"])
     assert df.select(token_count("2022").alias("n")).first().n == 3
+
+
+def test_q27_geomean_nan_price_stays_oracle_aligned(spark, tmp_path):
+    """NaN passes `> 0` in BOTH engines (each orders NaN above every number),
+    then pandas .mean() SKIPS it while DuckDB's avg(ln(x)) propagates it —
+    a latent gate divergence on any fixture that grows a NaN price (review
+    r8; same class as the r7 zero/negative domain fix). The explicit
+    NOT-isnan filter keeps both engines on the same domain."""
+    import duckdb
+    import pandas as pd
+
+    from score_spark.queries.relational import ORACLE_Q27, q27_udaf_geomean
+    from tests.conftest import assert_matches_oracle
+
+    pdf = pd.DataFrame(
+        {
+            "o_orderpriority": ["1-URGENT"] * 3 + ["2-HIGH"] * 3,
+            "o_totalprice": [100.0, float("nan"), 400.0, 50.0, 0.0, -5.0],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "orders.parquet"))
+    df = q27_udaf_geomean(spark, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/orders.parquet/*.parquet')"
+    )
+    assert_matches_oracle(df, con, ORACLE_Q27)
+    # non-vacuous: the NaN row must have been excluded from BOTH sides
+    urgent = {r["o_orderpriority"]: r for r in df.collect()}["1-URGENT"]
+    assert urgent["n_orders"] == 2 and urgent["geomean_price"] == 200.0
+
+
+def test_q23_null_event_time_stays_oracle_aligned(spark, tmp_path):
+    """Spark's TimeWindowing rule silently drops NULL event times while
+    DuckDB's time_bucket keeps a NULL window_start group — the explicit
+    IS NOT NULL filter in both engines closes the divergence (review r8)."""
+    import datetime
+
+    import duckdb
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from score_spark.queries.relational import ORACLE_Q23, q23_event_time_buckets
+    from tests.conftest import assert_matches_oracle
+
+    t0 = datetime.datetime(2024, 5, 1, 10, 15)
+    pdf = pd.DataFrame(
+        {
+            "ts": [t0, t0 + datetime.timedelta(hours=2), pd.NaT, t0],
+            "event_type": ["click", "click", "view", "view"],
+            "value": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    # store ts as NTZ like the driver's fixtures do — otherwise Spark writes
+    # isAdjustedToUTC=true and DuckDB's side becomes TIMESTAMPTZ
+    spark.createDataFrame(pdf).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    df = q23_event_time_buckets(spark, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    assert_matches_oracle(df, con, ORACLE_Q23)
+    assert df.count() == 3  # NULL-ts row contributes to no bucket

@@ -283,3 +283,88 @@ def test_write_zordered_skips_on_both_dimensions(spark, tmp_path):
 
     with pytest.raises(ValueError, match="write_sorted"):
         write_zordered(df, str(tmp_path / "bad"), ("x",))
+
+
+def test_write_partitioned_salt_hashes_around_map_columns(spark, tmp_path):
+    """xxhash64 rejects MapType, so the deterministic salt must hash only the
+    hashable columns — previously ANY map column made files_per_partition>1
+    raise before a single byte was written (review r8)."""
+    df = spark.range(2000).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS p", "map('k', id) AS m"
+    )
+    out = str(tmp_path / "with_map")
+    write_partitioned(df, out, partition_by=("p",), files_per_partition=2)
+    back = spark.read.parquet(out)
+    assert back.count() == 2000
+    assert back.selectExpr("sum(m['k'])").first()[0] == sum(range(2000))
+
+
+def test_write_zordered_rejects_morton_bit_overflow(spark, tmp_path):
+    """n_dims * bits_per_dim > 63 would push interleaved bits into the long
+    sign bit / Java shift wraparound and silently corrupt the clustering
+    order (review r8) — the guard fails loudly instead."""
+    from score_spark.sinks import write_zordered
+
+    df = spark.range(10).selectExpr(
+        *[f"CAST(id AS DOUBLE) AS c{i}" for i in range(7)]
+    )
+    with pytest.raises(ValueError, match="Morton bits"):
+        write_zordered(
+            df, str(tmp_path / "zover"), tuple(f"c{i}" for i in range(7)),
+            bits_per_dim=10,
+        )
+
+
+def test_write_zordered_preserves_user_z_named_columns(spark, tmp_path):
+    """User columns named `_z` / `_zb0` must survive the write: the internal
+    Morton/bucket columns previously shadowed them — a real `_z` column was
+    silently replaced then dropped from the written data (review r8)."""
+    from score_spark.sinks import write_zordered
+
+    df = spark.range(5000).selectExpr(
+        "id",
+        "CAST(pmod(xxhash64(id, 1), 1000) AS DOUBLE) AS x",
+        "CAST(pmod(xxhash64(id, 2), 1000) AS DOUBLE) AS y",
+        "id * 2 AS _z",
+        "id * 3 AS _zb0",
+    )
+    out = str(tmp_path / "zuser")
+    write_zordered(df, out, ("x", "y"), bits_per_dim=6)
+    back = spark.read.parquet(out)
+    assert set(back.columns) == {"id", "x", "y", "_z", "_zb0"}
+    assert back.count() == 5000
+    assert back.filter("_z != id * 2 OR _zb0 != id * 3").count() == 0
+
+
+def test_bucketed_overwrite_backtick_quoted_dotted_name(spark, sf_dir):
+    """A backtick-quoted table name containing a dot is ONE identifier in the
+    current database — the orphan-cleanup path previously split on the dot
+    and computed <warehouse>/ord.db/ers, recursively deleting an UNRELATED
+    table's directory (review r8). Spark's session catalog itself rejects
+    dots in table names, so saveAsTable fails either way — but the
+    misdirected fs.delete ran BEFORE that rejection; the assertion here is
+    that cleanup targets the quoted name's own location, never db 'ord'."""
+    import shutil
+
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    orphan = os.path.join(wh, "ord.ers")
+    bystander = os.path.join(wh, "ord.db", "ers")
+    os.makedirs(orphan, exist_ok=True)
+    stale = os.path.join(orphan, "stale.parquet")
+    open(stale, "w").close()
+    os.makedirs(bystander, exist_ok=True)
+    sentinel = os.path.join(bystander, "keep.parquet")
+    open(sentinel, "w").close()
+    try:
+        df = load_table(spark, sf_dir, "region")
+        with pytest.raises(AnalysisException, match="INVALID_SCHEMA_OR_RELATION"):
+            write_bucketed(df, "`ord.ers`", ("r_regionkey",), n_buckets=2)
+        assert os.path.exists(sentinel), "misparsed db.table dir was deleted"
+        # saveAsTable re-creates the directory with data files before the
+        # name-validation failure, so assert on the stale MARKER, not the dir
+        assert not os.path.exists(stale), "the quoted name's own orphan survived"
+    finally:
+        shutil.rmtree(os.path.join(wh, "ord.db"), ignore_errors=True)
+        shutil.rmtree(orphan, ignore_errors=True)
