@@ -227,9 +227,15 @@ def _append_history(result: dict) -> None:
                 if not ln.strip():
                     continue
                 try:  # a killed run can leave a partial line; skip, don't die
-                    ratios.append(json.loads(ln).get("ratio"))
+                    d = json.loads(ln)
                 except json.JSONDecodeError:
                     continue
+                # lines hand-marked "invalid" (with the reason inline) stay
+                # in the file for the record but don't gate: a run that raced
+                # another workload measures host contention, not the engine
+                if "invalid" in d:
+                    continue
+                ratios.append(d.get("ratio"))
         window = [r for r in ratios if r is not None][-5:]
         if window and max(window) >= 2.0:
             print(
