@@ -90,12 +90,22 @@ def asof_join(
         "_k", "_ts", "_is_left", F.lit(None).cast(l_tagged.schema["_l"].dataType).alias("_l"), "_r"
     )
     tagged = l_tagged.unionByName(r_tagged)
+    # deterministic tie-break among right rows sharing (key, ts): without
+    # it the plain path's unstable sort tie and the bucketed path's
+    # arbitrary max_by tie could pick DIFFERENT duplicate right rows (and
+    # either pick could flip under an AQE/partitioning change) — salted ==
+    # plain equality and gate hashes held only by physical-plan luck
+    # (review r8). xxhash64 of the right row-struct is a pure function of
+    # the data, so both paths agree and re-runs are stable; left rows hash
+    # their null _r to the seed constant, which never matters (the carry
+    # reads right rows only).
+    tagged = tagged.withColumn("_tb", F.xxhash64("_r"))
     if ranged_by_key:
         tagged = tagged.repartitionByRange("_k")
     if time_buckets is None:
         # right rows sort before left rows at equal _ts → right_ts <= left_ts
         over = (
-            "OVER (PARTITION BY _k ORDER BY _ts, _is_left"
+            "OVER (PARTITION BY _k ORDER BY _ts, _is_left, _tb"
             " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         )
         carried = tagged.selectExpr("*", f"last(_r, true) {over} AS _lastrow")
@@ -118,27 +128,48 @@ def _bucketed_carry(tagged: DataFrame, n_buckets: int) -> DataFrame:
     Every carry moves the whole ``_r`` row-struct, never per-column lasts —
     see asof_join's frankenrow note. Works for any row-to-bucket assignment
     that is monotone in _ts; contiguous equal-width ranges from one scalar
-    min/max job keep it deterministic."""
-    lo, hi = tagged.select(F.min("_ts"), F.max("_ts")).first()
+    min/max job keep it deterministic.
+
+    Bucket arithmetic details (both review r8): timestamp bounds are taken
+    as ``unix_micros`` LONGS inside Spark — collecting datetimes made the
+    driver re-interpret them in ITS OS time zone, shifting every span by
+    the host UTC offset on non-UTC drivers (monotone, so results stayed
+    right, but buckets could all collapse to the top index — the skew
+    bound silently gone). The scaled span is computed in DOUBLE: an int64
+    ``span * n_buckets`` overflows for wide numeric timelines (epoch-nanos
+    longs), which throws under ANSI mode and silently breaks bucket
+    monotonicity without it; multiplying/dividing by positive constants is
+    monotone in IEEE double, which is the only property the carry needs."""
+    if _is_ts(tagged):
+        lo, hi = tagged.select(
+            F.min(F.unix_micros("_ts")), F.max(F.unix_micros("_ts"))
+        ).first()
+        span_col = F.unix_micros(F.col("_ts"))
+    else:
+        lo, hi = tagged.select(F.min("_ts"), F.max("_ts")).first()
+        span_col = F.col("_ts")
     if lo is None or lo == hi:
         bkt = F.lit(0)
     else:
-        span = (F.unix_micros(F.col("_ts")) - F.lit(_micros(lo))) if _is_ts(tagged) else (
-            F.col("_ts") - F.lit(lo)
+        span = (span_col - F.lit(lo)).cast("double")
+        bkt = F.least(
+            F.lit(n_buckets - 1),
+            F.floor(span * F.lit(float(n_buckets)) / F.lit(float(hi - lo) + 1.0)),
         )
-        total = (_micros(hi) - _micros(lo)) if _is_ts(tagged) else (hi - lo)
-        bkt = F.least(F.lit(n_buckets - 1), F.floor(span * n_buckets / F.lit(total + 1)))
     b = tagged.withColumn("_bkt", bkt.cast("int"))
     w_in = (
         Window.partitionBy("_k", "_bkt")
-        .orderBy("_ts", "_is_left")
+        .orderBy("_ts", "_is_left", "_tb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     in_bucket = b.select("*", F.last("_r", ignorenulls=True).over(w_in).alias("_in"))
-    # last right row per (key, bucket): max_by over right rows only
+    # last right row per (key, bucket): max_by over right rows only; the
+    # _tb tie-break keeps the pick identical to the plain path's window
     right_rows = b.filter(F.col("_is_left") == 0)
     summary = right_rows.groupBy("_k", "_bkt").agg(
-        F.max_by(F.col("_r"), F.struct(F.col("_ts"), F.col("_is_left"))).alias("_lastrow")
+        F.max_by(
+            F.col("_r"), F.struct(F.col("_ts"), F.col("_is_left"), F.col("_tb"))
+        ).alias("_lastrow")
     )
     spine = b.select("_k", "_bkt").distinct()
     w_prev = (
@@ -163,15 +194,6 @@ def _bucketed_carry(tagged: DataFrame, n_buckets: int) -> DataFrame:
 
 def _is_ts(df: DataFrame) -> bool:
     return dict(df.dtypes).get("_ts", "").startswith("timestamp")
-
-
-def _micros(v) -> int:
-    import datetime
-
-    if isinstance(v, datetime.datetime):
-        epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-        return int((v - epoch).total_seconds() * 1_000_000)
-    return int(v)
 
 
 def key_skew_report(df: DataFrame, key: str, top: int = 10) -> list[tuple]:

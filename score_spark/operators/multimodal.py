@@ -80,6 +80,32 @@ def decode_image(payload: bytes | None, sha_hex: str | None = None) -> tuple[int
     return _fake_decode(payload, sha_hex)
 
 
+def _binary_stage(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    carry_cols: tuple[str, ...],
+) -> tuple[DataFrame, list]:
+    """Shared scaffold for the binary-column operators (review r8 — the two
+    copies had already diverged once): JVM-side byte_len + sha256 computed
+    in the scan stage, decoder-aware fan-out, and the leading output fields
+    (id + carried) typed FROM the input schema — the id was previously
+    hardcoded LongType in both copies, so a string/uri id column failed the
+    Arrow conversion even though id_col is a parameter."""
+    base = df.select(
+        id_col,
+        *carry_cols,
+        F.col(binary_col),
+        F.length(F.col(binary_col)).cast("long").alias("byte_len"),
+        F.lower(F.sha2(F.col(binary_col), 256)).alias("content_sha256"),
+    )
+    if _PIL_Image is not None:
+        base = fan_out(base, min_bytes_per_task=0)  # ms-per-row decode: spread regardless of bytes
+    # canonical field order: id, carried, features
+    leading_fields = [base.schema[id_col]] + [base.schema[c] for c in carry_cols]
+    return base, leading_fields
+
+
 def extract_binary_features(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -97,21 +123,9 @@ def extract_binary_features(
     decoder is O(1) per row (hex slicing of an already-computed sha), and
     shuffling payload bytes to parallelize a no-op is pure waste at any
     scale — measured 0.35 s of shuffle+scheduling to save ~10 ms of work."""
-    base = df.select(
-        id_col,
-        *carry_cols,
-        F.col(binary_col),
-        F.length(F.col(binary_col)).cast("long").alias("byte_len"),
-        F.lower(F.sha2(F.col(binary_col), 256)).alias("content_sha256"),
-    )
-    if _PIL_Image is not None:
-        base = fan_out(base, min_bytes_per_task=0)  # ms-per-row decode: spread regardless of bytes
-    # canonical field order: id, carried, features
-    carried_fields = [base.schema[c] for c in carry_cols]
+    base, leading_fields = _binary_stage(df, id_col, binary_col, carry_cols)
     out_schema = T.StructType(
-        [T.StructField(id_col, T.LongType())]
-        + carried_fields
-        + [f for f in FEATURE_SCHEMA.fields if f.name != "doc_id"]
+        leading_fields + [f for f in FEATURE_SCHEMA.fields if f.name != "doc_id"]
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -133,18 +147,29 @@ def extract_binary_features(
     return base.mapInPandas(gen, out_schema)
 
 
-def frame_sample_plan(df: DataFrame, id_col: str, binary_col: str, every_n: int = 30) -> DataFrame:
+def frame_sample_plan(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    every_n: int = 30,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Plumbing for video frame sampling: emits (doc_id, frame_idx) rows with
     a stubbed frame count derived from payload size (floor(bytes/100)+1 —
     explicit floor so the DuckDB mirror is unambiguous). Real decoders
     replace ``n_frames``; partitioning/explode shape is what matters at
-    scale: the payload is dropped before the explode, so only (id, idx)
-    pairs fan out. NULL payloads emit no frame rows (explode of null) —
-    intentionally different from the feature extractors, which keep the
-    row with null features: a frame LIST has no null-shaped analog."""
+    scale: the payload is dropped before the explode, so only (id, idx,
+    carried) rows fan out. ``carry_cols`` ride the explode like the other
+    operators' (review r8: m01 previously re-joined documents on doc_id
+    just to recover ``source`` — an extra scan + shuffle/broadcast per run
+    for a column that was sitting in the input). NULL payloads emit no
+    frame rows (explode of null) — intentionally different from the
+    feature extractors, which keep the row with null features: a frame
+    LIST has no null-shaped analog."""
     n_frames = F.floor(F.length(F.col(binary_col)) / 100).cast("int") + 1
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_idx"),
     )
 
@@ -173,19 +198,9 @@ def resize_images(
     sha256("<content_sha>|<W>x<H>") — recomputable by DuckDB, so the
     plumbing (schema, batch iteration, per-row derivation) is hash-verified
     end-to-end even though no pixels exist in this container."""
-    base = df.select(
-        id_col,
-        *carry_cols,
-        F.col(binary_col),
-        F.length(F.col(binary_col)).cast("long").alias("byte_len"),
-        F.lower(F.sha2(F.col(binary_col), 256)).alias("content_sha256"),
-    )
-    if _PIL_Image is not None:
-        base = fan_out(base, min_bytes_per_task=0)  # real codecs: ms-per-row, spread regardless of bytes
-    carried_fields = [base.schema[c] for c in carry_cols]
+    base, leading_fields = _binary_stage(df, id_col, binary_col, carry_cols)
     out_schema = T.StructType(
-        [T.StructField(id_col, T.LongType())]
-        + carried_fields
+        leading_fields
         + [
             T.StructField("byte_len", T.LongType()),
             T.StructField("content_sha256", T.StringType()),
@@ -263,9 +278,10 @@ def m01_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     independently by DuckDB, so the whole Arrow batch path is value-checked,
     not just row-counted. The resize path is ONE scan (decode+resize in a
     single mapInPandas, source carried through the batch, width/height and
-    byte stats all come out of it); the frame-sample path drops the payload
-    before its explode so only (id, idx) pairs fan out; the two per-source
-    frames join via broadcast."""
+    byte stats all come out of it); the frame-sample path carries source
+    through its explode (no join-back scan — review r8) and drops the
+    payload first so only (id, source, idx) rows fan out; the two
+    per-source summaries join via broadcast."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.encode("text", "UTF-8").alias("payload")
     )
@@ -283,8 +299,7 @@ def m01_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("resized_sha").alias("min_resized_sha"),
     )
     frames = (
-        frame_sample_plan(d, "doc_id", "payload", every_n=30)
-        .join(d.select("doc_id", "source"), "doc_id")
+        frame_sample_plan(d, "doc_id", "payload", every_n=30, carry_cols=("source",))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_frames"),

@@ -36,6 +36,22 @@ def interval_join(
     """Rows of ``left`` matched to every interval containing their timestamp
     (start inclusive, end exclusive), optionally also matching on ``keys``.
     Output: left columns + the interval's columns."""
+    # column-boundary hygiene (review r8, same class as textstats'
+    # _check_helper_collisions): the internal bucket column picks a name no
+    # input carries — withColumn silently REPLACED a caller's `_b`, then
+    # drop() removed it from the output entirely; and non-key columns shared
+    # by both inputs would emit duplicate output names that break any
+    # downstream select by name, so fail loudly instead.
+    overlap = (set(left.columns) & set(intervals.columns)) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"left and intervals share non-key column(s) {sorted(overlap)}; "
+            "rename them before interval_join (duplicate output names)"
+        )
+    bcol = "_b"
+    taken = set(left.columns) | set(intervals.columns)
+    while bcol in taken:
+        bcol += "_"
     # MICROSECOND arithmetic throughout: unix_timestamp truncates to whole
     # seconds, and truncating an exclusive sub-second end before the -1
     # adjustment cut off the final bucket — an event at 18:00:00.2 inside
@@ -43,7 +59,7 @@ def interval_join(
     # execution). Event-side truncation was bucket-safe (floor can't cross
     # a boundary downward) but micros keep the two sides symmetric.
     bucket_us = bucket_seconds * 1_000_000
-    lb = left.withColumn("_b", F.floor(F.unix_micros(F.col(ts_col)) / bucket_us))
+    lb = left.withColumn(bcol, F.floor(F.unix_micros(F.col(ts_col)) / bucket_us))
     ib = (
         # empty/reversed intervals (corrupt or swapped columns) contain
         # nothing under exclusive-end semantics; dropping them here also
@@ -51,7 +67,7 @@ def interval_join(
         # pair into thousands of descending bucket rows (review r7)
         intervals.filter(F.col(end_col) > F.col(start_col))
         .withColumn(
-            "_b",
+            bcol,
             F.explode(
                 F.sequence(
                     F.floor(F.unix_micros(F.col(start_col)) / bucket_us),
@@ -63,9 +79,9 @@ def interval_join(
         )
     )
     return (
-        lb.join(ib, ["_b", *keys])
+        lb.join(ib, [bcol, *keys])
         .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
-        .drop("_b")
+        .drop(bcol)
     )
 
 

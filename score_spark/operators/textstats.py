@@ -15,10 +15,13 @@ from pyspark.sql import DataFrame, SparkSession
 from score_spark.functions import text as TX
 from score_spark.io import EXPLODE_BYTES_PER_TASK, fan_out, load_table, presentation_sort
 
-# DuckDB mirrors of functions/text.py (1-indexed lists; list_* HOFs)
+# DuckDB mirrors of functions/text.py (1-indexed lists; list_* HOFs).
+# length(), never strlen(): Spark's length counts CHARACTERS while
+# DuckDB's strlen counts BYTES — any multibyte char (café) diverged
+# the gate; DuckDB's length() is the character-exact mirror (review r8)
 _TOKENS = "string_split(text, ' ')"
 _NTOK = f"len({_TOKENS})"
-_SUMLEN = f"CAST(list_sum(list_transform({_TOKENS}, t -> strlen(t))) AS BIGINT)"
+_SUMLEN = f"CAST(list_sum(list_transform({_TOKENS}, t -> length(t))) AS BIGINT)"
 _STOPLIST = "[" + ", ".join(f"'{w}'" for w in TX.ALL_STOPWORDS) + "]"
 _NSTOP = f"len(list_filter({_TOKENS}, t -> list_contains({_STOPLIST}, t)))"
 
@@ -168,7 +171,7 @@ WITH scored AS (
          {_lang_score_sql('es')} AS s_es,
          CASE WHEN n_chars < 200 THEN 'short' WHEN n_chars < 400 THEN 'medium' ELSE 'long' END AS length_band,
          CASE WHEN round({_NSTOP} / CAST({_NTOK} AS DOUBLE), 4) > 0.05 THEN 'has_stopwords' ELSE 'few_stopwords' END AS stopword_band,
-         CASE WHEN round(strlen(regexp_replace(text, '[a-z ]', '', 'g')) / CAST(strlen(text) AS DOUBLE), 4) < 0.05
+         CASE WHEN round(length(regexp_replace(text, '[a-z ]', '', 'g')) / CAST(length(text) AS DOUBLE), 4) < 0.05
               THEN 'clean' ELSE 'noisy' END AS purity
   FROM documents
 )
@@ -236,7 +239,7 @@ WITH per_doc AS (
          md5(text) AS fingerprint,
          len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS bpe,
          {_NTOK} AS words,
-         strlen(text) / 4.0 AS chars4
+         length(text) / 4.0 AS chars4
   FROM documents
 )
 SELECT source, lang,

@@ -40,6 +40,13 @@ XCHECK_DIR = os.environ.get("SCORE_SPARK_XCHECK_DIR", os.path.join(_REPO_ROOT, "
 
 _ORACLE_SEC: dict[str, float] = {}
 
+# last persisted frame per channel name: each write_xcheck call creates a NEW
+# persisted DataFrame (new lineage, never a cache hit on the old one), so in
+# a long-lived session repeated query invocations accumulated dead cached
+# copies until storage-memory eviction thrash — nothing ever unpersisted them
+# (review r8). Replacing a name releases its predecessor.
+_LAST_CACHED: dict[str, DataFrame] = {}
+
 
 def xcheck_path(name: str) -> str:
     return f"{XCHECK_DIR}/{name}"
@@ -50,8 +57,11 @@ def write_xcheck(df: DataFrame, name: str) -> DataFrame:
     then copy the cached rows to the shared parquet channel for DuckDB —
     timing only that copy as oracle-channel cost. Returns the cached frame so
     Spark's downstream plan consumes the exact rows DuckDB will see, with no
-    recompute of the candidate generation. Callers that fully materialize
-    downstream (localCheckpoint) should unpersist the returned frame."""
+    recompute of the candidate generation. The PREVIOUS call's cached frame
+    for the same name is unpersisted here (unpersist-on-replace), so
+    repeated invocations in one session hold at most one live copy per
+    channel; callers that fully materialize downstream (localCheckpoint)
+    may additionally unpersist the returned frame early."""
     path = xcheck_path(name)
     os.makedirs(XCHECK_DIR, exist_ok=True)
     cached = df.persist()
@@ -59,6 +69,13 @@ def write_xcheck(df: DataFrame, name: str) -> DataFrame:
     t0 = time.monotonic()
     cached.write.mode("overwrite").parquet(path)
     _ORACLE_SEC[name] = _ORACLE_SEC.get(name, 0.0) + (time.monotonic() - t0)
+    prev = _LAST_CACHED.get(name)
+    if prev is not None and prev is not cached:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # a stopped/replaced session can't unpersist; nothing leaks
+    _LAST_CACHED[name] = cached
     return cached
 
 

@@ -51,3 +51,38 @@ def test_null_payload_yields_null_features_not_crash(spark):
     rs = {r.doc_id: r for r in resize_images(df).collect()}
     assert rs[1].resized_sha is not None
     assert rs[2].resized_sha is None and rs[2].decoder == "null"
+
+
+def test_binary_operators_accept_non_long_ids(spark):
+    """The mapInPandas output schema must type the id from the INPUT schema:
+    both operators previously hardcoded LongType, so a string id column
+    failed Arrow conversion even though id_col is a parameter (review r8)."""
+    from score_spark.operators.multimodal import extract_binary_features, resize_images
+
+    df = spark.createDataFrame(
+        [("u/1", b"hello world"), ("u/2", b"payload two")], ["uri", "payload"]
+    )
+    feats = extract_binary_features(df, id_col="uri").collect()
+    assert sorted(r["uri"] for r in feats) == ["u/1", "u/2"]
+    resized = resize_images(df, id_col="uri").collect()
+    assert sorted(r["uri"] for r in resized) == ["u/1", "u/2"]
+    assert all(r["resized_sha"] is not None for r in resized)
+
+
+def test_frame_sample_plan_carries_columns_without_join(spark):
+    """carry_cols ride the explode so callers don't re-join the input to
+    recover document attributes (review r8: m01 paid a join-back scan for
+    'source' every run)."""
+    from score_spark.operators.multimodal import frame_sample_plan
+
+    df = spark.createDataFrame(
+        [(1, "web", b"x" * 250), (2, "books", b"y" * 50)],
+        ["doc_id", "source", "payload"],
+    )
+    rows = frame_sample_plan(
+        df, "doc_id", "payload", every_n=1, carry_cols=("source",)
+    ).collect()
+    # doc 1: 3 frames (floor(250/100)+1), doc 2: 1 frame
+    assert sorted((r["doc_id"], r["source"], r["frame_idx"]) for r in rows) == [
+        (1, "web", 0), (1, "web", 1), (1, "web", 2), (2, "books", 0),
+    ]

@@ -316,3 +316,36 @@ def test_q23_null_event_time_stays_oracle_aligned(spark, tmp_path):
     )
     assert_matches_oracle(df, con, ORACLE_Q23)
     assert df.count() == 3  # NULL-ts row contributes to no bucket
+
+
+def test_t01_non_ascii_text_stays_oracle_aligned(spark, tmp_path):
+    """Spark's length() counts CHARACTERS; DuckDB's strlen() counts BYTES —
+    the t01/t02/t04 oracle mirrors previously used strlen, so any multibyte
+    char (café) diverged avg_token_len and the purity band (review r8).
+    length() is the character-exact DuckDB mirror."""
+    import duckdb
+    import pandas as pd
+
+    from score_spark.operators.textstats import ORACLE_T01, t01_text_stats
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["le café est très bon", "plain ascii words here"],
+            "lang": ["fr", "en"],
+            "source": ["web", "web"],
+            "n_chars": [20, 22],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "documents.parquet"))
+    df = t01_text_stats(spark, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    assert_matches_oracle(df, con, ORACLE_T01)
+    # non-vacuous: 'café'/'très' are 4 chars but 5 bytes — the byte mirror
+    # would inflate avg_token_len for doc 1
+    r1 = {r["doc_id"]: r for r in df.collect()}[1]
+    assert r1["avg_token_len"] == 3.2  # (2+4+3+4+3)/5 characters

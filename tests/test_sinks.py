@@ -368,3 +368,17 @@ def test_bucketed_overwrite_backtick_quoted_dotted_name(spark, sf_dir):
     finally:
         shutil.rmtree(os.path.join(wh, "ord.db"), ignore_errors=True)
         shutil.rmtree(orphan, ignore_errors=True)
+
+
+def test_write_xcheck_unpersists_on_replace(spark):
+    """Repeated write_xcheck calls under one name must not accumulate dead
+    cached copies (review r8: nothing ever unpersisted the previous frame —
+    long-lived sessions leaked storage memory until eviction thrash)."""
+    from score_spark.xcheck import write_xcheck
+
+    a = write_xcheck(spark.range(10), "unpersist_probe")
+    assert a.storageLevel.useMemory
+    b = write_xcheck(spark.range(20), "unpersist_probe")
+    assert not a.storageLevel.useMemory, "previous cached copy not released"
+    assert b.storageLevel.useMemory
+    b.unpersist()
