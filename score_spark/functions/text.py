@@ -94,8 +94,16 @@ def token_count(text: str = "text", tokens_col: str | None = None) -> Column:
 
 def _sum_len_sql(toks: str) -> str:
     # ONE definition of the length-sum fragment (seed + lambda), shared by
-    # sum/avg the way the stopword helpers share _stopword_count_sql
-    return f"aggregate(transform({toks}, t -> length(t)), 0, (acc, x) -> acc + x)"
+    # sum/avg the way the stopword helpers share _stopword_count_sql.
+    # BIGINT seed: an int seed made the fold accumulate in int32, silently
+    # wrapping (ANSI off) or throwing (ANSI on) once a document's total
+    # token characters pass 2^31 — the DuckDB mirror sums in HUGEINT, so
+    # the two engines diverged exactly on the frames this module claims to
+    # hold at scale (review r8)
+    return (
+        f"aggregate(transform({toks}, t -> length(t)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
 
 
 def sum_token_len(text: str = "text", tokens_col: str | None = None) -> Column:

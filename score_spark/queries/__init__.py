@@ -87,7 +87,16 @@ def _prepared(name: str, fn: Callable[[SparkSession, str], DataFrame]):
 
 def _register(mod) -> None:
     for name, fn in mod.QUERIES.items():
+        # duplicate names must fail LOUDLY at import: dict assignment would
+        # silently shadow the earlier registration — the <=50 window assert
+        # stays green while a query quietly loses its gate row, and the
+        # surviving oracle pairs with the wrong implementation (review r8)
+        if name in QUERIES:
+            raise ValueError(f"duplicate query registration: {name!r} ({mod.__name__})")
         QUERIES[name] = fn if name in _NO_MEMO else _prepared(name, fn)
+    dup_oracles = set(mod.ORACLE) & set(ORACLE)
+    if dup_oracles:
+        raise ValueError(f"duplicate oracle registration: {sorted(dup_oracles)}")
     ORACLE.update(mod.ORACLE)
 
 

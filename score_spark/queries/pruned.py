@@ -29,7 +29,19 @@ _FIXTURE = "p01_nested"
 def _ensure_nested_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str, StructType]:
     """Write nested parquet + JSON copies derived from documents. Billed to
     the oracle channel: it is shared-input materialization (the oracle reads
-    the same files), not part of the prune-and-run path being measured."""
+    the same files), not part of the prune-and-run path being measured.
+
+    Memoized per (session, sf_dir): the derivation is deterministic, so
+    re-scanning documents and re-writing both copies on every invocation
+    (bench's best-of-5 repeats paid it five times) bought nothing (review
+    r8). A fresh session — every driver run — still rewrites, keeping the
+    oracle-reads-matching-files invariant."""
+    cache = getattr(spark, "_score_p01_fixture_cache", None)
+    if cache is None:
+        cache = {}
+        spark._score_p01_fixture_cache = cache
+    if sf_dir in cache:
+        return cache[sf_dir]
     nested = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.struct(
@@ -48,7 +60,25 @@ def _ensure_nested_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str, 
     with channel_time(_FIXTURE):
         nested.write.mode("overwrite").parquet(pq)
         nested.write.mode("overwrite").json(js)
-    return pq, js, nested.schema
+    cache[sf_dir] = (pq, js, nested.schema)
+    return cache[sf_dir]
+
+
+def _fixture_query(p_df: DataFrame, j_df: DataFrame) -> DataFrame:
+    """THE p01 query, shared by the gated callable and the test hook — the
+    hook previously hand-duplicated it and had already drifted (missing the
+    orderBy), so tests could certify pruned schemas for a query the gate no
+    longer runs (review r8)."""
+    return (
+        p_df.select("doc_id", F.col("meta.a").alias("a"))
+        .join(
+            j_df.select("doc_id", F.col("payload.nested.small").alias("small")),
+            "doc_id",
+        )
+        .groupBy("a")
+        .agg(F.sum("small").alias("s"), F.count(F.lit(1)).alias("n"))
+        .orderBy("a")
+    )
 
 
 def p01_pruned_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,16 +97,7 @@ def p01_pruned_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
 
     def query_fn(t: dict[str, DataFrame]) -> DataFrame:
-        return (
-            t["p"].select("doc_id", F.col("meta.a").alias("a"))
-            .join(
-                t["j"].select("doc_id", F.col("payload.nested.small").alias("small")),
-                "doc_id",
-            )
-            .groupBy("a")
-            .agg(F.sum("small").alias("s"), F.count(F.lit(1)).alias("n"))
-            .orderBy("a")
-        )
+        return _fixture_query(t["p"], t["j"])
 
     return prune(spark, sources, query_fn)
 
@@ -88,13 +109,7 @@ def pruned_schemas_for_fixture(spark: SparkSession, sf_dir: str):
     pq, js, schema = _ensure_nested_fixture(spark, sf_dir)
     full_p = spark.read.parquet(pq)
     full_j = spark.read.schema(schema).json(js)
-    q = (
-        full_p.select("doc_id", F.col("meta.a").alias("a"))
-        .join(full_j.select("doc_id", F.col("payload.nested.small").alias("small")), "doc_id")
-        .groupBy("a")
-        .agg(F.sum("small").alias("s"), F.count(F.lit(1)).alias("n"))
-    )
-    sor = SchemaOnRead.generate(q)
+    sor = SchemaOnRead.generate(_fixture_query(full_p, full_j))
     return sor.for_paths(pq), sor.for_paths(js)
 
 

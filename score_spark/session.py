@@ -15,6 +15,20 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_shuffle_partitions(master: str, cpus: int) -> int:
+    """Derive the shuffle width from the RESOLVED master, not the env var:
+    a caller passing master="local[4]" previously got the env default (32)
+    — 8x the promised "shuffle partitions default to the local core count"
+    (review r8). Non-local masters keep the env-sized default; real
+    clusters should pass shuffle_partitions explicitly anyway."""
+    import re
+
+    m = re.fullmatch(r"local\[(\d+|\*)\]", master)
+    if m:
+        return (os.cpu_count() or cpus) if m.group(1) == "*" else int(m.group(1))
+    return cpus
+
+
 def get_session(
     app_name: str = "score-spark",
     master: str | None = None,
@@ -25,7 +39,7 @@ def get_session(
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = cpus
+        shuffle_partitions = _default_shuffle_partitions(master, cpus)
 
     # AQE stays ON by default (runtime re-planning, skew-join splitting,
     # partition coalescing — the correct posture for real data sizes). The

@@ -79,3 +79,31 @@ def test_load_table_events_returns_normalized_timestamps(spark, sf_dir):
     load_events(spark, sf_dir)  # populate caches in the hazardous order
     e = load_table(spark, sf_dir, "events")
     assert dict(e.dtypes)["ts"] == "timestamp"
+
+
+def test_sum_token_len_accumulates_in_bigint(spark):
+    """The length-sum fold must seed BIGINT: an int seed accumulated in
+    int32, wrapping (ANSI off) or throwing (ANSI on) past 2^31 total token
+    characters while the DuckDB mirror summed wide (review r8)."""
+    from score_spark.functions.text import sum_token_len
+
+    df = spark.createDataFrame([("a b",)], ["text"]).select(
+        sum_token_len().alias("s")
+    )
+    assert dict(df.dtypes)["s"] == "bigint"
+    assert df.first()["s"] == 2
+
+
+def test_default_shuffle_partitions_follow_resolved_master():
+    """shuffle_partitions derives from the RESOLVED master (review r8: a
+    caller passing master='local[4]' silently got the 32-wide env default).
+    Asserted on the pure helper — a live local[4] session would collide
+    with the shared test session."""
+    import os
+
+    from score_spark.session import _default_shuffle_partitions
+
+    assert _default_shuffle_partitions("local[4]", 32) == 4
+    assert _default_shuffle_partitions("local[32]", 32) == 32
+    assert _default_shuffle_partitions("local[*]", 32) == (os.cpu_count() or 32)
+    assert _default_shuffle_partitions("spark://host:7077", 32) == 32
