@@ -190,14 +190,16 @@ def scrub_pii(
     if count_cols:
         # re-scrubbing already-annotated data would emit duplicate n_<kind>
         # columns — ambiguous downstream references or double-persisted
-        # columns; fail loudly at the boundary like textstats (review r8)
-        lower = {c.lower() for c in df.columns}
-        hit = [f"n_{kind}" for kind, _, _ in patterns if f"n_{kind}" in lower]
-        if hit:
-            raise ValueError(
-                f"input columns collide with scrub_pii counter name(s) {hit}; "
-                "rename or drop them (or pass count_cols=False)"
-            )
+        # columns; ONE audited boundary guard (textstats'), which also
+        # lowercases the candidate side — the hand-rolled copy missed
+        # case-variant collisions like an existing N_EMAIL (review r8)
+        from score_spark.operators.textstats import _check_helper_collisions
+
+        _check_helper_collisions(
+            df,
+            tuple(f"n_{kind}" for kind, _, _ in patterns),
+            op="scrub_pii (or pass count_cols=False)",
+        )
     scrubbed = F.col(text_col)
     counters = []
     for kind, pat, token in patterns:
@@ -318,11 +320,14 @@ def pack_token_stream(
     # ROWS frame, not the default RANGE: RANGE sums ALL peer rows at a tied
     # (id, order) key, corrupting every offset after a duplicate chunk key;
     # ROWS packs sequentially, matching the oracle's explicit ROWS
-    # UNBOUNDED PRECEDING (review r8). Tie ORDER amongst duplicates is
-    # unspecified but offsets/pack assignment stay correct either way.
+    # UNBOUNDED PRECEDING (review r8). size_col joins the sort key as the
+    # tie-breaker: duplicate (id, order) keys with DIFFERENT sizes would
+    # otherwise get engine/run-dependent cumulative offsets near pack
+    # boundaries (same-size ties are offset-invariant, so the order is then
+    # fully determined for packing purposes); the oracle orders identically.
     w = (
         Window.partitionBy("shard")
-        .orderBy(id_col, order_col)
+        .orderBy(id_col, order_col, size_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     offset = (F.sum(size_col).over(w) - F.col(size_col)).cast("long")
@@ -423,16 +428,12 @@ def stratified_topk_sample(
     the result is layout-independent."""
     from pyspark.sql import Window
 
-    # same boundary rule as textstats' helper guard: the _h/_pid/_rk helper
-    # names are injected by name; an input column with one of those names
-    # would bind ambiguously (review r8)
-    lower = {c.lower() for c in df.columns}
-    hit = [h for h in ("_h", "_pid", "_rk") if h in lower]
-    if hit:
-        raise ValueError(
-            f"input columns collide with internal helper name(s) {hit}; "
-            "rename or drop them before calling stratified_topk_sample"
-        )
+    # the _h/_pid/_rk helper names are injected by name; an input column
+    # with one of those names would bind ambiguously (review r8) — shared
+    # guard, not a re-implementation
+    from score_spark.operators.textstats import _check_helper_collisions
+
+    _check_helper_collisions(df, ("_h", "_pid", "_rk"), op="stratified_topk_sample")
     h = F.md5(F.col(id_col).cast("string")).alias("_h")
     base = df.select(*strata_cols, id_col, h, F.spark_partition_id().alias("_pid"))
     w_local = Window.partitionBy(*strata_cols, "_pid").orderBy("_h", id_col)
@@ -646,7 +647,7 @@ offs AS (
   -- % on the non-negative gate ids
   SELECT ((doc_id % 8) + 8) % 8 AS shard, doc_id, chunk_idx, n_words,
          sum(n_words) OVER (PARTITION BY ((doc_id % 8) + 8) % 8
-                            ORDER BY doc_id, chunk_idx
+                            ORDER BY doc_id, chunk_idx, n_words
                             ROWS UNBOUNDED PRECEDING) - n_words AS off
   FROM chunks
 )

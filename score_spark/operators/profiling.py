@@ -270,7 +270,7 @@ def parquet_column_bounds(df: DataFrame, value_col: str) -> tuple[float, float] 
     except ImportError:
         return None
 
-    def _file_bounds(f: str) -> tuple[float, float] | None:
+    def _file_bounds(f: str) -> tuple[float, float] | tuple[()] | None:
         path = f[len("file:"):] if f.startswith("file:") else f
         try:
             md = pq.ParquetFile(path).metadata
@@ -283,6 +283,12 @@ def parquet_column_bounds(df: DataFrame, value_col: str) -> tuple[float, float] 
                 mn, mx = float(st.min), float(st.max)
                 f_lo = mn if f_lo is None or mn < f_lo else f_lo
                 f_hi = mx if f_hi is None or mx > f_hi else f_hi
+            if f_lo is None:
+                # zero row groups (Spark writes empty part files for empty
+                # partitions): imposes NO bounds — skip, don't bail; the
+                # (None, None) this used to return crashed the merge with a
+                # TypeError (review r8)
+                return ()
             return (f_lo, f_hi)
         except Exception:
             return None  # missing name, non-numeric stats, unreadable footer
@@ -295,12 +301,23 @@ def parquet_column_bounds(df: DataFrame, value_col: str) -> tuple[float, float] 
     from concurrent.futures import ThreadPoolExecutor
 
     lo = hi = None
-    with ThreadPoolExecutor(max_workers=min(32, len(files))) as ex:
+    ex = ThreadPoolExecutor(max_workers=min(32, len(files)))
+    try:
         for fb in ex.map(_file_bounds, files):
             if fb is None:
+                # bail WITHOUT waiting: `return` inside a with-block joins
+                # every queued footer read (shutdown(wait=True)) — on a
+                # 100k-file table whose first footer lacks stats that is
+                # minutes of driver I/O just to return None (review r8);
+                # cancel_futures drops the queue, in-flight reads finish in
+                # the background without blocking the caller
                 return None
+            if not fb:
+                continue  # empty part file: no bounds to contribute
             lo = fb[0] if lo is None or fb[0] < lo else lo
             hi = fb[1] if hi is None or fb[1] > hi else hi
+    finally:
+        ex.shutdown(wait=False, cancel_futures=True)
     import math
 
     # non-finite bounds (a column containing inf/nan) cannot form a SQL

@@ -26,19 +26,26 @@ _STOPLIST = "[" + ", ".join(f"'{w}'" for w in TX.ALL_STOPWORDS) + "]"
 _NSTOP = f"len(list_filter({_TOKENS}, t -> list_contains({_STOPLIST}, t)))"
 
 
-def _check_helper_collisions(df: DataFrame, helpers: tuple[str, ...]) -> None:
+def _check_helper_collisions(
+    df: DataFrame, helpers: tuple[str, ...], op: str = "text-stats operators"
+) -> None:
     """The hoisted-projection helpers AND the appended output columns are
     injected with select('*', ...) and referenced by name downstream; an
     input frame that already carries any of these names would make the
     reference ambiguous (or silently bind to the wrong column). Fail loudly
     at the boundary instead (ADVICE r6; review r7 extended the check from
-    the internal _toks/_ls_* names to the output names too)."""
+    the internal _toks/_ls_* names to the output names too). Both sides of
+    the comparison lowercase — Spark resolves case-insensitively, so a
+    case-variant collision is just as ambiguous (review r8: pipeline's
+    hand-rolled copy dropped the candidate-side lower() and missed them).
+    ``op`` names the caller in the error; shared by the pipeline operators
+    so there is ONE audited implementation of this boundary rule."""
     lower = {c.lower() for c in df.columns}
     hit = [h for h in helpers if h.lower() in lower]
     if hit:
         raise ValueError(
             f"input columns collide with internal helper name(s) {hit}; "
-            "rename or drop them before calling text-stats operators"
+            f"rename or drop them before calling {op}"
         )
 
 

@@ -207,22 +207,39 @@ class SchemaOnRead:
 
         Fix: for every linked output position, union the requirement
         subtrees across branches — sticky ``required`` wins everywhere,
-        otherwise touched child sets merge recursively. Only nodes the walk
-        actually materialized participate (a pending handle is not a touch,
-        so no spurious columns appear). Iterated to a fixpoint because
-        nested set-ops can chain groups through a shared branch."""
+        otherwise touched child sets merge recursively. If NO branch
+        materialized the position's node, the whole group stays pending (a
+        pending handle is not a touch, so no spurious columns appear — all
+        branches then drop the column uniformly). But when at least ONE
+        branch materialized it, every still-pending branch MUST materialize
+        too (review r8, proven by execution): positional union/intersect/
+        except (no per-branch Project, unlike unionByName) leaves untouched
+        branches with no trie node at all, so the touched branch emitted the
+        narrowed column while its siblings dropped it — an arity mismatch
+        the pruned re-read could only survive via the silent best-effort
+        fallback, i.e. pruning was silently lost. Iterated to a fixpoint
+        because nested set-ops can chain groups through a shared branch."""
         groups = self._state.setop_groups
         if not groups:
             return
         for _ in range(64):  # fixpoint; depth bounded by nested set-op chains
             changed = False
             for bucket in groups:
-                nodes, seen = [], set()
+                nodes, pending, seen = [], [], set()
                 for h in bucket:
                     n = h.node.children.get(h.name) if h.name is not None else h.node
-                    if n is not None and id(n) not in seen:
+                    if n is None:
+                        pending.append(h)
+                    elif id(n) not in seen:
                         seen.add(id(n))
                         nodes.append(n)
+                if nodes and pending:
+                    for h in pending:
+                        n = h.materialize()
+                        if id(n) not in seen:
+                            seen.add(id(n))
+                            nodes.append(n)
+                    changed = True
                 if len(nodes) >= 2:
                     changed |= merge_requirements(nodes)
             if not changed:

@@ -359,3 +359,17 @@ def test_percentiles_no_view_leak_on_bad_args(spark):
         exact_percentiles_by_group(df, "g", "v", {"p50": 0.5}, n_buckets="4k")
     after = {t.name for t in spark.catalog.listTables()}
     assert after == before
+
+
+def test_scrub_pii_guard_catches_case_variant_collisions(spark):
+    """Spark resolves column names case-insensitively, so an existing
+    N_EMAIL collides with the injected n_email counter just the same — the
+    hand-rolled guard compared un-lowercased candidates and missed it
+    (review r8; now the shared textstats guard)."""
+    import pytest
+
+    from score_spark.operators.pipeline import scrub_pii
+
+    df = spark.createDataFrame([("a@b.co text", 1)], ["text", "N_EMAIL"])
+    with pytest.raises(ValueError, match="collide"):
+        scrub_pii(df)

@@ -129,3 +129,25 @@ def test_no_whole_group_value_buffering_in_plan(spark, sf_dir):
     df = exact_percentiles_by_group(li, "l_returnflag", "l_extendedprice", {"p50": 0.5})
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "percentile" not in plan.lower()
+
+
+def test_parquet_column_bounds_skips_empty_part_files(spark, tmp_path):
+    """Spark writes zero-row-group part files for empty partitions; they
+    impose no bounds and must be SKIPPED — the (None, None) they used to
+    produce crashed the merge with a TypeError (review r8)."""
+    from score_spark.operators.profiling import parquet_column_bounds
+
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "with_empty")
+    spark.range(10).selectExpr("CAST(id AS DOUBLE) AS x").write.parquet(p)
+    # plant a zero-row-group part file (what Spark emits for an empty
+    # partition) next to the populated ones
+    empty = os.path.join(p, "part-empty.parquet")
+    pq.ParquetWriter(empty, pa.schema([("x", pa.float64())])).close()
+    assert pq.ParquetFile(empty).metadata.num_row_groups == 0  # non-vacuous
+    df = spark.read.parquet(p)
+    assert parquet_column_bounds(df, "x") == (0.0, 9.0)

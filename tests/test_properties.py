@@ -555,6 +555,12 @@ def test_pruned_reread_equals_full_for_random_multi_source_plans(spark, fuzz_pat
         st.lists(st.sampled_from(_FUZZ_PREDICATES), max_size=1), label="filters_b"
     )
     do_agg = data.draw(st.booleans(), label="aggregate")
+    # bare mode: NO per-branch Project before the union — positional
+    # whole-row set-ops leave untouched branches' trie nodes pending, the
+    # class where a branch-local filter touch must materialize-and-mirror
+    # into the sibling branches (r8 review find, fixed in
+    # _merge_setop_groups; unionByName always inserts Projects, masking it)
+    bare_union = shape == "union" and data.draw(st.booleans(), label="bare_union")
 
     def read(which, schema):
         r = spark.read.schema(schema)
@@ -570,7 +576,10 @@ def test_pruned_reread_equals_full_for_random_multi_source_plans(spark, fuzz_pat
             b = fn(b)
         sel = lambda d: d.select(*[fn().alias(name) for name, fn, _, _ in fields])  # noqa: E731
         if shape == "union":
-            df = sel(a).union(sel(b))
+            if bare_union:
+                df = a.union(b).select(*[fn().alias(name) for name, fn, _, _ in fields])
+            else:
+                df = sel(a).union(sel(b))
         elif shape == "unionByName":
             df = sel(a).unionByName(sel(b))
         elif shape == "intersect":

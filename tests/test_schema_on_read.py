@@ -1135,3 +1135,41 @@ def test_dropduplicates_keys_stay_full(spark, fx, tmp_path):
     pruned = SchemaOnRead.generate(q).for_paths(p)
     rq = spark.read.schema(pruned).parquet(p).select("s").dropDuplicates().select("s.a")
     assert sorted(x.a for x in rq.collect()) == [1, 1], pruned
+
+
+def test_bare_union_pending_branch_materializes_and_mirrors(spark, fx):
+    # r8 review find, proven by execution: a POSITIONAL union with NO
+    # per-branch Project (unlike unionByName, which inserts one) leaves the
+    # untouched branch with no trie node for the struct at all — the
+    # touched branch emitted STRUCT<col1> while its sibling DROPPED the
+    # column, an arity mismatch the pruned re-read only survived via the
+    # silent best-effort fallback. A branch-local touch must materialize
+    # the pending sibling handles and mirror into them.
+    pq = spark.read.parquet(fx["sample_parquet"])
+    js = spark.read.option("multiline", True).json(fx["sample_json"])
+    cols = pq.columns  # identical shape both sources; positional union is safe
+    df = (
+        pq.filter(F.col("struct.col1").isNotNull())
+        .union(js.select(*cols))
+        .select("someStr")
+    )
+    sor = gen(df)
+    got_pq = sor.for_paths(fx["sample_parquet"])
+    got_js = sor.for_paths(fx["sample_json"])
+    # both branches carry the SAME narrowed struct (not dropped on one side);
+    # top-level field ORDER follows each source's own schema — the query's
+    # projections realign positions, the reader only decides what loads
+    assert got_pq["struct"].dataType.fieldNames() == ["col1"]
+    assert got_js["struct"].dataType.fieldNames() == ["col1"]
+    assert sorted(f.name for f in got_pq) == sorted(f.name for f in got_js)
+    # and the strict (no-fallback) re-read answers identically
+    pruned = (
+        spark.read.schema(got_pq).parquet(fx["sample_parquet"])
+        .filter(F.col("struct.col1").isNotNull())
+        .union(
+            spark.read.schema(got_js).option("multiline", True)
+            .json(fx["sample_json"]).select(*[c for c in cols if c in got_js.fieldNames()])
+        )
+        .select("someStr")
+    )
+    assert sorted(r[0] for r in pruned.collect()) == sorted(r[0] for r in df.collect())
