@@ -18,7 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 import pandas as pd
 
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+# ONE table list (review r8: a hand-duplicated copy here would silently miss
+# a future fixture table and fail oracles with a confusing missing-view error)
+from score_spark.io import TABLES
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -46,6 +48,12 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
     qs, osql = E.queries(), E.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name previously yielded "hash-match: 0/0" with exit 0 —
+        # a green gate that verified nothing (review r8)
+        print(f"unknown query name(s): {sorted(unknown)}; known: {sorted(qs)}")
+        return 2
     entry_rows = E.entry(spark).count()
     print(f"entry(): {entry_rows} rows")
 
@@ -68,8 +76,14 @@ def main() -> int:
             if list(a.columns) != list(e.columns):
                 print(f"    cols: {list(a.columns)} vs {list(e.columns)}")
             else:
-                merged = a.merge(e, indicator=True, how="outer")
-                print(merged[merged._merge != "both"].head(6).to_string())
+                # diff printing must never abort the remaining checks: a
+                # float64-vs-object dtype skew (the exact class this gate
+                # exists to surface) made .merge raise (review r8)
+                try:
+                    merged = a.astype(str).merge(e.astype(str), indicator=True, how="outer")
+                    print(merged[merged._merge != "both"].head(6).to_string())
+                except Exception as ex:
+                    print(f"    (diff unavailable: {type(ex).__name__}: {ex})")
     n_checked = len([n for n in qs if not only or n in only])
     print(f"hash-match: {n_checked - len(bad) - len(no_oracle)}/{n_checked} (rows-only: {len(no_oracle)}); mismatches: {bad}")
     return 1 if bad else 0

@@ -50,9 +50,12 @@ def main() -> None:
     print(
         "Every entry is driver-gated: the Spark implementation and its DuckDB\n"
         "oracle run side-by-side at sf0.01 and must hash-match (rows, schema,\n"
-        "values). Flags: `[xcheck]` = construction materializes an\n"
-        "engine-specific intermediate both engines then verify (memoization\n"
-        "opt-out); `[no-baseline]` = excluded from the wall-clock ratio because\n"
+        "values). Flags: `[no-memo]` = construction runs real actions\n"
+        "(checkpointed/persisted intermediates, xcheck oracle writes, model\n"
+        "fits, table writes), so the prepared-query catalog never memoizes it\n"
+        "(review r8: this flag was previously labeled `xcheck`, which\n"
+        "misdocumented opt-outs like s02/k01 that have no xcheck channel);\n"
+        "`[no-baseline]` = excluded from the wall-clock ratio because\n"
         "the oracle does verification-shaped work, not equivalent-engine work."
     )
     for fam_key, names in sorted(by_fam.items()):
@@ -61,7 +64,7 @@ def main() -> None:
             fn = QUERIES[name]
             flags = []
             if name in _NO_MEMO:
-                flags.append("xcheck")
+                flags.append("no-memo")
             if name in _BASELINE_SKIP:
                 flags.append("no-baseline")
             if name not in ORACLE:
