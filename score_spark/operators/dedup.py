@@ -703,7 +703,7 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side (measured 2x the minhash cost at 10x scale in tools/scale_bench's
     # probe). The cache is doc_count x (8B id + 16x8B sig) — tiny.
     sigs = sh.select("doc_id", minhash_signature_col("_shs", 16).alias("sig")).persist()
-    cand = write_xcheck(minhash_lsh_pairs(d, n_hashes=16, bands=8, sigs=sigs), "d03_candidates")
+    cand = write_xcheck(minhash_lsh_pairs(d, n_hashes=16, bands=8, sigs=sigs), "d03_candidates", sf_dir)
     g = shingle_table(max_doc_freq=None, shingle_df=sh)
     sizes = sh.select("doc_id", F.size("_shs").alias("sz"))
     res = exact_jaccard_for_pairs(
@@ -745,7 +745,7 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 chunks, so the two must agree exactly (blocking correctness is itself
     under test, not just the Hamming arithmetic)."""
     d = load_table(spark, sf_dir, "documents")
-    sigs = write_xcheck(simhash(d), "d04_simhash")
+    sigs = write_xcheck(simhash(d), "d04_simhash", sf_dir)
     return hamming_pairs(sigs, max_hamming=3).orderBy("d1", "d2")
 
 

@@ -182,22 +182,31 @@ def h01_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persist+count is the product-side materialization (the rollup IS the
     # product); only the parquet copy for DuckDB bills to the oracle channel
-    return write_xcheck(out, "h01_rollup")
+    return write_xcheck(out, "h01_rollup", sf_dir)
 
 
 # module-level constant like every other query module's oracle; the f-string
 # (and XCHECK_DIR inside xcheck_path) resolve at import, same as d03/s03
 ORACLE_H01 = f"""
 WITH est AS (
-  -- Spark writes parquet timestamps as UTC instants (isAdjustedToUTC), which
-  -- DuckDB reads as TIMESTAMPTZ; shift to naive UTC wall time so the join
-  -- keys and output column stay plain TIMESTAMP like the raw-scan side.
+  -- Spark writes parquet timestamps as UTC instants (isAdjustedToUTC=true
+  -- footer). WHICH DuckDB type that scans as is READER-DEPENDENT: this
+  -- sandbox's duckdb reads it TIMESTAMPTZ, the driver's read it naive
+  -- TIMESTAMP — and the r8 formulation (`AT TIME ZONE 'UTC'`) flips
+  -- naive->TIMESTAMPTZ, so its output type depended on the reader (r8's
+  -- one red gate row: schema+hash red, rows green). Reader-invariant
+  -- normalization instead: epoch_us() yields the same microsecond count
+  -- for both readings (a TSTZ holds the instant; a naive reading of this
+  -- file holds the UTC wall time, which epoch_us treats as UTC), and
+  -- make_timestamp() maps it back to a plain TIMESTAMP in UTC wall time
+  -- regardless of session TimeZone — verified for both types under a
+  -- non-UTC session tz.
   -- Aggregated to ONE row per bucket so the oracle's row set stays
   -- independent of Spark's (review r8: a non-aggregated est channel would
   -- MIRROR a duplicated rollup row through the FULL OUTER JOIN and hash
   -- green); n_est > 1 — a duplicated bucket in the rollup output — fails
   -- both uniq_est_ok here and the row-count compare.
-  SELECT grain, bucket_start AT TIME ZONE 'UTC' AS bucket_start,
+  SELECT grain, make_timestamp(epoch_us(bucket_start)) AS bucket_start,
          min(est_uniques) AS est_uniques, count(*) AS n_est
   FROM read_parquet('{xcheck_path("h01_rollup")}/*.parquet')
   GROUP BY 1, 2
@@ -216,7 +225,11 @@ exact AS (
   FROM events GROUP BY 2
 )
 SELECT coalesce(x.grain, e.grain) AS grain,
-       coalesce(x.bucket_start, e.bucket_start) AS bucket_start,
+       -- belt-and-braces CAST: both branches are plain TIMESTAMP already
+       -- (events.ts is tz-naive in the footer; est normalized above), so
+       -- this is a no-op — but it pins the OUTPUT type even if a future
+       -- reader re-types one branch and coalesce() tries to widen to TSTZ
+       CAST(coalesce(x.bucket_start, e.bucket_start) AS TIMESTAMP) AS bucket_start,
        x.n, x.total_value, x.min_value, x.max_value,
        e.est_uniques,
        (e.est_uniques IS NOT NULL AND x.n_uniq IS NOT NULL

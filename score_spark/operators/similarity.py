@@ -784,7 +784,7 @@ def s03_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     cand = write_xcheck(
-        lsh_candidates(emb, queries, n_planes=8, multi_probe=1), "s03_candidates"
+        lsh_candidates(emb, queries, n_planes=8, multi_probe=1), "s03_candidates", sf_dir
     )
     return score_candidates(cand, emb, k=5, queries=queries).transform(presentation_sort, "query_id", "rk", shuffle=True)
 
@@ -818,7 +818,7 @@ def s04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5)
     cents = ivf_train_centroids(emb, n_clusters=16, n_iters=2)
     cand = write_xcheck(
-        ivf_candidates(emb, queries, cents, nprobe=2), "s04_candidates"
+        ivf_candidates(emb, queries, cents, nprobe=2), "s04_candidates", sf_dir
     )
     return score_candidates(cand, emb, k=5, queries=queries).transform(presentation_sort, "query_id", "rk", shuffle=True)
 
@@ -860,7 +860,7 @@ def s05_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     a high threshold."""
     emb = load_table(spark, sf_dir, "embeddings")
     cand = write_xcheck(
-        lsh_pair_candidates(emb, n_tables=8, n_planes=8), "s05_candidates"
+        lsh_pair_candidates(emb, n_tables=8, n_planes=8), "s05_candidates", sf_dir
     )
     return near_dup_pairs_lsh(emb, threshold=0.3, cand=cand).orderBy("v1", "v2")
 

@@ -56,7 +56,8 @@ def _ensure_nested_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str, 
             ).alias("nested"),
         ).alias("payload"),
     )
-    pq, js = xcheck_path(f"{_FIXTURE}_pq"), xcheck_path(f"{_FIXTURE}_js")
+    pq = xcheck_path(f"{_FIXTURE}_pq", sf_dir)
+    js = xcheck_path(f"{_FIXTURE}_js", sf_dir)
     with channel_time(_FIXTURE):
         nested.write.mode("overwrite").parquet(pq)
         nested.write.mode("overwrite").json(js)

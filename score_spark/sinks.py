@@ -352,19 +352,18 @@ def k01_bucketed_join(spark, sf_dir: str):
     Construction WRITES tables (real actions): registered in _NO_MEMO, and
     baseline-skipped like p01 — DuckDB reads raw parquet while Spark writes
     + re-reads, so a wall-clock ratio would compare different work."""
-    import re
-
     import pyspark.sql.functions as F  # noqa: N812
 
     from score_spark.io import load_table, presentation_sort
-    from score_spark.xcheck import xcheck_path
+    from score_spark.xcheck import sf_tag, xcheck_path
 
-    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    tag = sf_tag(sf_dir)
     t_orders, t_cust = f"k01_orders_{tag}", f"k01_customer_{tag}"
     raw_o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    z_path = xcheck_path(f"k01_zorder_{tag}")
+    # xcheck_path now appends the sf tag itself (r9: every channel tagged)
+    z_path = xcheck_path("k01_zorder", sf_dir)
     # persist across write_zordered's three passes (quantile sketch, range
     # sampling, bucketize+write); 0.01 sketch error only blurs bucket
     # boundaries by a few of the 256 buckets — layout quality, not

@@ -27,6 +27,7 @@ separately from query wall-clock.
 from __future__ import annotations
 
 import os
+import re
 import time
 from contextlib import contextmanager
 
@@ -48,11 +49,33 @@ _ORACLE_SEC: dict[str, float] = {}
 _LAST_CACHED: dict[str, DataFrame] = {}
 
 
-def xcheck_path(name: str) -> str:
-    return f"{XCHECK_DIR}/{name}"
+# The driver's correctness gate runs oracles at sf0.01 — that contract is
+# the import-time default for ORACLE strings (which freeze before any query
+# runs, so they can't learn the sf from a call). driver_sim sets the env var
+# before importing __spark_entry__ when pointed at a different sf dir.
+_ORACLE_SF_DIR_ENV = "SCORE_SPARK_ORACLE_SF_DIR"
+_DEFAULT_ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
-def write_xcheck(df: DataFrame, name: str) -> DataFrame:
+def sf_tag(sf_dir: str) -> str:
+    """Filesystem-safe tag from an sf dir's basename: sf0.01 -> sf0_01."""
+    return re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+
+
+def xcheck_path(name: str, sf_dir: str | None = None) -> str:
+    """Channel path, ALWAYS sf-tagged (VERDICT r8 #4): before r9 all
+    channels but k01 shared one un-tagged path across sf0.01 correctness
+    runs and sf0.1 bench runs in the same tree, so a bench run left a stale
+    sf0.1 intermediate a later sf0.01 oracle could read if the driver
+    ordered bench between a query and its oracle. Query callables pass
+    their sf_dir; oracle strings (import-time constants) omit it and get
+    the driver's sf0.01 gate contract (env-overridable for sim runs)."""
+    if sf_dir is None:
+        sf_dir = os.environ.get(_ORACLE_SF_DIR_ENV, _DEFAULT_ORACLE_SF_DIR)
+    return f"{XCHECK_DIR}/{name}_{sf_tag(sf_dir)}"
+
+
+def write_xcheck(df: DataFrame, name: str, sf_dir: str | None = None) -> DataFrame:
     """Materialize ``df`` (persist + count: the product-side branch point),
     then copy the cached rows to the shared parquet channel for DuckDB —
     timing only that copy as oracle-channel cost. Returns the cached frame so
@@ -62,20 +85,22 @@ def write_xcheck(df: DataFrame, name: str) -> DataFrame:
     repeated invocations in one session hold at most one live copy per
     channel; callers that fully materialize downstream (localCheckpoint)
     may additionally unpersist the returned frame early."""
-    path = xcheck_path(name)
+    path = xcheck_path(name, sf_dir)
     os.makedirs(XCHECK_DIR, exist_ok=True)
     cached = df.persist()
     cached.count()
     t0 = time.monotonic()
     cached.write.mode("overwrite").parquet(path)
     _ORACLE_SEC[name] = _ORACLE_SEC.get(name, 0.0) + (time.monotonic() - t0)
-    prev = _LAST_CACHED.get(name)
+    # keyed by tagged path, not name: one live cached copy per channel PER
+    # sf — an sf0.1 bench call must not unpersist the sf0.01 gate's frame
+    prev = _LAST_CACHED.get(path)
     if prev is not None and prev is not cached:
         try:
             prev.unpersist()
         except Exception:
             pass  # a stopped/replaced session can't unpersist; nothing leaks
-    _LAST_CACHED[name] = cached
+    _LAST_CACHED[path] = cached
     return cached
 
 

@@ -15,6 +15,12 @@ from score_spark.session import get_session
 
 SF_DIR = os.environ.get("SCORE_SPARK_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# xcheck channels are sf-tagged (r9); ORACLE strings freeze at operator-module
+# import and default to the driver's sf0.01 gate contract — point them at the
+# test sf BEFORE any test module imports an operator module, so in-suite
+# oracle runs read the channel the in-suite queries wrote
+os.environ.setdefault("SCORE_SPARK_ORACLE_SF_DIR", SF_DIR)
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -1,0 +1,96 @@
+"""Gate tooling tests: the driver_sim dtype comparator (VERDICT r8 #3).
+
+The r8 h01 red shipped because the sim's canon() stringified every dtype
+before hashing — a TIMESTAMP vs TIMESTAMP WITH TIME ZONE (or int64 vs
+float64) skew hashed green in the sim while the driver's strict schema
+compare went red. dtype_skews() compares DECLARED types (Spark schema vs
+DuckDB relation .types) before canonicalization; these tests pin the exact
+r8 failure shape: DuckDB's ``AT TIME ZONE 'UTC'`` applied to a naive
+TIMESTAMP (the driver's reading of Spark's tz=UTC parquet) yields
+TIMESTAMPTZ, which the sim must now flag.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+from driver_sim import dtype_skews  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    yield c
+    c.close()
+
+
+def test_flags_timestamptz_vs_spark_timestamp(spark, con):
+    """The r8 h01 class: the pre-fix oracle's `naive AT TIME ZONE 'UTC'`
+    produces TIMESTAMP WITH TIME ZONE in the driver's reader — declared-type
+    compare must go red even though canon() would stringify both the same."""
+    sdf = spark.sql("SELECT TIMESTAMP '2024-01-01 00:00:00' AS bucket_start, CAST(1 AS BIGINT) AS n")
+    bad = con.sql(
+        "SELECT TIMESTAMP '2024-01-01 00:00:00' AT TIME ZONE 'UTC' AS bucket_start, "
+        "CAST(1 AS BIGINT) AS n"
+    )
+    skews = dtype_skews(sdf, bad)
+    assert skews == ["bucket_start: spark timestamp vs duckdb TIMESTAMP WITH TIME ZONE"]
+
+
+def test_green_on_matching_primitives(spark, con):
+    sdf = spark.sql(
+        "SELECT TIMESTAMP '2024-01-01 00:00:00' AS ts, CAST(1 AS BIGINT) AS n, "
+        "CAST(0.5 AS DOUBLE) AS v, 'x' AS s, true AS b"
+    )
+    ok = con.sql(
+        "SELECT TIMESTAMP '2024-01-01 00:00:00' AS ts, CAST(1 AS BIGINT) AS n, "
+        "CAST(0.5 AS DOUBLE) AS v, 'x' AS s, true AS b"
+    )
+    assert dtype_skews(sdf, ok) == []
+
+
+def test_flags_int_vs_float_skew(spark, con):
+    """The other silent class: an oracle that sums into DOUBLE where Spark
+    emits BIGINT renders '1.0' vs '1' at the driver but identically after
+    the sim's round(6)/astype(str) canon."""
+    sdf = spark.sql("SELECT CAST(1 AS BIGINT) AS n")
+    bad = con.sql("SELECT CAST(1 AS DOUBLE) AS n")
+    assert dtype_skews(sdf, bad) == ["n: spark bigint vs duckdb DOUBLE"]
+
+
+def test_int_width_skew_tolerated_but_hugeint_flagged(spark, con):
+    """Width-only integer skews pass (the driver's r8 gate passed q09/t01
+    with spark int vs duckdb BIGINT — integers render identically), but
+    HUGEINT — DuckDB's sum(INT) result type — fetches as float64 and must
+    stay flagged (the SKILL.md gotcha that DOES ship red)."""
+    sdf = spark.sql("SELECT CAST(1 AS INT) AS n")
+    assert dtype_skews(sdf, con.sql("SELECT CAST(1 AS BIGINT) AS n")) == []
+    assert dtype_skews(sdf, con.sql("SELECT CAST(1 AS HUGEINT) AS n")) == [
+        "n: spark int vs duckdb HUGEINT"
+    ]
+
+
+def test_h01_oracle_est_normalization_is_reader_invariant(con):
+    """The r9 fix mechanism: make_timestamp(epoch_us(x)) yields the same
+    plain-TIMESTAMP UTC wall time whether the reader typed the Spark-written
+    tz=UTC parquet as naive TIMESTAMP or TIMESTAMPTZ, independent of the
+    session TimeZone — unlike `AT TIME ZONE 'UTC'`, which converts in
+    OPPOSITE directions for the two readings."""
+    con.execute("SET TimeZone='America/New_York'")
+    try:
+        rel = con.sql(
+            "SELECT make_timestamp(epoch_us(TIMESTAMP '2024-01-01 10:00:00')) AS a, "
+            "       make_timestamp(epoch_us(TIMESTAMPTZ '2024-01-01 10:00:00+00')) AS b"
+        )
+        assert [str(t) for t in rel.types] == ["TIMESTAMP", "TIMESTAMP"]
+        row = rel.fetchone()
+        assert row[0] == row[1]
+        assert str(row[0]) == "2024-01-01 10:00:00"
+    finally:
+        con.execute("SET TimeZone='UTC'")

@@ -35,15 +35,70 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), na_position="first").reset_index(drop=True)
 
 
+# Spark simpleString -> acceptable DuckDB declared type(s). canon()
+# stringifies every dtype before hashing, so a TIMESTAMP/TIMESTAMPTZ or
+# int64/float64 skew sailed through the sim and shipped red at the driver
+# (h01, r8 — VERDICT r8 #3). This check runs on DECLARED types (Spark
+# schema vs the DuckDB relation's .types) BEFORE canonicalization.
+# Deliberately absent: TIMESTAMP WITH TIME ZONE is acceptable for NO spark
+# type — the driver's strict schema compare treats it as skew.
+# Width-only integer skews (spark int vs duckdb BIGINT, etc.) are ALLOWED:
+# the driver's r8 gate passed q09/t01 with exactly that shape — integers of
+# any width render identically. HUGEINT is NOT allowed: it fetches as
+# float64 and renders '5.0' vs '5' (the SKILL.md sum(INT) gotcha).
+_DUCK_INTS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+_SPARK_TO_DUCK = {
+    "bigint": _DUCK_INTS,
+    "int": _DUCK_INTS,
+    "smallint": _DUCK_INTS,
+    "tinyint": _DUCK_INTS,
+    "double": {"DOUBLE"},
+    "float": {"FLOAT"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+    "timestamp": {"TIMESTAMP"},
+    "binary": {"BLOB"},
+}
+
+
+def dtype_skews(spark_df, duck_rel) -> list[str]:
+    """Declared-dtype mismatches between a Spark DataFrame and a DuckDB
+    relation, by column name. Complex/unmapped Spark types are skipped
+    (the skew class that ships red is primitive: timestamps and numerics);
+    DECIMAL(p,s) must match exactly."""
+    duck = {c: str(t).upper() for c, t in zip(duck_rel.columns, duck_rel.types)}
+    out = []
+    for f in spark_df.schema.fields:
+        s = f.dataType.simpleString()
+        d = duck.get(f.name)
+        if d is None:
+            continue  # column-set mismatch surfaces in the hash compare
+        if s.startswith("decimal"):
+            if d.replace(" ", "") != s.upper().replace(" ", ""):
+                out.append(f"{f.name}: spark {s} vs duckdb {d}")
+        elif s in _SPARK_TO_DUCK and d not in _SPARK_TO_DUCK[s]:
+            out.append(f"{f.name}: spark {s} vs duckdb {d}")
+    return out
+
+
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # oracle strings freeze at operator-module import and embed the
+    # sf-tagged xcheck paths (r9) — point them at THIS run's sf before
+    # __spark_entry__ pulls the query registry in
+    os.environ.setdefault("SCORE_SPARK_ORACLE_SF_DIR", sf)
 
     import __spark_entry__ as E
     from score_spark.session import get_session
 
     spark = get_session(app_name="driver-sim", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
+    # non-UTC session tz: an oracle whose output depends on the reader's
+    # TimeZone (the r8 h01 class — AT TIME ZONE / TIMESTAMPTZ widening)
+    # diverges HERE rather than only in the driver's environment
+    con.execute("SET TimeZone='America/Chicago'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
@@ -66,8 +121,15 @@ def main() -> int:
             no_oracle.append(name)
             print(f"  {name}: rows-only ({n} rows)")
             continue
-        a = canon(qs[name](spark, sf).toPandas())
-        e = canon(con.execute(osql[name]).fetchdf())
+        sdf = qs[name](spark, sf)
+        a = canon(sdf.toPandas())
+        rel = con.sql(osql[name])
+        skews = dtype_skews(sdf, rel)
+        if skews:
+            bad.append(name)
+            print(f"  DTYPE-SKEW {name}: " + "; ".join(skews))
+            continue
+        e = canon(rel.fetchdf())
         ha = hashlib.md5(a.to_csv(index=False).encode()).hexdigest()
         he = hashlib.md5(e.to_csv(index=False).encode()).hexdigest()
         if ha != he:
