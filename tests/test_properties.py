@@ -779,6 +779,121 @@ def test_pruned_reread_equals_full_for_random_multi_source_plans(spark, fuzz_pat
             c.unpersist()
 
 
+# ------------------------------------------------- SQL-surface fuzz (r9)
+#
+# The §2B SQL constructs (LATERAL VIEW explode, named WINDOW clauses,
+# GROUP BY ordinals, CTEs over temp views) each have a golden, but the
+# API-built fuzzes above never exercise the SQL parser's plan shapes —
+# SubqueryAlias/View wrappers, SQL-generated Generate nodes, ordinal
+# resolution, WindowSpecReference. Same invariant: rebuild the temp view on
+# the derived read schema and the SQL query must return row-for-row the
+# same result.
+
+_SQL_FIELDS = [
+    # (alias, SQL expression, groupable, numeric)
+    ("someStr", "someStr", True, False),
+    ("someLong", "someLong", True, True),
+    ("someBoolean", "someBoolean", True, False),
+    ("struct_col1", "`struct`.col1", True, True),
+    ("child_col2", "nestedStruct.childStruct.col2", True, True),
+    ("ns_str", "nestedStruct.str", True, False),
+    ("whole_struct", "`struct`", False, False),
+    ("str_array", "someStrArray", False, False),
+]
+
+_SQL_EXPLODES = {
+    # name -> (LATERAL VIEW source, generated alias, extra fields)
+    "strarr": ("someStrArray", "ex_str",
+               [("ex_str", "ex_str", True, False)]),
+    "complex": ("someComplexArray", "ex_c",
+                [("ex_c_col1", "ex_c.col1", True, True)]),
+    "subarr": ("`struct`.subArray", "ex_sub",
+               [("ex_sub", "ex_sub", True, True)]),
+}
+
+_SQL_PREDICATES = [
+    "someLong > 0",
+    "someBoolean",
+    "(someStr IS NULL OR someStr != 'zzz')",
+    "`struct`.col1 IS NOT NULL",
+]
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_pruned_reread_equals_full_for_random_sql_plans(spark, fuzz_paths, data):
+    from tests.fixtures_nested import SAMPLE_SCHEMA
+    from score_spark.schema_on_read.generator import SchemaOnRead
+
+    fmt = data.draw(st.sampled_from(["parquet", "json"]), label="format")
+    explodes = data.draw(
+        st.lists(st.sampled_from(sorted(_SQL_EXPLODES)), max_size=2, unique=True),
+        label="explodes",
+    )
+    candidates = list(_SQL_FIELDS)
+    for e in explodes:
+        candidates += _SQL_EXPLODES[e][2]
+    fields = data.draw(
+        st.lists(st.sampled_from(candidates), min_size=1, max_size=4,
+                 unique_by=lambda f: f[0]),
+        label="projection",
+    )
+    pred = data.draw(st.sampled_from([None] + _SQL_PREDICATES), label="where")
+    mode = data.draw(
+        st.sampled_from(["plain", "group", "window", "cte"]), label="mode"
+    )
+
+    lateral = " ".join(
+        f"LATERAL VIEW OUTER explode({_SQL_EXPLODES[e][0]}) t_{e} AS {_SQL_EXPLODES[e][1]}"
+        for e in explodes
+    )
+    where = f" WHERE {pred}" if pred else ""
+    sel = ", ".join(f"{expr} AS {name}" for name, expr, _, _ in fields)
+    gfields = [(n, e) for n, e, g, _ in fields if g]
+    nfields = [(n, e) for n, e, _, num in fields if num]
+
+    if mode == "group" and gfields:
+        gname, gexpr = gfields[0]
+        aggs = "count(1) AS cnt"
+        if nfields:
+            aggs += f", min({nfields[0][1]}) AS mn"
+        # GROUP BY ordinal — the resolved-ordinal class (ref :736-803)
+        q = (f"SELECT {gexpr} AS {gname}, {aggs} "
+             f"FROM fuzz_sql_v {lateral}{where} GROUP BY 1")
+    elif mode == "window":
+        # named WINDOW clause (ref :339-359); min over the default RANGE
+        # frame is value-determined, so someLong ties stay deterministic
+        q = (f"SELECT {sel}, min(someLong) OVER w AS w_min "
+             f"FROM fuzz_sql_v {lateral}{where} "
+             f"WINDOW w AS (PARTITION BY someBoolean ORDER BY someLong)")
+    elif mode == "cte":
+        names = ", ".join(n for n, *_ in fields)
+        # ORDER BY ordinal in the outer select exercises Sort-over-CTE
+        # (mandatory-full order keys even for complex first columns)
+        q = (f"WITH c AS (SELECT {sel} FROM fuzz_sql_v {lateral}{where}) "
+             f"SELECT {names} FROM c ORDER BY 1")
+    else:
+        q = f"SELECT {sel} FROM fuzz_sql_v {lateral}{where}"
+
+    path = fuzz_paths[fmt]
+
+    def run(schema):
+        r = spark.read.schema(schema)
+        df = (r.option("multiLine", "true").json(path) if fmt == "json"
+              else r.parquet(path))
+        df.createOrReplaceTempView("fuzz_sql_v")
+        return spark.sql(q)
+
+    full_df = run(SAMPLE_SCHEMA)
+    pruned_schema = SchemaOnRead.generate(full_df).for_paths(path)
+    pruned_df = run(pruned_schema)
+    _assert_pruned_matches_full(pruned_df, full_df, {
+        "test": "sql_surface", "format": fmt, "sql": q,
+        "pruned_schema": pruned_schema.simpleString(),
+    })
+
+
 # map / deep-repeated-struct fuzz over the crazy fixture: the map-value
 # class (keys never pruned), chained explodes, and deep GetArrayStructFields
 # paths — the shapes the reference's crazy.json e2e suite exercises

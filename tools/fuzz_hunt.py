@@ -30,6 +30,7 @@ def main() -> int:
     n_single = int(sys.argv[1]) if len(sys.argv) > 1 else 300
     n_multi = int(sys.argv[2]) if len(sys.argv) > 2 else 150
     n_map = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+    n_sql = int(sys.argv[4]) if len(sys.argv) > 4 else 150
 
     import tests.test_properties as tp
     from tests.fixtures_nested import CRAZY_MAP_SCHEMA, SAMPLE_SCHEMA, _crazy_rows
@@ -104,8 +105,13 @@ def main() -> int:
          {"fuzz_paths": fuzz_paths}, n_multi),
         ("map_plans", tp.test_pruned_reread_equals_full_for_random_map_plans,
          {"crazy_fuzz_paths": crazy_paths}, n_map),
+        ("sql_surface", tp.test_pruned_reread_equals_full_for_random_sql_plans,
+         {"fuzz_paths": fuzz_paths}, n_sql),
     ]
     for name, test_fn, kw, n in jobs:
+        if n <= 0:  # 0 = skip the invariant (hunt a single one cheaply)
+            print(f"[hunt] {name}: skipped", flush=True)
+            continue
         try:
             hunt(name, test_fn.hypothesis.inner_test, kw, n)
         except Exception as ex:  # hypothesis re-raises the falsifying failure
