@@ -266,9 +266,29 @@ def ops(spark: SparkSession, docs_path: str, embs_path: str, events_path: str):
             purchases, clicks, on="user_id", right_value_cols=["click_id"], ranged_by_key=True
         )
 
+    def z01():
+        # the z-order WRITE path (k01's heavy half, r9): quantile-sketch
+        # pass over the cluster keys, Arrow-searchsorted bucketize, Morton
+        # interleave, range exchange, parquet write — then a read-back scan
+        # so the op ends in a DataFrame like every other. The write is a
+        # REAL parquet write (noop can't exercise the committer); work
+        # should scale ~linearly since the sketch pass is one extra raw
+        # scan and the range exchange shuffles each row once.
+        from score_spark.sinks import write_zordered
+
+        path = os.path.join(WORK_DIR, "z01_zorder.parquet")
+        write_zordered(
+            events().select("event_id", "user_id", "value"),
+            path,
+            ("user_id", "value"),
+            bits_per_dim=8,
+            relative_error=0.01,
+        )
+        return spark.read.parquet(path)
+
     return {
         "d02": d02, "d03": d03, "d05": d05, "s05": s05, "c05": c05,
-        "w01": w01, "w04": w04, "h01": h01, "a01": a01,
+        "w01": w01, "w04": w04, "h01": h01, "a01": a01, "z01": z01,
     }
 
 
@@ -338,6 +358,7 @@ def main() -> None:
             shutil.rmtree(
                 os.path.join(WORK_DIR, f"{base}_{label}.parquet"), ignore_errors=True
             )
+    shutil.rmtree(os.path.join(WORK_DIR, "z01_zorder.parquet"), ignore_errors=True)
     try:
         os.rmdir(WORK_DIR)  # only removes it when empty
     except OSError:
@@ -347,7 +368,7 @@ def main() -> None:
 def _write_md(out: dict) -> None:
     factor = out["factor"]
     lines = [
-        "# SCALE — measured 10x scaling points (r7 dedup/ANN; r8 adds the stateful/window family per VERDICT r7 #7)",
+        "# SCALE — measured 10x scaling points (r7 dedup/ANN; r8 stateful/window family; r9 z-order write path)",
         "",
         f"Synthetic corpora from `tools/scale_bench.py` (deterministic seeded",
         f"generator, 2% planted exact-duplicate rate so duplicate structure is",
@@ -363,7 +384,9 @@ def _write_md(out: dict) -> None:
         "family (4x16 bands, threshold 0.9), not the gate-corpus family —",
         "rationale in the module docstring. w01 = session windows, w04 =",
         "stateful funnel twin, h01 = hour->day rollup with the HLL sketch",
-        "channel, a01 = bucketed as-of join.",
+        "channel, a01 = bucketed as-of join, z01 = z-order clustered WRITE",
+        "(quantile sketch + Morton bucketize + range exchange + real parquet",
+        "write + read-back scan — k01's heavy half).",
         "",
         f"| op | 1x wall | {factor}x wall | wall ratio | 1x executor | {factor}x executor "
         f"| work ratio | max stage input ({factor}x) | max stage shuffle write ({factor}x) |",
