@@ -841,7 +841,8 @@ def test_pruned_reread_equals_full_for_random_sql_plans(spark, fuzz_paths, data)
     )
     pred = data.draw(st.sampled_from([None] + _SQL_PREDICATES), label="where")
     mode = data.draw(
-        st.sampled_from(["plain", "group", "window", "cte"]), label="mode"
+        st.sampled_from(["plain", "group", "window", "cte", "join2", "union2"]),
+        label="mode",
     )
 
     lateral = " ".join(
@@ -852,8 +853,26 @@ def test_pruned_reread_equals_full_for_random_sql_plans(spark, fuzz_paths, data)
     sel = ", ".join(f"{expr} AS {name}" for name, expr, _, _ in fields)
     gfields = [(n, e) for n, e, g, _ in fields if g]
     nfields = [(n, e) for n, e, _, num in fields if num]
+    # two-view SQL modes use base (non-exploded) fields only — LATERAL VIEW
+    # on a joined/unioned FROM is a different construct than these draws
+    base_fields = [f for f in fields if not f[0].startswith("ex_")] or [_SQL_FIELDS[0]]
 
-    if mode == "group" and gfields:
+    if mode == "join2":
+        # SQL inner equi-join across the parquet view and the json view —
+        # the cross-source two-relation class (ref :920-946, :1246-1275)
+        # through the PARSER (vs the API-built multi-source fuzz above)
+        sel_a = ", ".join(f"a.{expr} AS a_{name}" for name, expr, _, _ in base_fields)
+        sel_b = ", ".join(f"b.{expr} AS b_{name}" for name, expr, _, _ in base_fields[:2])
+        q = (f"SELECT a.someLong AS k, {sel_a}, {sel_b} "
+             f"FROM fuzz_sql_v a JOIN fuzz_sql_v2 b ON a.someLong = b.someLong")
+    elif mode == "union2":
+        # per-branch projection + an ASYMMETRIC branch filter: the first
+        # branch's WHERE must prune per-branch without leaking into the
+        # second view's schema (the per-branch pruning class, ref :559-603)
+        sel_u = ", ".join(f"{expr} AS {name}" for name, expr, _, _ in base_fields)
+        q = (f"SELECT {sel_u} FROM fuzz_sql_v{where} "
+             f"UNION ALL SELECT {sel_u} FROM fuzz_sql_v2")
+    elif mode == "group" and gfields:
         gname, gexpr = gfields[0]
         aggs = "count(1) AS cnt"
         if nfields:
@@ -877,20 +896,34 @@ def test_pruned_reread_equals_full_for_random_sql_plans(spark, fuzz_paths, data)
         q = f"SELECT {sel} FROM fuzz_sql_v {lateral}{where}"
 
     path = fuzz_paths[fmt]
+    other = "json" if fmt == "parquet" else "parquet"
 
-    def run(schema):
+    def read(which, schema):
         r = spark.read.schema(schema)
-        df = (r.option("multiLine", "true").json(path) if fmt == "json"
-              else r.parquet(path))
-        df.createOrReplaceTempView("fuzz_sql_v")
+        p = fuzz_paths[which]
+        return (r.option("multiLine", "true").json(p) if which == "json"
+                else r.parquet(p))
+
+    def run(schema_main, schema_other=None):
+        read(fmt, schema_main).createOrReplaceTempView("fuzz_sql_v")
+        if schema_other is not None:
+            read(other, schema_other).createOrReplaceTempView("fuzz_sql_v2")
         return spark.sql(q)
 
-    full_df = run(SAMPLE_SCHEMA)
-    pruned_schema = SchemaOnRead.generate(full_df).for_paths(path)
-    pruned_df = run(pruned_schema)
+    if mode in ("join2", "union2"):
+        full_df = run(SAMPLE_SCHEMA, SAMPLE_SCHEMA)
+        sor = SchemaOnRead.generate(full_df)
+        pruned_main = sor.for_paths(path)
+        pruned_df = run(pruned_main, sor.for_paths(fuzz_paths[other]))
+        pruned_simple = pruned_main.simpleString()
+    else:
+        full_df = run(SAMPLE_SCHEMA)
+        pruned_main = SchemaOnRead.generate(full_df).for_paths(path)
+        pruned_df = run(pruned_main)
+        pruned_simple = pruned_main.simpleString()
     _assert_pruned_matches_full(pruned_df, full_df, {
         "test": "sql_surface", "format": fmt, "sql": q,
-        "pruned_schema": pruned_schema.simpleString(),
+        "pruned_schema": pruned_simple,
     })
 
 
