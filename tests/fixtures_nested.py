@@ -178,3 +178,45 @@ def write_fixtures(spark: SparkSession, base: str) -> dict[str, str]:
     )
     df.write.mode("overwrite").partitionBy("someLong").parquet(paths["partitioned"])
     return paths
+
+
+def prune_fuzz_rows() -> list[dict]:
+    """Nulls-and-empties-rich SAMPLE_SCHEMA rows for the prune fuzz — ONE
+    definition shared by the in-suite fixtures (tests/test_properties.py)
+    and the offline hunt (tools/fuzz_hunt.py), so the two input spaces
+    cannot drift (review r9)."""
+    full = {
+        "someStr": "bla", "someLong": 12345678987654321, "someDouble": 0.5,
+        "someBoolean": True, "someStrArray": ["a", "b"],
+        "someComplexArray": [{"col1": 1, "col2": 2}, {"col1": 3, "col2": 4}],
+        "struct": {"col1": 1, "col2": 2, "col3": 3, "subArray": [1, 2]},
+        "nestedStruct": {"childStruct": {"col1": 10, "col2": 20}, "str": "ns"},
+        "someArrayOfArrays": [[0, 1], [4]],
+        "someArrayOfComplexArrays": [{"col1": 1, "col2": [7], "col3": 9}],
+    }
+    return [
+        full,
+        {**full, "someStr": None,
+         "struct": {"col1": None, "col2": 5, "col3": None, "subArray": None}},
+        {**full, "someLong": -1, "nestedStruct": None, "someComplexArray": []},
+        {**full, "someBoolean": False, "someStrArray": [], "someArrayOfArrays": None,
+         "someComplexArray": None, "someArrayOfComplexArrays": []},
+        dict(full),  # exact duplicate
+        {**full, "someDouble": None, "someStr": "blu",
+         "someComplexArray": [{"col1": None, "col2": 6}]},
+    ]
+
+
+def crazy_fuzz_rows() -> list[dict]:
+    """CRAZY_MAP_SCHEMA rows with an absent map key, empty repeatedStuff,
+    and NULL branches — shared like prune_fuzz_rows()."""
+    full = _crazy_rows()[0]
+    return [
+        full,
+        {**full, "someStr": "nokey",
+         "mapOfArray": {"thirdKey": [{"val1": "x", "val2": None, "val3": None, "val4": "y"}]}},
+        {**full, "someStr": "empty",
+         "crazyStruct": {"justAString": None, "repeatedStuff": []}},
+        {**full, "someStr": None, "mapOfArray": None, "crazyStruct": None},
+        dict(full),
+    ]

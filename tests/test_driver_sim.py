@@ -82,6 +82,7 @@ def test_h01_oracle_est_normalization_is_reader_invariant(con):
     tz=UTC parquet as naive TIMESTAMP or TIMESTAMPTZ, independent of the
     session TimeZone — unlike `AT TIME ZONE 'UTC'`, which converts in
     OPPOSITE directions for the two readings."""
+    prior = con.execute("SELECT current_setting('TimeZone')").fetchone()[0]
     con.execute("SET TimeZone='America/New_York'")
     try:
         rel = con.sql(
@@ -93,4 +94,7 @@ def test_h01_oracle_est_normalization_is_reader_invariant(con):
         assert row[0] == row[1]
         assert str(row[0]) == "2024-01-01 10:00:00"
     finally:
-        con.execute("SET TimeZone='UTC'")
+        # restore the connection's PRIOR tz, not a hardcoded UTC — the
+        # fixture is module-scoped and later tests must see what they
+        # started with (review r9)
+        con.execute(f"SET TimeZone='{prior}'")

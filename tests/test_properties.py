@@ -357,29 +357,13 @@ import pytest
 def fuzz_paths(spark, tmp_path_factory):
     """Nested fixture with nulls, empty arrays, absent branches, and dup
     rows — 2-row sample.parquet can't distinguish 'pruned away' from
-    'never there' for every branch; this one can."""
-    from tests.fixtures_nested import SAMPLE_SCHEMA
+    'never there' for every branch; this one can. Rows come from the shared
+    builder so the offline hunt (tools/fuzz_hunt.py) explores the exact
+    same input space."""
+    from tests.fixtures_nested import SAMPLE_SCHEMA, prune_fuzz_rows
 
     base = tmp_path_factory.mktemp("prune_fuzz")
-    full = {
-        "someStr": "bla", "someLong": 12345678987654321, "someDouble": 0.5,
-        "someBoolean": True, "someStrArray": ["a", "b"],
-        "someComplexArray": [{"col1": 1, "col2": 2}, {"col1": 3, "col2": 4}],
-        "struct": {"col1": 1, "col2": 2, "col3": 3, "subArray": [1, 2]},
-        "nestedStruct": {"childStruct": {"col1": 10, "col2": 20}, "str": "ns"},
-        "someArrayOfArrays": [[0, 1], [4]],
-        "someArrayOfComplexArrays": [{"col1": 1, "col2": [7], "col3": 9}],
-    }
-    rows = [
-        full,
-        {**full, "someStr": None, "struct": {"col1": None, "col2": 5, "col3": None, "subArray": None}},
-        {**full, "someLong": -1, "nestedStruct": None, "someComplexArray": []},
-        {**full, "someBoolean": False, "someStrArray": [], "someArrayOfArrays": None,
-         "someComplexArray": None, "someArrayOfComplexArrays": []},
-        dict(full),  # exact duplicate
-        {**full, "someDouble": None, "someStr": "blu",
-         "someComplexArray": [{"col1": None, "col2": 6}]},
-    ]
+    rows = prune_fuzz_rows()
     pq = str(base / "fuzz.parquet")
     js = str(base / "fuzz.json")
     spark.createDataFrame(rows, SAMPLE_SCHEMA).coalesce(1).write.mode("overwrite").parquet(pq)
@@ -484,14 +468,25 @@ def _record_upstream_bug(plan: dict, error: str, pruned_leg_ok: bool) -> None:
         return _json.dumps({k: v for k, v in p.items() if k != "pruned_schema"},
                            sort_keys=True)
 
+    def _keys_on_disk():
+        # tolerate malformed lines (truncated append from a killed run):
+        # a corpus parse error must never turn an upstream-bug SKIP into a
+        # hard failure — worst case the entry is re-appended
+        try:
+            with open(_UPSTREAM_CORPUS) as f:
+                for ln in f:
+                    if ln.strip():
+                        try:
+                            yield _key(_json.loads(ln)["plan"])
+                        except Exception:
+                            continue
+        except FileNotFoundError:
+            return
+
     key = _key(plan)
     _os.makedirs(_os.path.dirname(_UPSTREAM_CORPUS), exist_ok=True)
-    try:
-        with open(_UPSTREAM_CORPUS) as f:
-            if any(_key(_json.loads(ln)["plan"]) == key for ln in f if ln.strip()):
-                return
-    except FileNotFoundError:
-        pass
+    if key in set(_keys_on_disk()):
+        return
     with open(_UPSTREAM_CORPUS, "a") as f:
         f.write(_json.dumps(entry, sort_keys=True) + "\n")
 
@@ -966,19 +961,11 @@ _CRAZY_EXPLODE_FIELDS = {
 @pytest.fixture(scope="session")
 def crazy_fuzz_paths(spark, tmp_path_factory):
     """crazy-schema rows with an absent map key, empty repeatedStuff, and
-    NULL branches — written as parquet and multiline JSON."""
-    from tests.fixtures_nested import CRAZY_MAP_SCHEMA, _crazy_rows
+    NULL branches — written as parquet and multiline JSON. Rows from the
+    shared builder (see fuzz_paths)."""
+    from tests.fixtures_nested import CRAZY_MAP_SCHEMA, crazy_fuzz_rows
 
-    full = _crazy_rows()[0]
-    rows = [
-        full,
-        {**full, "someStr": "nokey",
-         "mapOfArray": {"thirdKey": [{"val1": "x", "val2": None, "val3": None, "val4": "y"}]}},
-        {**full, "someStr": "empty",
-         "crazyStruct": {"justAString": None, "repeatedStuff": []}},
-        {**full, "someStr": None, "mapOfArray": None, "crazyStruct": None},
-        dict(full),
-    ]
+    rows = crazy_fuzz_rows()
     base = tmp_path_factory.mktemp("crazy_fuzz")
     pq = str(base / "crazy.parquet")
     js = str(base / "crazy.json")

@@ -87,8 +87,10 @@ def main() -> int:
     only = set(sys.argv[2:])
     # oracle strings freeze at operator-module import and embed the
     # sf-tagged xcheck paths (r9) — point them at THIS run's sf before
-    # __spark_entry__ pulls the query registry in
-    os.environ.setdefault("SCORE_SPARK_ORACLE_SF_DIR", sf)
+    # __spark_entry__ pulls the query registry in. Direct assignment, not
+    # setdefault: a stale export from an earlier debugging session must not
+    # silently pin the oracles to a different sf than argv's (review r9)
+    os.environ["SCORE_SPARK_ORACLE_SF_DIR"] = sf
 
     import __spark_entry__ as E
     from score_spark.session import get_session
@@ -122,13 +124,17 @@ def main() -> int:
             print(f"  {name}: rows-only ({n} rows)")
             continue
         sdf = qs[name](spark, sf)
-        a = canon(sdf.toPandas())
         rel = con.sql(osql[name])
+        # declared-dtype check FIRST: it needs only sdf.schema and
+        # rel.types — a skewed query skips the full collect+canon entirely.
+        # NOTE the Spark query's ACTIONS (xcheck writes, persists) already
+        # ran at construction above, so the oracle's channel reads are fresh
         skews = dtype_skews(sdf, rel)
         if skews:
             bad.append(name)
             print(f"  DTYPE-SKEW {name}: " + "; ".join(skews))
             continue
+        a = canon(sdf.toPandas())
         e = canon(rel.fetchdf())
         ha = hashlib.md5(a.to_csv(index=False).encode()).hexdigest()
         he = hashlib.md5(e.to_csv(index=False).encode()).hexdigest()

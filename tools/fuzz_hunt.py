@@ -3,7 +3,9 @@
 a much larger example budget than the in-suite settings (which are sized for
 CI wall-clock, not hunting). Usage:
 
-    python tools/fuzz_hunt.py [n_single] [n_multi] [n_map]
+    python tools/fuzz_hunt.py [n_single] [n_multi] [n_map] [n_sql]
+
+A budget of 0 skips that invariant (hunt a single one cheaply).
 
 Reuses the EXACT inner test functions (strategies, pipeline builders, and
 the upstream-crash policy included) — only max_examples and the fixtures'
@@ -33,7 +35,12 @@ def main() -> int:
     n_sql = int(sys.argv[4]) if len(sys.argv) > 4 else 150
 
     import tests.test_properties as tp
-    from tests.fixtures_nested import CRAZY_MAP_SCHEMA, SAMPLE_SCHEMA, _crazy_rows
+    from tests.fixtures_nested import (
+        CRAZY_MAP_SCHEMA,
+        SAMPLE_SCHEMA,
+        crazy_fuzz_rows,
+        prune_fuzz_rows,
+    )
     from score_spark.session import get_session
 
     spark = get_session(
@@ -51,41 +58,8 @@ def main() -> int:
             json.dump(rows, f, indent=1, default=str)
         return {"parquet": pq, "json": js}
 
-    full = {
-        "someStr": "bla", "someLong": 12345678987654321, "someDouble": 0.5,
-        "someBoolean": True, "someStrArray": ["a", "b"],
-        "someComplexArray": [{"col1": 1, "col2": 2}, {"col1": 3, "col2": 4}],
-        "struct": {"col1": 1, "col2": 2, "col3": 3, "subArray": [1, 2]},
-        "nestedStruct": {"childStruct": {"col1": 10, "col2": 20}, "str": "ns"},
-        "someArrayOfArrays": [[0, 1], [4]],
-        "someArrayOfComplexArrays": [{"col1": 1, "col2": [7], "col3": 9}],
-    }
-    fuzz_paths = write_pair(
-        [
-            full,
-            {**full, "someStr": None, "struct": {"col1": None, "col2": 5, "col3": None, "subArray": None}},
-            {**full, "someLong": -1, "nestedStruct": None, "someComplexArray": []},
-            {**full, "someBoolean": False, "someStrArray": [], "someArrayOfArrays": None,
-             "someComplexArray": None, "someArrayOfComplexArrays": []},
-            dict(full),
-            {**full, "someDouble": None, "someStr": "blu",
-             "someComplexArray": [{"col1": None, "col2": 6}]},
-        ],
-        SAMPLE_SCHEMA, "fuzz",
-    )
-    cfull = _crazy_rows()[0]
-    crazy_paths = write_pair(
-        [
-            cfull,
-            {**cfull, "someStr": "nokey",
-             "mapOfArray": {"thirdKey": [{"val1": "x", "val2": None, "val3": None, "val4": "y"}]}},
-            {**cfull, "someStr": "empty",
-             "crazyStruct": {"justAString": None, "repeatedStuff": []}},
-            {**cfull, "someStr": None, "mapOfArray": None, "crazyStruct": None},
-            dict(cfull),
-        ],
-        CRAZY_MAP_SCHEMA, "crazy",
-    )
+    fuzz_paths = write_pair(prune_fuzz_rows(), SAMPLE_SCHEMA, "fuzz")
+    crazy_paths = write_pair(crazy_fuzz_rows(), CRAZY_MAP_SCHEMA, "crazy")
 
     def hunt(name, inner, kw, n):
         cfg = settings(max_examples=n, deadline=None,
