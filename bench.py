@@ -382,12 +382,20 @@ def _duckdb_baseline(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_DUCKDB.json"), "w"
     ) as f:
         json.dump(report, f, indent=2)
+    skipped = sorted(set(spark_times) & _BASELINE_SKIP)
     return {
         "duckdb_total_sec": duck_total,
         "spark_total_sec_same_queries": spark_total,
         "spark_vs_duckdb_ratio": report["spark_vs_duckdb_ratio"],
         "spark_vs_duckdb_ratio_net_floor": report["spark_vs_duckdb_ratio_net_floor"],
         "n_queries": len(per_query),
+        # the accounting is self-describing (VERDICT r8 #4): queries outside
+        # the ratio (per-entry rationale at _BASELINE_SKIP) and their total
+        # wall — still included in the headline total_query_wall_clock above
+        "skipped_queries": skipped,
+        "skipped_spark_sec": round(
+            sum(spark_times[q] for q in skipped if spark_times.get(q) is not None), 3
+        ),
     }
 
 
