@@ -136,10 +136,14 @@ def test_write_sorted_enables_row_group_skipping(spark, sf_dir, tmp_path):
     )
     sorted_dir = str(tmp_path / "sorted")
     unsorted_dir = str(tmp_path / "unsorted")
-    # small groups so the (tiny) fixture still yields many row groups;
-    # repartition(4) scrambles the natural ts clustering of the source
+    # small groups so the (tiny) fixture still yields many row groups. The
+    # control arm must be GENUINELY time-scrambled: sorting by raw event_id
+    # inherited the fixture's entropy — at sf0.01 ids correlate with ts
+    # (sequential generation), so the "unsorted" layout was half
+    # time-clustered and its overlap fraction dropped to 0.61 (r9 soak).
+    # xxhash64(event_id) decorrelates deterministically at every SF.
     write_sorted(e, sorted_dir, sort_by=("ts",), row_group_bytes=16 * 1024)
-    (e.repartition(4).sortWithinPartitions("event_id")
+    (e.repartition(4).sortWithinPartitions(F.xxhash64("event_id"))
      .write.mode("overwrite").option("parquet.block.size", str(16 * 1024))
      .parquet(unsorted_dir))
 
