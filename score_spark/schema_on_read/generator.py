@@ -29,6 +29,7 @@ linking across branches, Expand (rollup/cube) projections.
 
 from __future__ import annotations
 
+import json
 import time
 from dataclasses import dataclass, field
 from typing import Any
@@ -50,6 +51,29 @@ _PATH_EXPRS = {
     "GetArrayItem",
     "ElementAt",
     "Get",  # F.get(arr, i): NULL-on-out-of-bounds ElementAt (r8 fuzz find)
+}
+
+# Expressions whose RESULT depends on every field of a complex operand —
+# whole-value comparisons and order/equality-sensitive functions. Their
+# operands must be walked in 'require' mode even inside touch-mode contexts
+# (Filter conditions, agg expressions): a struct operand pruned to its
+# separately-touched children changes the comparison itself (review r9,
+# proven by execution — filter(s1 == s2) with both sides pruned compares a
+# field subset, the same class r7 fixed for Deduplicate/Intersect/Except
+# keys). Requiring a PRIMITIVE operand is a no-op (touch already keeps
+# primitives by emission), so membership only affects complex operands.
+# Deliberately absent: First/Last (positional pick, not value-comparing —
+# narrowing their output is the ref test :320-337 contract), IsNull/IsNotNull
+# (a container's null-ness is independent of which fields are read),
+# Coalesce/If/CaseWhen (pass values through; their outputs prune like any
+# projection).
+_VALUE_COMPARISON_EXPRS = {
+    "EqualTo", "EqualNullSafe", "LessThan", "LessThanOrEqual",
+    "GreaterThan", "GreaterThanOrEqual", "In", "InSet",
+    "Max", "Min", "Greatest", "Least", "CollectSet",
+    "SortArray", "ArrayMin", "ArrayMax", "ArraySort",
+    "ArrayContains", "ArrayPosition", "ArraysOverlap", "ArrayRemove",
+    "ArrayDistinct", "ArrayUnion", "ArrayIntersect", "ArrayExcept",
 }
 
 
@@ -128,7 +152,7 @@ class SchemaOnRead:
         self = cls()
         try:
             relations = _collect_jvm_relations(jplan)
-            flat = __import__("json").loads(jplan.toJSON())
+            flat = json.loads(jplan.toJSON())
             root = build_tree(flat)
             self._analyze(root, relations)
             if h is not None:
@@ -184,7 +208,6 @@ class SchemaOnRead:
     # ------------------------------------------------------- plan traversal
 
     def _analyze(self, root: Node, relations: list[dict[str, Any]]) -> None:
-        st = self._state
         self._rel_iter = iter(relations)
         self._mark_upper_most(root, found=False)
         self._visit(root)
@@ -260,7 +283,13 @@ class SchemaOnRead:
                 self._cte_def_nodes[d["id"]] = d
             self._cte_exposed = getattr(self, "_cte_exposed", {})
             self._mark_upper_most(plan, found)
-            for d in defs:
+            # REVERSED def order (review r9): refs only point at EARLIER
+            # defs, so exposure discovered while pre-passing a later def
+            # (`WITH a AS (...), b AS (TABLE a) TABLE b` — b's top-level ref
+            # exposes a) must be recorded before a's own pre-pass consumes
+            # it; forward order pre-passed a with found=True and
+            # skeletonized its complex final outputs.
+            for d in reversed(defs):
                 exposed = self._cte_exposed.get(d["id"], False)
                 self._mark_upper_most(d["_children"][0], found=not exposed)
             return
@@ -309,6 +338,16 @@ class SchemaOnRead:
             st.current_relation = None
             return
         ref = info["ref"]
+        if not ref:
+            # an empty directory yields ZERO input files: a bare () ref
+            # would (a) conflate every empty relation under one dict key —
+            # the second empty source silently reuses the first's schema and
+            # trie — and (b) vacuously satisfy for_paths' all()-over-files
+            # subset check, shadowing the real relation for ANY requested
+            # path (review r9). Synthesize a root-path identity; the marker
+            # never collides with a real file path, so files-based matching
+            # simply can't select an empty relation (roots-based still can).
+            ref = tuple("<empty>:" + p for p in info["root_paths"]) or ("<empty>",)
         rel = st.relations.get(ref)
         if rel is None:
             # double-entry guard for self-joins: one trie per path-set
@@ -368,18 +407,42 @@ class SchemaOnRead:
         self._selection(node, mandatory=cond, conditional=[])
 
     def _on_Generate(self, node: Node) -> None:
-        # conditional generator + outputs (SchemaOnReadUtils.java:148-158);
-        # the LAST generator-output attribute aliases the exploded element
-        # (SchemaOnReadState.java:202-231) so `item.col1` maps to arr.col1.
+        # conditional generator + outputs (SchemaOnReadUtils.java:148-158).
+        # Explode/PosExplode: the LAST generator-output attribute aliases the
+        # exploded element (SchemaOnReadState.java:202-231) so `item.col1`
+        # maps to arr.col1. Inline emits ONE output per element field, so
+        # each output aliases arr.<field> instead (review r9 — the explode
+        # aliasing left every Inline output but the last unmapped, and the
+        # last mapped to the collection rather than its field). Any OTHER
+        # generator (Stack — whose first child is the row-count literal, not
+        # a data expr — JsonTuple, Python UDTFs, future classes) gets the
+        # over-keep backstop: every child walked in require mode and no
+        # output aliasing, because guessing the element mapping of an
+        # unknown generator risks silent under-reads.
         gen = expr_trees(node.get("generator"))
         outputs = expr_trees(node.get("generatorOutput"))
         handles: list[Handle] = []
         mode = "require" if id(node) in self._state.upper_most else "touch"
         for g in gen:
-            # Explode/PosExplode/Inline wrap the collection expr — resolve the
-            # child so its trie node aliases the output attribute
-            target = g["_children"][0] if g["_children"] else g
-            handles = self._walk_expr(target, mode)
+            gname = cls_name(g)
+            if gname in ("Explode", "PosExplode"):
+                target = g["_children"][0] if g["_children"] else g
+                handles = self._walk_expr(target, mode)
+            elif gname == "Inline" and g["_children"]:
+                base = self._walk_expr(g["_children"][0], mode)
+                for out in outputs:
+                    eid = expr_id(out)
+                    nm = out.get("name")
+                    if eid is not None and nm and base:
+                        self._state.exprid_map.setdefault(eid, []).extend(
+                            h.descend(nm) for h in base
+                        )
+                self._finalize(node)
+                return
+            else:
+                for c in g["_children"]:
+                    self._walk_expr(c, "require")
+                handles = []
         if outputs:
             last = outputs[-1]
             eid = expr_id(last)
@@ -565,10 +628,11 @@ class SchemaOnRead:
         # This is the same problem the reference patches with its
         # "complete hack" re-visit (TreeNodeProcessingRegistry.java:62-68);
         # here the fix is just returning the function child's handles.
+        child_mode = "require" if cname in _VALUE_COMPARISON_EXPRS else mode
         last: list[Handle] = []
         first_child_handles: list[Handle] | None = None
         for c in expr["_children"]:
-            got = self._walk_expr(c, mode)
+            got = self._walk_expr(c, child_mode)
             if first_child_handles is None:
                 first_child_handles = got
             if got:
@@ -647,7 +711,7 @@ def _collect_jvm_relations(jplan) -> list[dict[str, Any] | None]:
         if rel.getClass().getName().endswith("HadoopFsRelation"):
             files = tuple(sorted(rel.location().inputFiles()))
             roots = tuple(str(p) for p in _scala_seq(rel.location().rootPaths()))
-            schema = T.StructType.fromJson(__import__("json").loads(rel.schema().json()))
+            schema = T.StructType.fromJson(json.loads(rel.schema().json()))
             out.append({"ref": files, "root_paths": roots, "schema": schema})
         else:
             out.append(None)

@@ -70,6 +70,15 @@ def prune(
 
     pruned_readers: dict[str, DataFrame] = {}
     for name, src in sources.items():
+        if src.format.lower() == "csv":
+            # Spark binds a user schema to CSV columns POSITIONALLY
+            # (enforceSchema): a column-dropping schema silently shifts
+            # every later column into the wrong field — no error, wrong
+            # values (review r9). CSV has no nested structure to narrow
+            # anyway, so the only "pruning" would be that unsafe column
+            # drop; keep the full read.
+            pruned_readers[name] = full[name]
+            continue
         try:
             schema = sor.for_paths(*src.paths())
             pruned_readers[name] = _read(spark, src, schema=schema)

@@ -1,0 +1,172 @@
+"""Pinned regressions for the r9 analyzer-semantics review findings — each
+was confirmed by execution before the fix (generator.py / rewrite.py):
+
+1. whole-value comparisons (filter ``s1 == s2``) and order/equality-
+   sensitive aggregates (``max(struct)``) must REQUIRE their complex
+   operands fully, not leave them prunable to separately-touched children;
+2. the Inline generator emits one output per element field (the explode
+   last-output aliasing left all but one unmapped), and unknown generators
+   (Stack, UDTFs) get the over-keep backstop;
+3. an empty-directory relation (zero input files) must not vacuously match
+   any ``for_paths`` request nor conflate with other empty relations;
+4. WithCTE's upper-most pre-pass must record exposure discovered in LATER
+   defs before pre-passing the earlier defs they reference;
+5. ``prune()`` must not narrow CSV sources (Spark binds a user schema to
+   CSV columns positionally — dropping a middle column silently shifts
+   values).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+os.environ.setdefault("SCORE_SPARK_SOR_RAISE", "1")
+
+from score_spark.schema_on_read.generator import SchemaOnRead  # noqa: E402
+
+_SCHEMA2 = "s1 struct<a:bigint,b:bigint>, s2 struct<a:bigint,b:bigint>"
+_ROWS2 = [
+    {"s1": {"a": 1, "b": 1}, "s2": {"a": 1, "b": 1}},  # fully equal
+    {"s1": {"a": 2, "b": 1}, "s2": {"a": 2, "b": 9}},  # a matches, b differs
+]
+
+_SCHEMA3 = "arr array<struct<c1:bigint,c2:bigint>>, x bigint"
+_ROWS3 = [
+    {"arr": [{"c1": 1, "c2": 2}], "x": 5},
+    {"arr": [{"c1": 3, "c2": 4}, {"c1": 5, "c2": 6}], "x": 7},
+]
+
+
+@pytest.fixture(scope="module")
+def two_struct_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("an_sem") / "two_struct.parquet")
+    spark.createDataFrame(_ROWS2, _SCHEMA2).write.mode("overwrite").parquet(p)
+    return p
+
+
+@pytest.fixture(scope="module")
+def arr_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("an_sem") / "arr.parquet")
+    spark.createDataFrame(_ROWS3, _SCHEMA3).write.mode("overwrite").parquet(p)
+    return p
+
+
+def _full_schema(spark, ddl, rows):
+    return spark.createDataFrame(rows, ddl).schema
+
+
+def _roundtrip(spark, path, schema, build):
+    """full-vs-pruned row compare for a query builder over one source."""
+    full_df = build(spark.read.schema(schema).parquet(path))
+    pruned = SchemaOnRead.generate(full_df).for_paths(path)
+    pruned_df = build(spark.read.schema(pruned).parquet(path))
+    assert sorted(map(str, pruned_df.collect())) == sorted(map(str, full_df.collect())), (
+        pruned.simpleString()
+    )
+    return pruned
+
+
+def test_filter_struct_equality_requires_both_sides(spark, two_struct_path):
+    """filter(s1 == s2) with only subfields projected: before the fix both
+    structs pruned to struct<a> and the re-read filter compared a field
+    subset — row {a:2} passed even though b differs (silently wrong)."""
+    schema = _full_schema(spark, _SCHEMA2, _ROWS2)
+    pruned = _roundtrip(
+        spark, two_struct_path, schema,
+        lambda df: df.filter(F.col("s1") == F.col("s2"))
+                     .select(F.col("s1.a").alias("a"), F.col("s2.a").alias("a2")),
+    )
+    for fld in ("s1", "s2"):
+        assert set(pruned[fld].dataType.fieldNames()) == {"a", "b"}, pruned.simpleString()
+
+
+def test_max_struct_agg_requires_operand(spark, two_struct_path):
+    """max(struct) orders by EVERY field; pruning the struct to the single
+    extracted subfield changed which row wins."""
+    schema = _full_schema(spark, _SCHEMA2, _ROWS2)
+    pruned = _roundtrip(
+        spark, two_struct_path, schema,
+        lambda df: df.groupBy(F.lit(1).alias("k"))
+                     .agg(F.max("s1").alias("m")).select(F.col("m.b").alias("b")),
+    )
+    assert set(pruned["s1"].dataType.fieldNames()) == {"a", "b"}, pruned.simpleString()
+
+
+def test_inline_generator_round_trips(spark, arr_path):
+    """F.inline(arr) emits one column per element field; the explode-shaped
+    aliasing used to map only the LAST output (and to the collection, not
+    the field), so a projection of an earlier field lost its dependency."""
+    schema = _full_schema(spark, _SCHEMA3, _ROWS3)
+    pruned = _roundtrip(
+        spark, arr_path, schema,
+        lambda df: df.select(F.inline("arr")).select("c1"),
+    )
+    assert "arr" in pruned.fieldNames(), pruned.simpleString()
+
+
+def test_unknown_generator_stack_over_keeps(spark, arr_path):
+    """stack(2, x, x+1): child[0] is the row-count literal, so the explode
+    shape walked NO data expression and x vanished from the read schema.
+    Unknown generators now require every child (over-keep backstop)."""
+    schema = _full_schema(spark, _SCHEMA3, _ROWS3)
+    pruned = _roundtrip(
+        spark, arr_path, schema,
+        lambda df: df.select(F.expr("stack(2, x, x+1) AS s")),
+    )
+    assert "x" in pruned.fieldNames(), pruned.simpleString()
+
+
+def test_empty_relation_does_not_shadow_real_one(spark, arr_path, tmp_path):
+    """A zero-file relation used to carry ref=() — matching ANY for_paths
+    request via the vacuous all()-over-files check and conflating every
+    empty relation under one dict key."""
+    schema = _full_schema(spark, _SCHEMA3, _ROWS3)
+    empty_dir = str(tmp_path / "empty.parquet")
+    spark.createDataFrame([], _SCHEMA3).write.mode("overwrite").parquet(empty_dir)
+    for f in glob.glob(f"{empty_dir}/*.parquet"):
+        os.remove(f)  # leave a directory with ZERO data files
+    e = spark.read.schema(schema).parquet(empty_dir)
+    r = spark.read.schema(schema).parquet(arr_path)
+    q = e.select("x").unionByName(r.select("x"))
+    sor = SchemaOnRead.generate(q)
+    assert sor.for_paths(arr_path).simpleString() == "struct<x:bigint>"
+
+
+def test_cte_referencing_earlier_cte_keeps_final_outputs(spark, arr_path):
+    """WITH a AS (...), b AS (SELECT * FROM a) SELECT ... FROM b: exposure
+    of a is discovered while pre-passing b, so defs must be pre-passed in
+    REVERSE order — forward order pre-passed a as unexposed and
+    skeletonized its complex final output column."""
+    schema = _full_schema(spark, _SCHEMA3, _ROWS3)
+    spark.read.schema(schema).parquet(arr_path).createOrReplaceTempView("an_sem_cte_v")
+    sql = ("WITH a AS (SELECT arr, x FROM an_sem_cte_v), "
+           "b AS (SELECT * FROM a) SELECT arr, x FROM b")
+    full_df = spark.sql(sql)
+    want = sorted(map(str, full_df.collect()))
+    pruned = SchemaOnRead.generate(full_df).for_paths(arr_path)
+    spark.read.schema(pruned).parquet(arr_path).createOrReplaceTempView("an_sem_cte_v")
+    assert sorted(map(str, spark.sql(sql).collect())) == want, pruned.simpleString()
+    assert "c2" in pruned["arr"].dataType.elementType.fieldNames(), pruned.simpleString()
+
+
+def test_prune_never_narrows_csv_sources(spark, tmp_path):
+    """CSV user schemas bind POSITIONALLY: dropping a middle column shifts
+    every later column's values. prune() must keep CSV reads full-width."""
+    from score_spark.schema_on_read.rewrite import Source, prune
+
+    p = str(tmp_path / "t.csv")
+    src_df = spark.createDataFrame(
+        [(1, "drop-me", 10), (2, "skip", 20)], "a bigint, b string, c bigint"
+    )
+    src_df.write.mode("overwrite").option("header", "true").csv(p)
+    out = prune(
+        spark,
+        {"t": Source(p, "csv", options={"header": "true", "inferSchema": "true"})},
+        lambda t: t["t"].select("a", "c"),
+    )
+    got = sorted((r.a, r.c) for r in out.collect())
+    assert got == [(1, 10), (2, 20)], got

@@ -378,6 +378,13 @@ _FUZZ_PREDICATES = [
     ("str_or_null", lambda d: d.filter(F.col("someStr").isNull() | (F.col("someStr") != "zzz"))),
     ("struct_col1", lambda d: d.filter(F.col("struct.col1").isNotNull())),
     ("child_col2", lambda d: d.filter(F.col("nestedStruct.childStruct.col2") >= 0)),
+    # whole-complex-value comparison in a filter: the r9 require-operands
+    # class — the compared struct/array must stay full even when only some
+    # children are otherwise touched (self-compare is NULL-sensitive, so
+    # keep NULL rows explicitly)
+    ("cplx_self_eq", lambda d: d.filter(
+        (F.col("someComplexArray") == F.col("someComplexArray"))
+        | F.col("someComplexArray").isNull())),
 ]
 
 _FUZZ_EXPLODES = [
@@ -588,6 +595,10 @@ def test_pruned_reread_equals_full_for_random_plans(spark, fuzz_paths, data):
                 aggs.append(F.min(ncols[0]).alias("mn"))
             if "w_min" in df.columns:
                 aggs.append(F.max("w_min").alias("mx_w"))
+            if any(n == "whole_struct" for n, *_ in fields):
+                # min over a STRUCT orders by every field — the r9
+                # require-operands class applied to aggregates
+                aggs.append(F.min("whole_struct").alias("mn_s"))
             df = df.groupBy(*gcols[:1]).agg(*aggs)
         if do_dedup:
             df = df.dropDuplicates()
