@@ -82,8 +82,11 @@ def parse_byte_size(raw: str, default: int | None = None) -> int:
             pass
     if body and body[-1] in units:
         try:
+            # OverflowError too: float('1e999') * unit is inf, and
+            # int(inf) raises Overflow, not ValueError — the documented
+            # contract is raise-ValueError-or-return-default (review r9)
             return int(float(body[:-1]) * units[body[-1]])
-        except ValueError:
+        except (ValueError, OverflowError):
             pass
     if default is not None:
         return default
@@ -138,9 +141,11 @@ def fan_out(
         files = []
     if not files:
         # non-file source (createDataFrame, derived plan): size unknown, so
-        # the density cap cannot apply — keep the pre-cap behavior of
-        # spreading to the caller's target
-        return df.repartition(target)
+        # the density cap cannot apply — spread to the caller's target, but
+        # never insert a shuffle that cannot widen anything (target <= 1 on
+        # a local[1] session previously round-robined every row into the
+        # same single partition — review r9)
+        return df if target <= 1 else df.repartition(target)
     conf = df.sparkSession.conf
     max_pb = parse_byte_size(
         conf.get("spark.sql.files.maxPartitionBytes", "134217728"), default=134217728
@@ -237,9 +242,13 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = e.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     elif dt == "timestamp_ntz":
         e = e.withColumn("ts", F.col("ts").cast("timestamp"))
-    assert dict(e.dtypes).get("ts") == "timestamp", (
-        f"events.ts normalized to {dict(e.dtypes).get('ts')!r}, expected "
-        "'timestamp' — a reader behavior change upstream; fix load_events"
-    )
+    if dict(e.dtypes).get("ts") != "timestamp":
+        # a real raise, not an assert: asserts are compiled out under
+        # python -O, and this guard exists precisely to turn a silent
+        # upstream reader-behavior change into a loud failure (review r9)
+        raise TypeError(
+            f"events.ts normalized to {dict(e.dtypes).get('ts')!r}, expected "
+            "'timestamp' — a reader behavior change upstream; fix load_events"
+        )
     cache[sf_dir] = e
     return e

@@ -356,7 +356,7 @@ class SchemaOnRead:
                 ref=ref,
                 root_paths=info["root_paths"],
                 full_schema=info["schema"],
-                trie=TrieNode(dtype=T.StructType(info["schema"].fields)),
+                trie=TrieNode(),
             )
             st.relations[ref] = rel
         st.current_relation = rel

@@ -14,15 +14,28 @@ Node = dict[str, Any]
 
 
 def build_tree(flat: list[Node]) -> Node:
-    """Nest a flat pre-order node list; children land under '_children'."""
+    """Nest a flat pre-order node list; children land under '_children'.
+
+    Iterative with an explicit stack (review r9): deep chained plans — a
+    loop of withColumn calls stacks one Project per iteration — overflowed
+    Python's recursion limit, and the RecursionError was swallowed by
+    generate()'s best-effort fallback, silently disabling pruning on
+    exactly the large plans where it matters most.
+    """
     it = iter(flat)
-
-    def rec() -> Node:
-        node = next(it)
-        node["_children"] = [rec() for _ in range(node.get("num-children", 0))]
-        return node
-
-    root = rec()
+    root = next(it)
+    root["_children"] = []
+    stack: list[tuple[Node, int]] = [(root, root.get("num-children", 0))]
+    while stack:
+        node, remaining = stack[-1]
+        if remaining == 0:
+            stack.pop()
+            continue
+        stack[-1] = (node, remaining - 1)
+        child = next(it)
+        child["_children"] = []
+        node["_children"].append(child)
+        stack.append((child, child.get("num-children", 0)))
     return root
 
 
@@ -41,11 +54,20 @@ def expr_trees(value: Any) -> list[Node]:
     if not isinstance(value, list) or not value:
         return []
     if isinstance(value[0], dict) and "class" in value[0]:
-        return [build_tree(list(value))]
+        # memoized on the installed '_children' key: the generator parses
+        # the same field from several handlers (Join condition in the
+        # pre-pass AND _on_Join; relation output in _on_LogicalRelation AND
+        # _node_output per set-op position) — build_tree mutates the shared
+        # dicts in place, so a rebuilt nesting is identical (review r9)
+        if "_children" not in value[0]:
+            build_tree(list(value))
+        return [value[0]]
     out = []
     for item in value:
         if isinstance(item, list) and item and isinstance(item[0], dict) and "class" in item[0]:
-            out.append(build_tree(list(item)))
+            if "_children" not in item[0]:
+                build_tree(list(item))
+            out.append(item[0])
     return out
 
 

@@ -33,40 +33,24 @@ def is_complex(dtype: T.DataType) -> bool:
     return isinstance(dtype, _COMPLEX)
 
 
-def unwrap_to_struct(dtype: T.DataType) -> T.DataType:
-    """Descend through array/map layers to the underlying element/value type.
-    The reference strips collection accessors the same way
-    (SQLExpressionParser.java:12-44: `[0]` / `['key']` never narrow)."""
-    while True:
-        if isinstance(dtype, T.ArrayType):
-            dtype = dtype.elementType
-        elif isinstance(dtype, T.MapType):
-            dtype = dtype.valueType
-        else:
-            return dtype
-
-
 @dataclass
 class TrieNode:
-    dtype: T.DataType | None = None
+    """Pure name trie: nodes carry only the sticky ``required`` flag and
+    touched children. All TYPES come from the actual source schema at
+    emission time (prune_schema / prune_type) — a per-node dtype was
+    carried and resolved here for nothing (review r9: no consumer ever
+    read it for a decision), costing an O(#fields) scan per child creation
+    on the analyze path."""
+
     required: bool = False
     children: dict[str, TrieNode] = field(default_factory=dict)
 
     def child(self, name: str) -> TrieNode:
-        """Get-or-create the child for a (lower-cased) field name; its dtype is
-        resolved from this node's dtype through any array/map layers."""
+        """Get-or-create the child for a (lower-cased) field name."""
         key = name.lower()
         node = self.children.get(key)
         if node is None:
-            ctype = None
-            if self.dtype is not None:
-                base = unwrap_to_struct(self.dtype)
-                if isinstance(base, T.StructType):
-                    for f in base.fields:
-                        if f.name.lower() == key:
-                            ctype = f.dataType
-                            break
-            node = TrieNode(dtype=ctype)
+            node = TrieNode()
             self.children[key] = node
         return node
 
@@ -101,8 +85,8 @@ def merge_requirements(nodes: list[TrieNode]) -> bool:
     set-op output position, in place, so every branch emits the same pruned
     shape (generator._merge_setop_groups has the why). Sticky ``required``
     propagates to all; otherwise the touched-children sets merge
-    recursively — ``child()`` resolves each new node's dtype from its own
-    branch's schema, so the merge adapts to per-source type differences.
+    recursively. Types never enter the merge — each branch's pruned schema
+    is intersected with its OWN source schema at emission.
     Returns True when anything changed (the caller iterates to fixpoint)."""
     changed = False
     if any(n.required for n in nodes):

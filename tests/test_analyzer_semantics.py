@@ -170,3 +170,22 @@ def test_prune_never_narrows_csv_sources(spark, tmp_path):
     )
     got = sorted((r.a, r.c) for r in out.collect())
     assert got == [(1, 10), (2, 20)], got
+
+
+def test_deep_chained_plan_does_not_overflow_recursion(spark, arr_path):
+    """400 stacked withColumn Projects: the recursive build_tree overflowed
+    Python's recursion limit and the RecursionError was swallowed into the
+    silent full-schema fallback (review r9). With SCORE_SPARK_SOR_RAISE set
+    (module-wide here), a recursion failure would raise instead — so a
+    plain successful generate() proves the iterative rebuild."""
+    schema = _full_schema(spark, _SCHEMA3, _ROWS3)
+    df = spark.read.schema(schema).parquet(arr_path)
+    for i in range(400):
+        df = df.withColumn(f"c{i}", F.col("x") + i)
+    df = df.select("x")
+    pruned = SchemaOnRead.generate(df).for_paths(arr_path)
+    # x required by the final select; arr rides through every star-Project
+    # touched-but-unread, so it stays as the documented SKELETON
+    # (array<struct<>>), never its full element type
+    assert "x" in pruned.fieldNames()
+    assert pruned["arr"].dataType.elementType.fields == [], pruned.simpleString()

@@ -107,3 +107,27 @@ def test_default_shuffle_partitions_follow_resolved_master():
     assert _default_shuffle_partitions("local[32]", 32) == 32
     assert _default_shuffle_partitions("local[*]", 32) == (os.cpu_count() or 32)
     assert _default_shuffle_partitions("spark://host:7077", 32) == 32
+
+
+def test_parse_byte_size_overflow_returns_default():
+    """float('1e999') * unit is inf; int(inf) raises OverflowError, which
+    must honor the same return-default-or-ValueError contract as any other
+    unparseable form (review r9)."""
+    import pytest
+
+    from score_spark.io import parse_byte_size
+
+    assert parse_byte_size("1e999m", default=42) == 42
+    with pytest.raises(ValueError):
+        parse_byte_size("1e999m")
+
+
+def test_fan_out_nonfile_source_skips_useless_shuffle(spark):
+    """A derived (non-file) frame with target <= 1 must come back without a
+    repartition exchange — round-robining every row into the same single
+    partition is pure cost (review r9)."""
+    from score_spark.io import fan_out
+
+    df = spark.createDataFrame([(1,), (2,)], "x bigint")
+    out = fan_out(df, min_partitions=1)
+    assert "Exchange" not in out._jdf.queryExecution().optimizedPlan().toString()
