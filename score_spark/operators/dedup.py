@@ -39,8 +39,16 @@ from score_spark.xcheck import write_xcheck, xcheck_path
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep the lowest-id row per exact content hash. One shuffle on md5."""
-    h = F.md5(F.col(text_col)).alias("_fp")
+    """Keep the lowest-id row per exact content hash. One shuffle on md5.
+
+    NULL-text rows are all KEPT (each gets a unique per-id fingerprint):
+    md5(NULL) is NULL, so a plain hash partition grouped every NULL-content
+    row into one "duplicate" cluster and silently deleted all but one —
+    unknown content is not equal content (review r9)."""
+    h = F.coalesce(
+        F.md5(F.col(text_col)),
+        F.concat(F.lit("__null__"), F.col(id_col).cast("string")),
+    ).alias("_fp")
     ranked = df.select("*", h).withColumn(
         "_rk", F.row_number().over(Window.partitionBy("_fp").orderBy(id_col))
     )
@@ -162,11 +170,15 @@ def ngram_jaccard_pairs(
         res = res.localCheckpoint(eager=True)
         sh0.unpersist()
     else:
-        # lazy path: the shingle cache must outlive the returned (lazy)
-        # DataFrame, but nothing else can ever reach sh0 — tie its
-        # unpersist to the result's garbage collection so repeated library
-        # calls in a long-lived session don't accumulate pinned
-        # corpus-sized caches (review r7)
+        # lazy path: tie the cache's unpersist to GC of the returned
+        # wrapper so repeated library calls in a long-lived session don't
+        # accumulate pinned corpus-sized caches (review r7). CONTRACT
+        # (review r9): the persist benefit lasts only while the returned
+        # wrapper object is referenced — a DataFrame DERIVED from it does
+        # not keep the wrapper alive, so executing the derived frame after
+        # dropping the wrapper recomputes the shingles (correct, just
+        # unpersisted). Callers that branch the result should hold the
+        # wrapper or use eager=True.
         import weakref
 
         def _release(cached=sh0):
@@ -208,7 +220,12 @@ def exact_jaccard_for_pairs(
     g, sizes = shingle_df, sizes_df
     p = pairs
     inter = (
-        p.select("d1", "d2")
+        # distinct FIRST: duplicate (d1, d2) rows in the candidate frame
+        # would double-count every shared shingle through the joins and
+        # inflate exact_jac (confirmed by execution: a twice-listed pair
+        # scored 1.0 instead of 0.3333 — review r9); the final left-join
+        # back onto `p` still returns one row per INPUT row
+        p.select("d1", "d2").distinct()
         .join(g.alias("ga"), F.col("d1") == F.col("ga.doc_id"))
         .join(g.alias("gb"), (F.col("d2") == F.col("gb.doc_id")) & (F.col("ga.sh") == F.col("gb.sh")))
         .groupBy("d1", "d2")
@@ -305,6 +322,13 @@ def minhash_lsh_pairs(
     rows = n_hashes // bands
     if sigs is None:
         sigs = minhash_signature(df, n_hashes, n)
+    # docs with fewer than n tokens have EMPTY shingle sets: array_min over
+    # an empty array is NULL, concat_ws skips NULLs, and every such doc
+    # landed in the SAME bucket in every band — m short docs produced
+    # C(m,2) spurious all-NULL-signature candidate pairs, the quadratic
+    # blow-up banding exists to prevent (confirmed by execution, review
+    # r9). An empty shingle set can never be an n-gram near-dup; drop.
+    sigs = sigs.filter(F.col("sig")[0].isNotNull())
     band_structs = ", ".join(
         "named_struct('band', {b}, 'bucket', xxhash64(concat_ws(',', {cols})))".format(
             b=bnd, cols=", ".join(f"sig[{bnd * rows + r}]" for r in range(rows))
@@ -342,7 +366,12 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash of the token multiset: per bit, sign of sum(+1/-1) over
     token hashes. One explode + one groupBy(id) — the aggregate is 64 narrow
-    conditional sums, which Spark executes as a single hash-agg pass."""
+    conditional sums, which Spark executes as a single hash-agg pass.
+
+    NULL-text docs emit NO signature row (explode of split(NULL) yields
+    nothing): content similarity of unknown content is undefined, so such
+    docs never enter the Hamming candidate space — by contract, not by
+    accident (review r9)."""
     toks = fan_out(df, min_bytes_per_task=EXPLODE_BYTES_PER_TASK).select(  # token explode
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
@@ -447,7 +476,10 @@ def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_D01 = """
 WITH groups AS (
-  SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_copies
+  -- NULL-text rows keep a unique per-id fingerprint (never dedup unknown
+  -- content) — mirrors exact_dedup (review r9)
+  SELECT coalesce(md5(text), '__null__' || CAST(doc_id AS VARCHAR)) AS fp,
+         min(doc_id) AS keeper, count(*) AS n_copies
   FROM documents GROUP BY 1
 )
 SELECT count(*) AS n_unique,

@@ -125,7 +125,10 @@ def cosine_topk(
     # work scales with n_queries x dim, so keep the spread for small corpora
     pairs = q.join(fan_out(corpus, min_bytes_per_task=0), F.col(query_id_col) != F.col(id_col))
     sim = cosine(F.col("_qv"), F.col(vec_col))
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("_sim"), F.col("neighbor_id"))
+    # rounded rank key — see score_candidates (review r9)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc(F.round("_sim", 4)), F.col("neighbor_id")
+    )
     return (
         pairs.select(query_id_col, F.col(id_col).alias("neighbor_id"), sim.alias("_sim"))
         .withColumn("rk", F.row_number().over(w))
@@ -238,7 +241,14 @@ def score_candidates(
     qv = qsrc.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
     sim = cosine_pd(F.col("_qv"), F.col("_nv"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.col("neighbor_id"))
+    # rank on the ROUNDED sim: the unrounded key inherits the summation
+    # algorithm (einsum pairwise vs the oracle's sequential sum), so
+    # near-ties below 4 dp could rank-flip across engines; rounding the
+    # key first makes the (sim, neighbor_id) order identical by
+    # construction (review r9 — oracles rank the same way)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("_sim", 4)), F.col("neighbor_id")
+    )
     return (
         cand.join(qv, "query_id")
         .join(nv, "neighbor_id")
@@ -335,7 +345,13 @@ def embedding_near_dup_pairs(
                 sims = (m1 @ m2.T) / np.outer(
                     np.linalg.norm(m1, axis=1), np.linalg.norm(m2, axis=1)
                 )
-                sims = np.round(sims, 4)
+                # half-away-from-zero, matching F.round and DuckDB round():
+                # np.round is banker's (ties-to-even), which flips exact
+                # 4-dp boundary values vs the oracle (review r9). copysign
+                # passes NaN through: a zero-norm vector's undefined cosine
+                # is NOT a near-dup, and NaN >= t is False below — the same
+                # isnan-guarded semantics as the LSH path and the oracles.
+                sims = np.copysign(np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4, sims)
                 if b1 == b2:
                     # same block: each unordered pair appears twice in the
                     # matrix; the id order dedups it
@@ -442,7 +458,11 @@ def near_dup_pairs_lsh(
         cand.join(e1, "v1")
         .join(e2, "v2")
         .select("v1", "v2", F.round(sim, 4).alias("sim"))
-        .filter(F.col("sim") >= threshold)
+        # NaN guard: Spark orders NaN ABOVE every value, so a zero-norm
+        # vector's undefined cosine would pass `sim >= t` here while the
+        # exact numpy path (s02) drops it — undefined similarity is not a
+        # near-duplicate in either engine (review r9)
+        .filter((F.col("sim") >= threshold) & ~F.isnan("sim"))
     )
 
 
@@ -732,7 +752,8 @@ scored AS (
   SELECT p.query_id, e.vec_id AS neighbor_id,
          list_cosine_similarity(p.qv, e.embedding) AS sim_raw,
          row_number() OVER (PARTITION BY p.query_id
-                            ORDER BY list_cosine_similarity(p.qv, e.embedding) DESC, e.vec_id) AS rk
+                            ORDER BY round(list_cosine_similarity(p.qv, e.embedding), 4) DESC,
+                                     e.vec_id) AS rk
   FROM pooled p JOIN emb e ON e.vec_id <> p.query_id
 )
 SELECT s.query_id, s.neighbor_id, round(s.sim_raw, 4) AS sim, CAST(s.rk AS INT) AS rk,
@@ -770,7 +791,7 @@ pairs AS (
 SELECT count(*) AS n_pairs,
        round(max(sim), 4) AS max_sim,
        round(min(sim), 4) AS min_sim
-FROM pairs WHERE sim >= 0.4
+FROM pairs WHERE sim >= 0.4 AND NOT isnan(sim)
 """
 
 
@@ -796,7 +817,7 @@ scored AS (
   SELECT c.query_id, c.neighbor_id,
          list_cosine_similarity(q.embedding, n.embedding) AS sim_raw,
          row_number() OVER (PARTITION BY c.query_id
-                            ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
+                            ORDER BY round(list_cosine_similarity(q.embedding, n.embedding), 4) DESC,
                                      c.neighbor_id) AS rk
   FROM cand c
   JOIN emb q ON q.vec_id = c.query_id
@@ -830,7 +851,7 @@ scored AS (
   SELECT c.query_id, c.neighbor_id,
          list_cosine_similarity(q.embedding, n.embedding) AS sim_raw,
          row_number() OVER (PARTITION BY c.query_id
-                            ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
+                            ORDER BY round(list_cosine_similarity(q.embedding, n.embedding), 4) DESC,
                                      c.neighbor_id) AS rk
   FROM cand c
   JOIN emb q ON q.vec_id = c.query_id
@@ -874,6 +895,7 @@ FROM cand c
 JOIN emb a ON a.vec_id = c.v1
 JOIN emb b ON b.vec_id = c.v2
 WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.3
+  AND NOT isnan(list_cosine_similarity(a.embedding, b.embedding))
 ORDER BY c.v1, c.v2
 """
 

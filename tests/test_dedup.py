@@ -213,3 +213,63 @@ def test_minhash_lsh_pairs_rejects_bad_bands(spark):
         minhash_lsh_pairs(df, n_hashes=16, bands=32)
     with pytest.raises(ValueError, match="bands"):
         minhash_lsh_pairs(df, n_hashes=16, bands=5)
+
+
+def test_exact_jaccard_duplicate_pairs_not_inflated(spark):
+    """Duplicate (d1,d2) rows in the candidate frame double-counted every
+    shared shingle through the intersection joins: a twice-listed pair
+    scored exact_jac 1.0 instead of 0.3333 (review r9, confirmed by
+    execution). Each INPUT row still comes back, correctly scored."""
+    from score_spark.operators.dedup import exact_jaccard_for_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4"), (2, "w1 w2 w3 w5")], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 2)], ["d1", "d2"])
+    out = exact_jaccard_for_pairs(pairs, docs, n=3).collect()
+    assert len(out) == 2
+    assert all(abs(r["exact_jac"] - 0.3333) < 1e-9 for r in out), out
+
+
+def test_minhash_lsh_drops_empty_shingle_docs(spark):
+    """Docs with fewer than n tokens have EMPTY shingle sets -> all-NULL
+    minhash signatures -> one shared bucket in every band: m short docs
+    produced C(m,2) spurious candidate pairs (review r9, confirmed by
+    execution). They can never be n-gram near-dups; none may appear."""
+    from score_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "x"), (3, "q r"),
+         (4, "alpha beta gamma delta epsilon"),
+         (5, "one two three four five six")],
+        ["doc_id", "text"],
+    )
+    got = {(r["d1"], r["d2"]) for r in minhash_lsh_pairs(docs, n_hashes=16, bands=8).collect()}
+    short = {1, 2, 3}
+    assert not any(a in short or b in short for a, b in got), got
+
+
+def test_exact_dedup_keeps_all_null_text_rows(spark):
+    """NULL-content rows are unknown, not equal: md5(NULL) grouped them all
+    into one 'duplicate' cluster and silently deleted all but one
+    (review r9)."""
+    from score_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same"), (4, "same")],
+        "doc_id bigint, text string",
+    )
+    kept = sorted(r.doc_id for r in exact_dedup(df).collect())
+    assert kept == [1, 2, 3], kept  # both NULLs kept; 4 deduped against 3
+
+
+def test_simhash_null_text_emits_no_signature(spark):
+    """Documented contract: similarity of unknown content is undefined, so
+    NULL-text docs never enter the Hamming candidate space."""
+    from score_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "some text here")], "doc_id bigint, text string"
+    )
+    ids = {r.doc_id for r in simhash(df).collect()}
+    assert ids == {2}, ids

@@ -280,3 +280,26 @@ def test_mean_pool_embeddings_matches_numpy(spark):
     z = spark.createDataFrame([(9, [0.0, 0.0], 1.0)], "doc_id long, embedding array<double>, w double")
     (r,) = mean_pool_embeddings(z).collect()
     assert r.embedding == [0.0, 0.0]
+
+
+def test_zero_norm_vectors_never_near_dups(spark):
+    """A zero-norm embedding's cosine is NaN (undefined). numpy's NaN >= t
+    is False but Spark and DuckDB order NaN ABOVE every value, so the LSH
+    rerank path previously KEPT such pairs while the exact block path
+    dropped them (review r9). Both paths must exclude them."""
+    import pyspark.sql.functions as F
+
+    from score_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        near_dup_pairs_lsh,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]), (3, [1.0, 0.01, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    exact = {(r.v1, r.v2) for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()}
+    cand = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], ["v1", "v2"])
+    lsh = {(r.v1, r.v2) for r in near_dup_pairs_lsh(emb, threshold=0.4, cand=cand).collect()}
+    assert exact == {(2, 3)}, exact
+    assert lsh == {(2, 3)}, lsh
