@@ -14,7 +14,20 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
+
+
+def _contains_map(dt: T.DataType) -> bool:
+    """Spark's hash family rejects MapType (unorderable, unhashable) — used
+    to exclude map-typed payload fields from the tie-break hash."""
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    return False
 
 from score_spark.io import load_events
 
@@ -54,9 +67,21 @@ def asof_join(
     its sampling job. Same exchange count inside the join; same skew
     profile as hash partitioning (the time_buckets escape hatch composes —
     the range can include the bucket)."""
-    right_value_cols = right_value_cols or [
-        c for c in right.columns if c not in (on, right_ts)
-    ]
+    if right_value_cols is None:
+        # None (not merely falsy) selects the all-columns default: an
+        # explicit [] means 'carry only the right timestamp' and previously
+        # silently widened to every right column (review r9)
+        right_value_cols = [c for c in right.columns if c not in (on, right_ts)]
+    clashes = set(left.columns) & {f"{c}{suffix}" for c in [*right_value_cols, right_ts]}
+    if clashes:
+        # mirror of interval_join's guard (r8): Spark happily emits
+        # duplicate output names from selectExpr, and the first downstream
+        # by-name reference throws AMBIGUOUS_REFERENCE far from the cause —
+        # chained asof_joins with the default suffix hit this (review r9)
+        raise ValueError(
+            f"left columns collide with suffixed right outputs: {sorted(clashes)}; "
+            f"pass a different suffix"
+        )
     # generated expression strings parse in one JVM call each instead of
     # per-column Column round-trips (see functions/text.py construction
     # note); the null placeholders keep Column-object casts because a
@@ -98,8 +123,20 @@ def asof_join(
     # (review r8). xxhash64 of the right row-struct is a pure function of
     # the data, so both paths agree and re-runs are stable; left rows hash
     # their null _r to the seed constant, which never matters (the carry
-    # reads right rows only).
-    tagged = tagged.withColumn("_tb", F.xxhash64("_r"))
+    # reads right rows only). Map-typed payload fields are EXCLUDED from
+    # the hash — Spark's hash family rejects MapType at analysis, so
+    # hashing the whole struct regressed any right frame carrying a map
+    # (review r9); ties among right rows that differ ONLY in map fields
+    # remain unspecified, which is Spark's own orderability limit.
+    r_dtype = r_tagged.schema["_r"].dataType
+    hashable = [f.name for f in r_dtype.fields if not _contains_map(f.dataType)]
+    if len(hashable) == len(r_dtype.fields):
+        tb = F.xxhash64("_r")
+    elif hashable:
+        tb = F.xxhash64(*[F.col(f"_r.`{f}`") for f in hashable])
+    else:
+        tb = F.lit(0).cast("bigint")
+    tagged = tagged.withColumn("_tb", tb)
     if ranged_by_key:
         tagged = tagged.repartitionByRange("_k")
     if time_buckets is None:
@@ -197,8 +234,9 @@ def _is_ts(df: DataFrame) -> bool:
 
 
 def key_skew_report(df: DataFrame, key: str, top: int = 10) -> list[tuple]:
-    """Diagnostic: (key, row_count) for the `top` heaviest keys plus the
-    total — one aggregation job. Use before choosing ``time_buckets`` for
+    """Diagnostic: (key, row_count) for the `top` heaviest keys — one
+    aggregation job. (No total row: compute hot-key share against a count()
+    the caller already has; review r9 fixed the docstring overpromise.) Use before choosing ``time_buckets`` for
     ``asof_join`` / deciding whether a windowed operator needs the salted
     path: a key holding >> total/partitions rows will serialize its window
     task on the plain path."""

@@ -126,6 +126,16 @@ def enrich_with_dimension(
     silently drop unknown users — usually wrong for telemetry). Works
     unchanged on a batch frame (unified API; stream==batch pinned in
     tests)."""
+    clashes = (set(cols) | {"_dk"}) & set(events.columns)
+    if clashes:
+        # same hygiene class as interval_join's r8 guard: re-enriching an
+        # already-enriched frame (or an events frame carrying _dk) yields
+        # duplicate/ambiguous output columns that only blow up at the first
+        # downstream by-name reference (review r9)
+        raise ValueError(
+            f"events already carries enrichment columns {sorted(clashes)}; "
+            "drop or rename them before enriching"
+        )
     d = dim.select(F.col(on_right).alias("_dk"), *cols)
     return events.join(F.broadcast(d), events[on_left] == F.col("_dk"), "left").drop("_dk")
 
@@ -141,7 +151,13 @@ def stream_dedup(
     Streaming (watermark set): dropDuplicatesWithinWatermark keeps state only
     for the watermark horizon — bounded memory at any scale, duplicates
     arriving within the horizon are dropped, older ones age out of state.
-    Batch: plain dropDuplicates (a hash-shuffle on the keys)."""
+    Batch: plain dropDuplicates (a hash-shuffle on the keys).
+
+    DIVERGENCE CONTRACT (review r9): the two modes agree only for
+    duplicates within the watermark horizon. Duplicates farther apart are
+    dropped by the batch path but KEPT by the streaming path (their state
+    aged out) — the unavoidable price of bounded state; a backfill-vs-live
+    reconciliation must compare within-horizon only."""
     if events.isStreaming:
         if watermark is None:
             # falling through to plain dropDuplicates on a stream would

@@ -145,3 +145,55 @@ def test_asof_null_payload_carries_whole_row(spark):
         r = got[0]
         # most recent right row is ts=2 with v=NULL — both fields from IT
         assert (r.ts_right, r.v_right) == (2, None), (tb, r)
+
+
+def test_asof_join_right_map_payload_supported(spark):
+    """The r8 whole-struct tie-break hash regressed any right frame carrying
+    a map column (Spark's hash family rejects MapType at analysis). Map
+    fields are now excluded from the tie-break; the join itself must work
+    and still carry the map payload (review r9)."""
+    import datetime as dt
+
+    from score_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, t0, 10)], "k bigint, ts timestamp, lv bigint")
+    right = spark.createDataFrame(
+        [(1, t0, {"a": "x"})], "k bigint, ts timestamp, props map<string,string>"
+    )
+    out = asof_join(left, right, on="k").collect()
+    assert len(out) == 1 and out[0]["props_right"] == {"a": "x"}
+
+
+def test_asof_join_empty_value_cols_means_ts_only(spark):
+    """right_value_cols=[] previously fell through `or` to the all-columns
+    default; it must mean 'carry only the right timestamp' (review r9)."""
+    import datetime as dt
+
+    from score_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, t0, 10)], "k bigint, ts timestamp, lv bigint")
+    right = spark.createDataFrame(
+        [(1, t0, 99, "payload")], "k bigint, ts timestamp, rv bigint, extra string"
+    )
+    out = asof_join(left, right, on="k", right_value_cols=[])
+    assert set(out.columns) == {"k", "ts", "lv", "ts_right"}, out.columns
+
+
+def test_asof_join_rejects_output_name_collision(spark):
+    """A left column named like a suffixed right output silently produced
+    duplicate output names before r9 — fail loudly instead."""
+    import datetime as dt
+
+    import pytest
+
+    from score_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0, 5)], "k bigint, ts timestamp, rv_right bigint"
+    )
+    right = spark.createDataFrame([(1, t0, 9)], "k bigint, ts timestamp, rv bigint")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="k", right_value_cols=["rv"])

@@ -282,3 +282,19 @@ def test_stream_static_enrich_join_equals_batch(spark, events_dir, sf_dir, tmp_p
     got_matched = sum(1 for r in streamed if r.c_mktsegment is not None)
     assert got_matched == n_matched
     assert sum(1 for r in streamed if r.c_mktsegment is None) == n_total - n_matched
+
+
+def test_enrich_rejects_existing_enrichment_columns(spark):
+    """Re-enriching a frame that already carries the dimension column (or
+    the internal _dk key) produced duplicate/ambiguous outputs that only
+    blew up at the first downstream by-name reference (review r9)."""
+    import pytest
+
+    from score_spark.streaming.windows import enrich_with_dimension
+
+    events = spark.createDataFrame(
+        [(1, "BUILDING")], "user_id bigint, c_mktsegment string"
+    )
+    dim = spark.createDataFrame([(1, "AUTO")], "c_custkey bigint, c_mktsegment string")
+    with pytest.raises(ValueError, match="already carries"):
+        enrich_with_dimension(events, dim)
