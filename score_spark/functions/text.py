@@ -110,11 +110,21 @@ def sum_token_len(text: str = "text", tokens_col: str | None = None) -> Column:
     return F.expr(_sum_len_sql(_tokens_sql(text, tokens_col)))
 
 
+def _scaled_round(expr: str, decimals: int) -> str:
+    """Scale-then-round: round(x, dp) diverges between Spark and DuckDB on
+    decimal-midpoint doubles (e.g. 57/800 = 0.07125 -> 0.0713 vs 0.0712 —
+    review r9, same class profiling.py documents). Multiplying first makes
+    both engines round the identical IEEE intermediate half-away-from-zero.
+    Oracle mirrors MUST use the same form: round(expr * 10^dp) / 10^dp."""
+    scale = float(10 ** decimals)
+    return f"round(({expr}) * {scale}) / {scale}"
+
+
 def avg_token_len(
     text: str = "text", decimals: int = 4, tokens_col: str | None = None
 ) -> Column:
     toks = _tokens_sql(text, tokens_col)
-    return F.expr(f"round({_sum_len_sql(toks)} / size({toks}), {decimals})")
+    return F.expr(_scaled_round(f"try_divide({_sum_len_sql(toks)}, size({toks}))", decimals))
 
 
 def distinct_token_count(text: str = "text", tokens_col: str | None = None) -> Column:
@@ -142,18 +152,22 @@ def stopword_count(
 def stopword_ratio(
     text: str = "text", decimals: int = 4, tokens_col: str | None = None
 ) -> Column:
-    return F.expr(
-        f"round({_stopword_count_sql(text, tokens_col=tokens_col)}"
-        f" / size({_tokens_sql(text, tokens_col)}), {decimals})"
-    )
+    return F.expr(_scaled_round(
+        f"try_divide({_stopword_count_sql(text, tokens_col=tokens_col)},"
+        f" size({_tokens_sql(text, tokens_col)}))", decimals
+    ))
 
 
 def non_alpha_ratio(text: str = "text", decimals: int = 4) -> Column:
     """Share of characters outside [a-z ]. DuckDB mirror:
-    regexp_replace(text, '[a-z ]', '', 'g')."""
-    return F.expr(
-        f"round(length(regexp_replace({_q(text)}, '[a-z ]', '')) / length({_q(text)}), {decimals})"
-    )
+    regexp_replace(text, '[a-z ]', '', 'g'). try_divide: an EMPTY document
+    divides by length 0, which THROWS under ANSI mode (review r9, confirmed:
+    one '' text row killed the whole job) — NULL mirrors DuckDB's
+    division-by-zero semantics."""
+    return F.expr(_scaled_round(
+        f"try_divide(length(regexp_replace({_q(text)}, '[a-z ]', '')), length({_q(text)}))",
+        decimals,
+    ))
 
 
 def shingles(text: str = "text", n: int = 3, tokens_col: str | None = None) -> Column:

@@ -66,6 +66,12 @@ def chunk_documents(
         raise ValueError(f"need 0 <= overlap < chunk_size, got {overlap}/{chunk_size}")
     stride = chunk_size - overlap
     words = F.split(F.col(text_col), " ")
+    # NULL text -> NO chunk rows: greatest(NULL-1, 0)=0 and least(32, NULL)
+    # =32 under Spark's NULL-skipping greatest/least, so a NULL doc emitted
+    # one phantom chunk claiming chunk_size words — 32 fake tokens per NULL
+    # doc flowing into pack_token_stream (review r9, confirmed by
+    # execution; the oracles mirror with WHERE text IS NOT NULL)
+    df = df.filter(F.col(text_col).isNotNull())
     spread = (
         df.repartitionByRange(id_col)
         if ranged_by_id
@@ -242,6 +248,28 @@ def pack_token_stream(
     shard. Returns per-pack (shard, pack_id, n_chunks, pack_tokens)."""
     from pyspark.sql import Window
 
+    # schema/argument validation FIRST: the n_shards default below runs a
+    # driver-side file-sizing loop (minutes at ~800k files) that would be
+    # wasted work when the call was always going to raise (review r9)
+    id_type = chunks.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        # a non-numeric id makes the shard modulo NULL for every row,
+        # silently collapsing the corpus into one null shard — a single
+        # window task over everything, the exact scale-killer sharding
+        # exists to prevent (review r7). The modulo itself stays
+        # (deterministic, mirrored by the c05 oracle); callers with string
+        # ids hash them to a long first (e.g. xxhash64), which keeps
+        # packing content-stable.
+        raise ValueError(
+            f"pack_token_stream shards by pmod({id_col!r}, n_shards), which "
+            f"needs an integral id column (got {id_type}); derive one first, "
+            f"e.g. F.xxhash64({id_col!r})"
+        )
+    if not isinstance(budget, int) or budget < 1:
+        # budget=0 under non-ANSI SQL makes `_off DIV 0` NULL for every row,
+        # silently collapsing each shard into one NULL pack (review r8)
+        raise ValueError(f"budget must be a positive int, got {budget!r}")
+
     if n_shards is None:
         # sizes come from the Hadoop FileSystem API, not os.path: input
         # files are URIs of ANY scheme (hdfs://, s3a://, percent-encoded
@@ -294,24 +322,6 @@ def pack_token_stream(
                 ) from e
             raw = max(1, -(-total // (64 << 20)))
             n_shards = 1 << (raw - 1).bit_length()
-    id_type = chunks.schema[id_col].dataType.simpleString()
-    if id_type not in ("tinyint", "smallint", "int", "bigint"):
-        # a non-numeric id makes the shard modulo NULL for every row,
-        # silently collapsing the corpus into one null shard — a single
-        # window task over everything, the exact scale-killer sharding
-        # exists to prevent (review r7). The modulo itself stays
-        # (deterministic, mirrored by the c05 oracle); callers with string
-        # ids hash them to a long first (e.g. xxhash64), which keeps
-        # packing content-stable.
-        raise ValueError(
-            f"pack_token_stream shards by pmod({id_col!r}, n_shards), which "
-            f"needs an integral id column (got {id_type}); derive one first, "
-            f"e.g. F.xxhash64({id_col!r})"
-        )
-    if not isinstance(budget, int) or budget < 1:
-        # budget=0 under non-ANSI SQL makes `_off DIV 0` NULL for every row,
-        # silently collapsing each shard into one NULL pack (review r8)
-        raise ValueError(f"budget must be a positive int, got {budget!r}")
     # pmod, not %: sign-preserving modulo on negative ids (e.g. the
     # xxhash64-derived longs the id-type error above recommends) would emit
     # shards in (-n, n) — up to 2n-1 groups, breaking the ~64MB-per-shard
@@ -365,7 +375,8 @@ def c01_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sequence(0, n-1, stride) does (n >= 1 always: string_split('') = ['']);
 # list slicing l[a:b] is 1-based inclusive, mirroring F.slice(l, a, size)
 ORACLE_C01 = """
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE text IS NOT NULL),
 s AS (SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 24)) AS start FROM w)
 SELECT doc_id,
        CAST(start // 24 AS INT) AS chunk_idx,
@@ -434,6 +445,10 @@ def stratified_topk_sample(
     from score_spark.operators.textstats import _check_helper_collisions
 
     _check_helper_collisions(df, ("_h", "_pid", "_rk"), op="stratified_topk_sample")
+    # NULL ids: md5(NULL) is NULL, which Spark's ascending window ranks
+    # FIRST (always sampled) while DuckDB ranks it LAST (never sampled) —
+    # engine-divergent and meaningless as a sample member (review r9)
+    df = df.filter(F.col(id_col).isNotNull())
     h = F.md5(F.col(id_col).cast("string")).alias("_h")
     base = df.select(*strata_cols, id_col, h, F.spark_partition_id().alias("_pid"))
     w_local = Window.partitionBy(*strata_cols, "_pid").orderBy("_h", id_col)
@@ -516,7 +531,7 @@ topk AS (
     SELECT source, doc_id,
            row_number() OVER (PARTITION BY source
                               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-    FROM documents
+    FROM documents WHERE doc_id IS NOT NULL
   ) WHERE rk <= 25
   GROUP BY source
 )
@@ -634,7 +649,8 @@ def c05_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_C05 = """
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE text IS NOT NULL),
 s AS (SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 24)) AS start FROM w),
 chunks AS (
   SELECT doc_id,

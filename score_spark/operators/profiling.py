@@ -79,11 +79,15 @@ def exact_percentiles_by_group(
     interpolation) semantics and bounded task memory (module docstring).
 
     ``stats``, if given, must hold one row per group with columns
-    ``(group_col, _n, _mn, _span)`` — the exact non-null count plus bounds
-    that COVER the value range (``_mn <= min``, ``_mn + _span >= max``,
-    ``_span > 0``; e.g. rounded bounds from an aggregate the caller already
-    computes). Rank selection stays exact because bucket bounds only
-    partition the data.
+    ``(group_col, _n, _mn, _span)`` — ``_n`` is the exact non-null AND
+    non-NaN count (the internal histogram drops NaN like quantile_cont /
+    nanquantile, so a count that includes NaN inflates every rank: p100
+    silently returns NULL and interior percentiles shift — review r9; q28
+    computes its _n with a NaN-excluding conditional count for exactly this
+    reason) — plus bounds that COVER the value range (``_mn <= min``,
+    ``_mn + _span >= max``, ``_span > 0``; e.g. rounded bounds from an
+    aggregate the caller already computes). Rank selection stays exact
+    because bucket bounds only partition the data.
 
     ``bounds=(lo, hi)`` is the cheapest mode: any COVERING global value
     range (lo <= min, hi >= max — e.g. parquet footer statistics, see

@@ -131,8 +131,8 @@ ORACLE_T01 = f"""
 SELECT doc_id,
        {_NTOK} AS n_tokens,
        len(list_distinct({_TOKENS})) AS n_uniq_tokens,
-       round({_SUMLEN} / CAST({_NTOK} AS DOUBLE), 4) AS avg_token_len,
-       round({_NSTOP} / CAST({_NTOK} AS DOUBLE), 4) AS stopword_ratio
+       round(({_SUMLEN} / CAST({_NTOK} AS DOUBLE)) * 10000.0) / 10000.0 AS avg_token_len,
+       round(({_NSTOP} / CAST({_NTOK} AS DOUBLE)) * 10000.0) / 10000.0 AS stopword_ratio
 FROM documents
 ORDER BY doc_id
 """
@@ -177,8 +177,8 @@ WITH scored AS (
          {_lang_score_sql('de')} AS s_de,
          {_lang_score_sql('es')} AS s_es,
          CASE WHEN n_chars < 200 THEN 'short' WHEN n_chars < 400 THEN 'medium' ELSE 'long' END AS length_band,
-         CASE WHEN round({_NSTOP} / CAST({_NTOK} AS DOUBLE), 4) > 0.05 THEN 'has_stopwords' ELSE 'few_stopwords' END AS stopword_band,
-         CASE WHEN round(length(regexp_replace(text, '[a-z ]', '', 'g')) / CAST(length(text) AS DOUBLE), 4) < 0.05
+         CASE WHEN round(({_NSTOP} / CAST({_NTOK} AS DOUBLE)) * 10000.0) / 10000.0 > 0.05 THEN 'has_stopwords' ELSE 'few_stopwords' END AS stopword_band,
+         CASE WHEN round((length(regexp_replace(text, '[a-z ]', '', 'g')) / CAST(length(text) AS DOUBLE)) * 10000.0) / 10000.0 < 0.05
               THEN 'clean' ELSE 'noisy' END AS purity
   FROM documents
 )
@@ -232,9 +232,9 @@ def t04_fingerprint_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("fingerprint").alias("n_unique"),
             F.min("fingerprint").alias("min_fp"),
             F.sum("bpe").alias("total_bpe_tokens"),
-            F.round(F.avg("bpe"), 4).alias("avg_bpe_tokens"),
-            F.round(F.avg(F.col("bpe") / F.col("words")), 4).alias("bpe_per_word"),
-            F.round(F.avg("chars4"), 4).alias("avg_chars4"),
+            (F.round(F.avg("bpe") * 10000.0) / 10000.0).alias("avg_bpe_tokens"),
+            (F.round(F.avg(F.col("bpe") / F.col("words")) * 10000.0) / 10000.0).alias("bpe_per_word"),
+            (F.round(F.avg("chars4") * 10000.0) / 10000.0).alias("avg_chars4"),
         )
         .transform(presentation_sort, "source", "lang")
     )
@@ -254,9 +254,9 @@ SELECT source, lang,
        count(DISTINCT fingerprint) AS n_unique,
        min(fingerprint) AS min_fp,
        CAST(sum(bpe) AS BIGINT) AS total_bpe_tokens,
-       round(avg(bpe), 4) AS avg_bpe_tokens,
-       round(avg(bpe / CAST(words AS DOUBLE)), 4) AS bpe_per_word,
-       round(avg(chars4), 4) AS avg_chars4
+       round(avg(bpe) * 10000.0) / 10000.0 AS avg_bpe_tokens,
+       round(avg(bpe / CAST(words AS DOUBLE)) * 10000.0) / 10000.0 AS bpe_per_word,
+       round(avg(chars4) * 10000.0) / 10000.0 AS avg_chars4
 FROM per_doc
 GROUP BY source, lang
 ORDER BY source, lang
@@ -397,10 +397,13 @@ def repetition_stats(
             id_col,
             *carry_cols,
             F.expr("size(_grams)").cast("long").alias("n_grams"),
-            F.expr("round(1 - size(array_distinct(_grams)) / size(_grams), 4)").alias(
-                "dup_fraction"
-            ),
-            F.expr(f"round({best} / size(_grams), 4)").alias("top_fraction"),
+            F.expr(
+                "round((1 - size(array_distinct(_grams)) / size(_grams)) * 10000.0)"
+                " / 10000.0"
+            ).alias("dup_fraction"),
+            F.expr(
+                f"round(({best} / size(_grams)) * 10000.0) / 10000.0"
+            ).alias("top_fraction"),
         )
     )
 
@@ -419,8 +422,8 @@ def t07_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("dup_fraction"), 4).alias("avg_dup_fraction"),
-            F.round(F.avg("top_fraction"), 4).alias("avg_top_fraction"),
+            (F.round(F.avg("dup_fraction") * 10000.0) / 10000.0).alias("avg_dup_fraction"),
+            (F.round(F.avg("top_fraction") * 10000.0) / 10000.0).alias("avg_top_fraction"),
             F.sum(F.when(F.col("dup_fraction") >= 0.05, 1).otherwise(0))
             .cast("long")
             .alias("n_repetitive"),
@@ -448,14 +451,14 @@ per_doc AS (
 ),
 scored AS (
   SELECT doc_id,
-         round(1 - n_distinct / CAST(n_grams AS DOUBLE), 4) AS dup_fraction,
-         round(top_cnt / CAST(n_grams AS DOUBLE), 4) AS top_fraction
+         round((1 - n_distinct / CAST(n_grams AS DOUBLE)) * 10000.0) / 10000.0 AS dup_fraction,
+         round((top_cnt / CAST(n_grams AS DOUBLE)) * 10000.0) / 10000.0 AS top_fraction
   FROM per_doc
 )
 SELECT d.source,
        count(*) AS n_docs,
-       round(avg(s.dup_fraction), 4) AS avg_dup_fraction,
-       round(avg(s.top_fraction), 4) AS avg_top_fraction,
+       round(avg(s.dup_fraction) * 10000.0) / 10000.0 AS avg_dup_fraction,
+       round(avg(s.top_fraction) * 10000.0) / 10000.0 AS avg_top_fraction,
        CAST(sum(CASE WHEN s.dup_fraction >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
 FROM scored s JOIN documents d USING (doc_id)
 GROUP BY d.source

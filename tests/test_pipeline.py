@@ -373,3 +373,44 @@ def test_scrub_pii_guard_catches_case_variant_collisions(spark):
     df = spark.createDataFrame([("a@b.co text", 1)], ["text", "N_EMAIL"])
     with pytest.raises(ValueError, match="collide"):
         scrub_pii(df)
+
+
+def test_chunk_documents_null_text_emits_no_chunks(spark):
+    """NULL text previously produced one phantom chunk (chunk_text='',
+    n_words=32) via NULL-skipping greatest/least — 32 fake tokens per NULL
+    doc flowing into pack totals (review r9, confirmed by execution)."""
+    from score_spark.operators.pipeline import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c")], "doc_id bigint, text string"
+    )
+    out = chunk_documents(df, chunk_size=32, overlap=8).collect()
+    assert {r.doc_id for r in out} == {2}, out
+
+
+def test_stratified_topk_excludes_null_ids(spark):
+    """md5(NULL) ranks NULLS FIRST in Spark (always sampled) and NULLS LAST
+    in DuckDB (never sampled) — engine-divergent; NULL ids are excluded
+    (review r9)."""
+    from score_spark.operators.pipeline import stratified_topk_sample
+
+    df = spark.createDataFrame(
+        [(None, "s"), (1, "s"), (2, "s"), (3, "s")], "doc_id bigint, source string"
+    )
+    got = {r.doc_id for r in stratified_topk_sample(df, ("source",), k=2).collect()}
+    assert None not in got and len(got) == 2, got
+
+
+def test_pack_token_stream_validates_before_file_sizing(spark):
+    """Schema/argument validation must precede the driver-side n_shards
+    file-sizing derivation (review r9): a string id with n_shards=None
+    raises immediately."""
+    import pytest
+
+    from score_spark.operators.pipeline import pack_token_stream
+
+    chunks = spark.createDataFrame(
+        [("a", 0, 5)], "doc_id string, chunk_idx int, n_words int"
+    )
+    with pytest.raises(ValueError, match="integral id"):
+        pack_token_stream(chunks, budget=512, n_shards=None)

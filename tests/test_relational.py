@@ -349,3 +349,30 @@ def test_t01_non_ascii_text_stays_oracle_aligned(spark, tmp_path):
     # would inflate avg_token_len for doc 1
     r1 = {r["doc_id"]: r for r in df.collect()}[1]
     assert r1["avg_token_len"] == 3.2  # (2+4+3+4+3)/5 characters
+
+
+def test_text_ratio_helpers_null_safe_and_scaled(spark):
+    """Empty-string documents: length('')/length('') THREW under ANSI mode
+    and killed the whole job (review r9, confirmed) — try_divide yields
+    NULL, mirroring DuckDB's division-by-zero. And ratios round via
+    scale-then-round so decimal midpoints (57/800 = 0.07125) agree with the
+    oracle's form."""
+    import duckdb
+
+    from score_spark.functions.text import non_alpha_ratio, stopword_ratio
+
+    df = spark.createDataFrame([(1, ""), (2, "the x1!")], "doc_id bigint, text string")
+    rows = {r.doc_id: (r.na, r.sw) for r in df.select(
+        "doc_id",
+        non_alpha_ratio("text").alias("na"),
+        stopword_ratio("text").alias("sw"),
+    ).collect()}
+    assert rows[1] == (None, 0.0), rows  # empty text: NULL ratio, 1 token ''
+    # midpoint agreement is the PROPERTY (the exact value depends on the
+    # shared IEEE intermediate — 0.07125's double is 1 ulp under the
+    # midpoint, so both engines round DOWN together under this form, where
+    # native round(x, 4) had Spark up / DuckDB down)
+    con = duckdb.connect()
+    duck = con.execute("SELECT round((57 / CAST(800 AS DOUBLE)) * 10000.0) / 10000.0").fetchone()[0]
+    spark_v = spark.sql("SELECT round((57 / CAST(800 AS DOUBLE)) * 10000.0) / 10000.0 AS v").first().v
+    assert duck == spark_v, (duck, spark_v)
