@@ -60,6 +60,13 @@ def write_partitioned(
     definition, so a hot partition made only of such duplicates still
     funnels through one task; maxRecordsPerFile still bounds its file
     sizes."""
+    if files_per_partition > 1 and not partition_by:
+        # silently ignoring the request produced whatever file count the
+        # input partitioning happened to have (review r9) — fail loudly
+        raise ValueError(
+            "files_per_partition > 1 salts the partition-value repartition "
+            "and therefore requires partition_by"
+        )
     w = df
     if partition_by:
         keys = [F.col(c) for c in partition_by]
@@ -72,7 +79,15 @@ def write_partitioned(
                     "files_per_partition > 1 needs at least one non-map column "
                     "to derive the deterministic salt from"
                 )
-            salt = F.pmod(F.xxhash64(*hashable), F.lit(files_per_partition))
+            # backtick-quoted names (escaping embedded backticks): a
+            # top-level column whose NAME contains a dot is legal in
+            # parquet, and both F.col(name) and df[name] parse the bare
+            # string as a NESTED path — UNRESOLVED_COLUMN at the
+            # repartition (review r9, confirmed by execution)
+            salt = F.pmod(
+                F.xxhash64(*[F.col("`" + c.replace("`", "``") + "`") for c in hashable]),
+                F.lit(files_per_partition),
+            )
             # explicit partition count: a user-specified repartition width is
             # final (AQE will not coalesce it away), so the salt reliably
             # splits hot partition values even when the input is small
@@ -126,43 +141,44 @@ def write_bucketed(
         # on any write that failed after the drop).
         spark = df.sparkSession
         if not spark.catalog.tableExists(table):
-            # Location is derived from the FULL identifier — a qualified
-            # 'db.t' lives at <warehouse>/<db>.db/t, and an unqualified name
-            # resolves against the CURRENT database (ADVICE r6: stripping
-            # the qualifier deleted default's unrelated 't' while the real
-            # orphan survived). Deletion goes through the Hadoop FileSystem
-            # API so hdfs://, s3a://, and percent-encoded file: warehouse
-            # URIs all resolve and delete uniformly (ADVICE r6: a POSIX
-            # rmtree silently no-ops on every non-local warehouse).
-            # split on dots OUTSIDE backtick quoting: a table literally
-            # named `ord.ers` is ONE identifier, not db "ord" + table "ers"
-            # — the naive split computed the wrong location and recursively
-            # deleted an unrelated table's directory (review r8)
-            parts, buf, quoted = [], [], False
-            for ch in table:
-                if ch == "`":
-                    quoted = not quoted
-                elif ch == "." and not quoted:
-                    parts.append("".join(buf))
-                    buf = []
-                else:
-                    buf.append(ch)
-            parts.append("".join(buf))
-            if quoted:
-                raise ValueError(f"unbalanced backticks in table name {table!r}")
-            parts = [p.lower() for p in parts]
-            if len(parts) > 2:
-                raise ValueError(f"expected [db.]table, got {table!r}")
-            db = parts[0] if len(parts) == 2 else spark.catalog.currentDatabase().lower()
-            tbl = parts[-1]
-            wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-            segments = ([] if db == "default" else [f"{db}.db"]) + [tbl]
-            jvm = spark.sparkContext._jvm
-            loc = jvm.org.apache.hadoop.fs.Path(wh, "/".join(segments))
-            hconf = spark.sparkContext._jsc.hadoopConfiguration()
-            fs = loc.getFileSystem(hconf)
-            if fs.exists(loc):
-                fs.delete(loc, True)
+            # Identifier parsing and location derivation DELEGATE to Spark
+            # itself (review r9, replacing a hand-rolled backtick walker
+            # that treated the `` ESCAPE as a quote toggle — `a``b` parsed
+            # to 'ab' and recursively deleted unrelated table ab's
+            # directory — and rejected valid catalog-qualified names
+            # saveAsTable accepts): sqlParser().parseMultipartIdentifier
+            # applies the real quoting grammar, and the session catalog's
+            # defaultTablePath returns the exact URI the catalog itself
+            # would use (db LOCATION overrides, percent-encoding of
+            # URI-unsafe characters, warehouse scheme). Deletion still goes
+            # through the Hadoop FileSystem API so hdfs://, s3a://, and
+            # percent-encoded file: warehouses all behave (ADVICE r6).
+            # ANY resolution failure skips the cleanup — fail-safe: worst
+            # case is saveAsTable's own loud LOCATION_ALREADY_EXISTS,
+            # never a misdirected recursive delete.
+            try:
+                jss = spark._jsparkSession
+                jvm = spark.sparkContext._jvm
+                seq = jss.sessionState().sqlParser().parseMultipartIdentifier(table)
+                parts = [seq.apply(i) for i in range(seq.size())]
+                if len(parts) > 3 or (
+                    len(parts) == 3 and parts[0].lower() != "spark_catalog"
+                ):
+                    raise ValueError("not a session-catalog table")
+                tbl = parts[-1]
+                TI = jvm.org.apache.spark.sql.catalyst.TableIdentifier
+                ti = (
+                    TI(tbl, jvm.scala.Some(parts[-2])) if len(parts) >= 2 else TI(tbl)
+                )
+                loc = jvm.org.apache.hadoop.fs.Path(
+                    jss.sessionState().catalog().defaultTablePath(ti)
+                )
+                hconf = spark.sparkContext._jsc.hadoopConfiguration()
+                fs = loc.getFileSystem(hconf)
+                if fs.exists(loc):
+                    fs.delete(loc, True)
+            except Exception:
+                pass  # unresolvable name/db — leave the orphan to saveAsTable
     writer = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_by)
     if sort_by:
         writer = writer.sortBy(*sort_by)
@@ -246,6 +262,12 @@ def write_zordered(
     in tests/test_sinks.py, next to write_sorted's 1-D proof."""
     if len(cluster_by) < 2:
         raise ValueError("z-ordering needs >= 2 columns; use write_sorted for one")
+    if bits_per_dim < 1:
+        # 0 passes the 63-bit guard but makes the Morton code a CONSTANT:
+        # repartitionByRange on a constant collapses the dataset into one
+        # task and one unclustered file with no error; negatives die later
+        # with a cryptic shift-count message (review r9)
+        raise ValueError(f"bits_per_dim must be >= 1, got {bits_per_dim}")
     if len(cluster_by) * bits_per_dim > 63:
         # the Morton code is a signed 64-bit long: bit positions >= 63 hit
         # the sign bit / Java's shift-count wraparound and silently corrupt
