@@ -785,7 +785,14 @@ ORACLE_S02 = """
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
 pairs AS (
   SELECT a.vec_id v1, b.vec_id v2,
-         round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
+         -- scaled-round form (matches textstats _scaled_round, review r10):
+         -- the numpy side emulates half-away-from-zero on the SCALED double
+         -- (floor(abs(x)*1e4 + 0.5)/1e4), so the oracle must round the
+         -- identical IEEE intermediate x*1e4 — round(sim, 4) on the
+         -- unscaled double can disagree when x*1e4+0.5 lands on/just past
+         -- an integer due to float error
+         round(list_cosine_similarity(a.embedding, b.embedding) * 10000.0)
+           / 10000.0 AS sim
   FROM emb a JOIN emb b ON a.vec_id < b.vec_id
 )
 SELECT count(*) AS n_pairs,

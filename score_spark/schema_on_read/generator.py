@@ -74,6 +74,22 @@ _VALUE_COMPARISON_EXPRS = {
     "SortArray", "ArrayMin", "ArrayMax", "ArraySort",
     "ArrayContains", "ArrayPosition", "ArraysOverlap", "ArrayRemove",
     "ArrayDistinct", "ArrayUnion", "ArrayIntersect", "ArrayExcept",
+    # value-comparing aggregates / subquery membership: the ordering or
+    # compared operand observes the WHOLE value, so pruning a struct to a
+    # field subset silently changes which row wins / which rows match.
+    # MaxBy/MinBy strictly only need the ordering child required, but
+    # requiring both operands is the safe over-keep.
+    "MaxBy", "MinBy", "Mode", "InSubquery",
+}
+
+# expressions KNOWN to carry a nested logical plan in their `plan` field —
+# if one arrives with an unparseable plan the walker raises (best-effort
+# fallback) instead of silently under-keeping the inner plan's columns.
+# Unknown plan-bearing expressions are caught generically by the `plan`
+# field probe in _walk_expr.
+_SUBQUERY_PLAN_EXPRS = {
+    "ListQuery", "ScalarSubquery", "Exists", "LateralSubquery",
+    "DynamicPruningSubquery", "FunctionTableSubqueryArgumentExpression",
 }
 
 
@@ -123,6 +139,11 @@ class SchemaOnRead:
         self._state = _State()
         self._failed = False
         self.duration: float = 0.0
+        # relations living inside subquery-expression plans, keyed by the
+        # frozenset of their output (jvmId, id) exprIds — order-independent
+        # pairing, unlike the main plan's k-th-leaf iterator (review r10)
+        self._subq_rels: dict[frozenset, dict[str, Any] | None] = {}
+        self._subq_depth = 0
 
     # ------------------------------------------------------------------ API
 
@@ -152,6 +173,7 @@ class SchemaOnRead:
         self = cls()
         try:
             relations = _collect_jvm_relations(jplan)
+            self._subq_rels = _collect_jvm_subquery_relations(jplan)
             flat = json.loads(jplan.toJSON())
             root = build_tree(flat)
             self._analyze(root, relations)
@@ -331,8 +353,24 @@ class SchemaOnRead:
     def _on_LogicalRelation(self, node: Node) -> None:
         # Pair the k-th JSON LogicalRelation with the k-th JVM one (both
         # walks are pre-order over the same tree; _visit is post-order but
-        # leaf order is preserved).
-        info = next(self._rel_iter)
+        # leaf order is preserved). Relations inside subquery-expression
+        # plans are invisible to the main plan's collectLeaves(), so they
+        # pair through the exprId-keyed side channel instead (review r10).
+        if self._subq_depth > 0:
+            key = frozenset(
+                eid
+                for out in expr_trees(node.get("output"))
+                if (eid := expr_id(out)) is not None
+            )
+            if key not in self._subq_rels:
+                # pairing failed — raising here reaches generate()'s
+                # best-effort fallback (full schemas), never silent under-keep
+                raise ValueError(
+                    "subquery relation not found in JVM subqueriesAll pairing"
+                )
+            info = self._subq_rels[key]
+        else:
+            info = next(self._rel_iter)
         st = self._state
         if info is None:  # non-file relation (JDBC etc.) — ignore, like LocalRelation
             st.current_relation = None
@@ -628,6 +666,27 @@ class SchemaOnRead:
         # This is the same problem the reference patches with its
         # "complete hack" re-visit (TreeNodeProcessingRegistry.java:62-68);
         # here the fix is just returning the function child's handles.
+        #
+        # Subquery expressions (ListQuery/ScalarSubquery/Exists/...) carry a
+        # whole LOGICAL PLAN as a *field* (num-children excludes it), so the
+        # plan walker never sees it — before r10 the inner plan's column
+        # uses were silently absent from the pruned schema (confirmed by
+        # execution: `WHERE s1 IN (SELECT s2 FROM t)` dropped s2 entirely).
+        # Visit the nested plan, then bind to its outputs at `mode` — an
+        # InSubquery's ListQuery arrives already in require mode via
+        # _VALUE_COMPARISON_EXPRS, so IN-compared outputs stay full.
+        subplans = expr_trees(expr.get("plan")) if "plan" in expr else []
+        if subplans or cname in _SUBQUERY_PLAN_EXPRS:
+            if not subplans:
+                raise ValueError(
+                    f"subquery expression {cname} carries no parseable plan"
+                )
+            handles = []
+            for sp in subplans:
+                handles.extend(self._visit_subquery(sp, mode))
+            for c in expr["_children"]:  # outer refs / join conds
+                self._walk_expr(c, mode)
+            return handles
         child_mode = "require" if cname in _VALUE_COMPARISON_EXPRS else mode
         last: list[Handle] = []
         first_child_handles: list[Handle] | None = None
@@ -640,6 +699,33 @@ class SchemaOnRead:
         if cname == "WindowExpression":
             return first_child_handles or []
         return last
+
+    def _visit_subquery(self, sp: Node, mode: str) -> list[Handle]:
+        """Visit a subquery expression's nested logical plan (review r10).
+
+        The plan is logically inlined at its consumption site: no node
+        inside is upper-most (found=True — its outputs are consumed by the
+        enclosing comparison/scalar slot, never final user output), and its
+        outputs bind at the caller's mode. current_relation is saved/
+        restored so a SubqueryAlias ABOVE the enclosing filter doesn't bind
+        to the subquery's relation."""
+        st = self._state
+        saved = st.current_relation
+        self._subq_depth += 1
+        try:
+            self._mark_upper_most(sp, found=True)
+            self._visit(sp)
+        finally:
+            self._subq_depth -= 1
+            st.current_relation = saved
+        handles: list[Handle] = []
+        for eid in _node_output(sp):
+            handles.extend(st.exprid_map.get(eid, []))
+        for h in handles:
+            n = h.materialize()
+            if mode == "require":
+                n.require()
+        return handles
 
     def _resolve_path(self, expr: Node) -> list[Handle]:
         cname = cls_name(expr)
@@ -707,14 +793,48 @@ def _collect_jvm_relations(jplan) -> list[dict[str, Any] | None]:
         jnode = leaves.apply(i)
         if jnode.getClass().getName().rsplit(".", 1)[-1] != "LogicalRelation":
             continue
-        rel = jnode.relation()
-        if rel.getClass().getName().endswith("HadoopFsRelation"):
-            files = tuple(sorted(rel.location().inputFiles()))
-            roots = tuple(str(p) for p in _scala_seq(rel.location().rootPaths()))
-            schema = T.StructType.fromJson(json.loads(rel.schema().json()))
-            out.append({"ref": files, "root_paths": roots, "schema": schema})
-        else:
-            out.append(None)
+        out.append(_jvm_relation_info(jnode))
+    return out
+
+
+def _jvm_relation_info(jnode) -> dict[str, Any] | None:
+    rel = jnode.relation()
+    if not rel.getClass().getName().endswith("HadoopFsRelation"):
+        return None
+    files = tuple(sorted(rel.location().inputFiles()))
+    roots = tuple(str(p) for p in _scala_seq(rel.location().rootPaths()))
+    schema = T.StructType.fromJson(json.loads(rel.schema().json()))
+    return {"ref": files, "root_paths": roots, "schema": schema}
+
+
+def _collect_jvm_subquery_relations(jplan) -> dict[frozenset, dict[str, Any] | None]:
+    """Relations inside subquery-EXPRESSION plans (review r10).
+
+    collectLeaves() never descends into subquery expressions (the nested
+    plan is an expression field, not a plan child), so these relations need
+    their own channel. The k-th-leaf order pairing doesn't extend across
+    that boundary robustly; instead each relation is keyed by the frozenset
+    of its output attributes' (jvmId, id) exprIds — globally unique per
+    relation instance, and the JSON node carries the same ids. The per-attr
+    py4j round trips only happen when subqueries exist at all (the common
+    case is an empty subqueriesAll, two py4j calls total)."""
+    out: dict[frozenset, dict[str, Any] | None] = {}
+    subs = jplan.subqueriesAll()
+    for i in range(subs.length()):
+        leaves = subs.apply(i).collectLeaves()
+        for k in range(leaves.length()):
+            jnode = leaves.apply(k)
+            if jnode.getClass().getName().rsplit(".", 1)[-1] != "LogicalRelation":
+                continue
+            outs = jnode.output()
+            key = frozenset(
+                (
+                    outs.apply(j).exprId().jvmId().toString(),
+                    outs.apply(j).exprId().id(),
+                )
+                for j in range(outs.length())
+            )
+            out[key] = _jvm_relation_info(jnode)
     return out
 
 

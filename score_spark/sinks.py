@@ -29,6 +29,8 @@ beyond-reference surface this engine adds.
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
@@ -69,7 +71,11 @@ def write_partitioned(
         )
     w = df
     if partition_by:
-        keys = [F.col(c) for c in partition_by]
+        # same backtick quoting as the salt columns below: a dotted
+        # TOP-LEVEL partition column name would otherwise parse as a
+        # nested path at the repartition (writer.partitionBy takes raw
+        # names and is unaffected) — review r10
+        keys = [F.col("`" + c.replace("`", "``") + "`") for c in partition_by]
         if files_per_partition > 1:
             hashable = [
                 f.name for f in df.schema.fields if "map<" not in f.dataType.simpleString()
@@ -156,6 +162,7 @@ def write_bucketed(
             # ANY resolution failure skips the cleanup — fail-safe: worst
             # case is saveAsTable's own loud LOCATION_ALREADY_EXISTS,
             # never a misdirected recursive delete.
+            loc = fs = None
             try:
                 jss = spark._jsparkSession
                 jvm = spark.sparkContext._jvm
@@ -175,10 +182,24 @@ def write_bucketed(
                 )
                 hconf = spark.sparkContext._jsc.hadoopConfiguration()
                 fs = loc.getFileSystem(hconf)
-                if fs.exists(loc):
-                    fs.delete(loc, True)
             except Exception:
                 pass  # unresolvable name/db — leave the orphan to saveAsTable
+            if fs is not None:
+                # delete failures are NOT silent (review r10): a partial
+                # recursive delete leaves a confusing downstream
+                # LOCATION_ALREADY_EXISTS with no trace of why — warn with
+                # the cause so the audit trail survives.
+                try:
+                    if fs.exists(loc):
+                        fs.delete(loc, True)
+                except Exception as e:  # pragma: no cover - fs-failure path
+                    warnings.warn(
+                        f"write_bucketed: orphan cleanup of {loc} failed "
+                        f"({e!r}); saveAsTable may fail with "
+                        "LOCATION_ALREADY_EXISTS",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
     writer = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_by)
     if sort_by:
         writer = writer.sortBy(*sort_by)

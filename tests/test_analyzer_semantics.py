@@ -189,3 +189,93 @@ def test_deep_chained_plan_does_not_overflow_recursion(spark, arr_path):
     # (array<struct<>>), never its full element type
     assert "x" in pruned.fieldNames()
     assert pruned["arr"].dataType.elementType.fields == [], pruned.simpleString()
+
+
+# --------------------------------------------------------------- r10 classes
+
+_SCHEMA4 = "s1 struct<a:bigint,b:bigint>, s2 struct<a:bigint,b:bigint>, x bigint"
+_ROWS4 = [
+    # s2.a ties across rows so a struct ordering pruned to struct<a> has no
+    # deterministic winner; the full struct orders (1,1) < (1,2)
+    {"s1": {"a": 10, "b": 0}, "s2": {"a": 1, "b": 1}, "x": 1},
+    {"s1": {"a": 20, "b": 0}, "s2": {"a": 1, "b": 2}, "x": 2},
+]
+
+
+@pytest.fixture(scope="module")
+def subq_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("an_sem_r10") / "subq.parquet")
+    spark.createDataFrame(_ROWS4, _SCHEMA4).write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_max_by_struct_ordering_requires_operand(spark, subq_path):
+    """max_by(v, struct) orders by EVERY field of the ordering operand;
+    pruning it to the separately-touched subfield changes which row wins
+    (review r10 — _VALUE_COMPARISON_EXPRS gained MaxBy/MinBy/Mode)."""
+    schema = _full_schema(spark, _SCHEMA4, _ROWS4)
+    pruned = _roundtrip(
+        spark, subq_path, schema,
+        lambda df: df.groupBy(F.lit(1).alias("k"))
+                     .agg(F.max_by(F.col("s1.a"), F.col("s2")).alias("v"),
+                          F.max(F.col("s2.a")).alias("a2")),
+    )
+    assert set(pruned["s2"].dataType.fieldNames()) == {"a", "b"}, pruned.simpleString()
+
+
+def _sql_roundtrip(spark, path, schema, sql, view="an_sem_r10_t"):
+    """full-vs-pruned row compare for a SQL query over one registered view."""
+    spark.read.schema(schema).parquet(path).createOrReplaceTempView(view)
+    full_df = spark.sql(sql)
+    full_rows = sorted(map(str, full_df.collect()))
+    pruned = SchemaOnRead.generate(full_df).for_paths(path)
+    spark.read.schema(pruned).parquet(path).createOrReplaceTempView(view)
+    try:
+        got = sorted(map(str, spark.sql(sql).collect()))
+    finally:
+        spark.catalog.dropTempView(view)
+    assert got == full_rows, (pruned.simpleString(), full_rows, got)
+    return pruned
+
+
+def test_struct_in_subquery_requires_both_sides(spark, subq_path):
+    """`WHERE s1 IN (SELECT s2 ...)` compares WHOLE structs. Before r10 the
+    subquery's nested plan (an expression FIELD, invisible to the plan
+    walker) was never visited: s2 vanished from the pruned schema entirely
+    (silent under-keep, confirmed by execution) and s1 was prunable to a
+    field subset."""
+    schema = _full_schema(spark, _SCHEMA4, _ROWS4)
+    pruned = _sql_roundtrip(
+        spark, subq_path, schema,
+        "SELECT s1.a AS a FROM an_sem_r10_t "
+        "WHERE s1 IN (SELECT s2 FROM an_sem_r10_t)",
+    )
+    for fld in ("s1", "s2"):
+        assert fld in pruned.fieldNames(), pruned.simpleString()
+        assert set(pruned[fld].dataType.fieldNames()) == {"a", "b"}, pruned.simpleString()
+
+
+def test_scalar_subquery_prunes_precisely(spark, subq_path):
+    """A scalar subquery's inner plan is visited and prunes to exactly the
+    touched subfield — not dropped (pre-r10 under-keep), not over-kept."""
+    schema = _full_schema(spark, _SCHEMA4, _ROWS4)
+    pruned = _sql_roundtrip(
+        spark, subq_path, schema,
+        "SELECT x, (SELECT max(e.s2.a) FROM an_sem_r10_t e) AS m "
+        "FROM an_sem_r10_t",
+    )
+    assert set(pruned.fieldNames()) == {"s2", "x"}, pruned.simpleString()
+    assert set(pruned["s2"].dataType.fieldNames()) == {"a"}, pruned.simpleString()
+
+
+def test_correlated_exists_subquery_roundtrips(spark, subq_path):
+    """Correlated EXISTS: the inner plan's filter touches i.s2.a and the
+    outer correlation rides through OuterReference — both must survive in
+    the pruned schema."""
+    schema = _full_schema(spark, _SCHEMA4, _ROWS4)
+    pruned = _sql_roundtrip(
+        spark, subq_path, schema,
+        "SELECT x FROM an_sem_r10_t o "
+        "WHERE EXISTS (SELECT 1 FROM an_sem_r10_t i WHERE i.s2.a = o.x)",
+    )
+    assert set(pruned["s2"].dataType.fieldNames()) == {"a"}, pruned.simpleString()
