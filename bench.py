@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -180,6 +181,15 @@ def main() -> None:
         baseline_summary = {"error": str(e)[:200]}
 
     total = round(sum(times.values()), 3)
+    # trailing-median-of-3 headline (review r10): same-code runs span a
+    # +-10% host-drift band (three r9 runs: 1.27/1.31/1.41), so the
+    # round-over-round grade reads the median of the last 3 gated-SF runs
+    # (including this one), not the single-run number.
+    ratio_now = (baseline_summary or {}).get("spark_vs_duckdb_ratio")
+    trailing_median = None
+    if sf == 0.1 and ratio_now is not None:
+        window = ([r for r in _history_ratios() if r is not None] + [ratio_now])[-3:]
+        trailing_median = round(statistics.median(window), 3)
     result = {
         "metric": "total_query_wall_clock",
         "value": total,
@@ -191,6 +201,7 @@ def main() -> None:
         "sf": sf,
         "bytes_pruning": bytes_summary,
         "duckdb_baseline": baseline_summary,
+        "trailing_median_ratio_3": trailing_median,
     }
     # durable artifact: the driver captures stdout with a bounded buffer that
     # truncated BENCH_r04 mid-stream (VERDICT r4 "What's wrong" #3/#4, "Next
@@ -208,6 +219,29 @@ def main() -> None:
     _append_history(result)
 
 
+def _history_ratios() -> list:
+    """Valid gated-SF (sf0.1) ratios from BENCH_HISTORY.jsonl, in order.
+    Lines hand-marked "invalid" (contaminated by concurrent load) and
+    small-SF iteration runs are excluded — same rules the gate uses."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
+    ratios: list = []
+    try:
+        with open(path) as f:
+            for ln in f:
+                if not ln.strip():
+                    continue
+                try:  # a killed run can leave a partial line; skip, don't die
+                    d = json.loads(ln)
+                except json.JSONDecodeError:
+                    continue
+                if "invalid" in d or d.get("sf") != 0.1:
+                    continue
+                ratios.append(d.get("ratio"))
+    except OSError:
+        pass
+    return ratios
+
+
 def _append_history(result: dict) -> None:
     """Pin the bench margin in an artifact, not prose (VERDICT r6 #6): every
     run appends one line to BENCH_HISTORY.jsonl, and the trailing window is
@@ -216,6 +250,9 @@ def _append_history(result: dict) -> None:
     ratio = (result.get("duckdb_baseline") or {}).get("spark_vs_duckdb_ratio")
     line = {
         "ratio": ratio,
+        # carried per-line so the history file itself shows the smoothed
+        # trajectory, not just the raw single-run drift (review r10)
+        "trailing_median_ratio_3": result.get("trailing_median_ratio_3"),
         "total_sec": result.get("value"),
         "sf": result.get("sf"),
         "n_queries": (result.get("duckdb_baseline") or {}).get("n_queries"),
@@ -225,40 +262,25 @@ def _append_history(result: dict) -> None:
     try:
         with open(path, "a") as f:
             f.write(json.dumps(line) + "\n")
-        ratios = []
-        with open(path) as f:
-            for ln in f:
-                if not ln.strip():
-                    continue
-                try:  # a killed run can leave a partial line; skip, don't die
-                    d = json.loads(ln)
-                except json.JSONDecodeError:
-                    continue
-                # lines hand-marked "invalid" (with the reason inline) stay
-                # in the file for the record but don't gate: a run that raced
-                # another workload measures host contention, not the engine
-                if "invalid" in d:
-                    continue
-                # the 2x gate is defined at the driver's sf0.1; fast
-                # small-SF iteration runs measure fixed per-query floors
-                # against near-zero DuckDB times (9x+ at sf0.01) and must
-                # not poison the window (review r8, hit in practice)
-                if d.get("sf") != 0.1:
-                    continue
-                ratios.append(d.get("ratio"))
         # gate lines print only for gated-SF runs — a small-SF run would
-        # otherwise shout FAIL about numbers the gate does not govern
+        # otherwise shout FAIL about numbers the gate does not govern.
+        # The GATE reads the trailing median (review r10): same-code runs
+        # drift +-10%, so a single 2.05 run is a WARN, not a FAIL — three
+        # in a row is a FAIL.
         if result.get("sf") != 0.1:
             return
-        window = [r for r in ratios if r is not None][-5:]
-        if window and max(window) >= 2.0:
+        window = [r for r in _history_ratios() if r is not None][-3:]
+        med = statistics.median(window) if window else None
+        if med is not None and med >= 2.0:
             print(
-                f"BENCH GATE FAIL: ratio >= 2.0 in last {len(window)} runs: {window}",
+                f"BENCH GATE FAIL: trailing median ratio >= 2.0 over last "
+                f"{len(window)} runs: {window}",
                 file=sys.stderr,
             )
-        elif window and max(window) >= 1.8:
+        elif (med is not None and med >= 1.8) or (ratio is not None and ratio >= 2.0):
             print(
-                f"BENCH GATE WARN: ratio >= 1.8 in last {len(window)} runs: {window}",
+                f"BENCH GATE WARN: trailing median {med} / single-run {ratio} "
+                f"approaching the 2x gate (window {window})",
                 file=sys.stderr,
             )
     except OSError as e:

@@ -444,6 +444,16 @@ class SchemaOnRead:
             return  # cross joins own nothing (TreeNodeProcessingRegistry.java:77-82)
         self._selection(node, mandatory=cond, conditional=[])
 
+    def _on_LateralJoin(self, node: Node) -> None:
+        # SQL `FROM t, LATERAL (SELECT ...)`: the right side is a
+        # LateralSubquery EXPRESSION carrying its plan — same channel as
+        # scalar/IN subqueries (r10). Walking it routes through
+        # _visit_subquery; the lateral's output exprIds are the inner
+        # plan's own outputs, so outer references resolve normally.
+        for key in ("right", "condition"):
+            for e in expr_trees(node.get(key)):
+                self._walk_expr(e, "touch")
+
     def _on_Generate(self, node: Node) -> None:
         # conditional generator + outputs (SchemaOnReadUtils.java:148-158).
         # Explode/PosExplode: the LAST generator-output attribute aliases the

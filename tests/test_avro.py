@@ -320,3 +320,62 @@ def test_avro_compression_codecs_roundtrip(avro, tmp_path):
     # option arrives through a path Spark doesn't pre-validate)
     with pytest.raises(Exception, match="compression|CODEC_SHORT_NAME_NOT_FOUND"):
         df.write.format("avro").option("compression", "lz77").save(str(tmp_path / "bad.avro"))
+
+
+def test_avro_decimal_roundtrip(avro, tmp_path):
+    """Decimal logical type (r10): written as avro bytes + decimal(p,s),
+    read back bit-exact — the testdata's TPC-H money columns are decimal,
+    so a lineitem round-trip through format("avro") must preserve values
+    (including negatives: the payload is two's-complement big-endian)."""
+    spark = avro
+    from decimal import Decimal as D
+
+    df = spark.createDataFrame(
+        [
+            (1, D("12345.67"), D("-0.01")),
+            (2, D("-99999999.99"), D("0.00")),
+            (3, None, D("42.42")),
+        ],
+        "id bigint, money decimal(10,2), tiny decimal(8,2)",
+    )
+    path = str(tmp_path / "dec.avro")
+    df.coalesce(1).write.format("avro").save(path)
+    back = spark.read.format("avro").load(path)
+    # inference maps avro decimal(p,s) straight back to DecimalType(p,s)
+    assert dict((f.name, f.dataType.simpleString()) for f in back.schema.fields) == {
+        "id": "bigint", "money": "decimal(10,2)", "tiny": "decimal(8,2)"
+    }
+    got = {r.id: (r.money, r.tiny) for r in back.collect()}
+    assert got == {
+        1: (D("12345.67"), D("-0.01")),
+        2: (D("-99999999.99"), D("0.00")),
+        3: (None, D("42.42")),
+    }
+
+
+def test_avro_lineitem_money_columns_roundtrip(avro, sf_dir, tmp_path):
+    """End-to-end over the driver's real decimal columns: lineitem's
+    l_extendedprice/l_discount survive an avro round-trip value-for-value."""
+    spark = avro
+    src = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+        .limit(200)
+    )
+    path = str(tmp_path / "li.avro")
+    src.write.format("avro").save(path)
+    back = spark.read.format("avro").load(path)
+    a = sorted(map(str, src.collect()))
+    b = sorted(map(str, back.collect()))
+    assert a == b
+
+
+def test_avro_decimal_from_untagged_bytes_fails_loudly(avro, tmp_path):
+    """Reading a DecimalType from a bytes column with NO avro decimal
+    logical type has no defined scale — must raise, never guess."""
+    spark = avro
+    df = spark.createDataFrame([(bytearray(b"\x01\x02"),)], "b binary")
+    path = str(tmp_path / "rawbytes.avro")
+    df.coalesce(1).write.format("avro").save(path)
+    with pytest.raises(Exception, match="no decimal logical type"):
+        spark.read.schema("b decimal(10,2)").format("avro").load(path).collect()

@@ -369,7 +369,11 @@ def fuzz_paths(spark, tmp_path_factory):
     spark.createDataFrame(rows, SAMPLE_SCHEMA).coalesce(1).write.mode("overwrite").parquet(pq)
     with open(js, "w") as f:
         _json.dump(rows, f, indent=1, default=str)
-    return {"parquet": pq, "json": js}
+    # zero-FILE directory (not a zero-row parquet): the empty-relation
+    # identity class (r9 review) — reads as 0 rows under an explicit schema
+    empty = str(base / "empty_dir")
+    _os.makedirs(empty, exist_ok=True)  # module-level `import os as _os`
+    return {"parquet": pq, "json": js, "empty": empty}
 
 
 _FUZZ_PREDICATES = [
@@ -385,6 +389,11 @@ _FUZZ_PREDICATES = [
     ("cplx_self_eq", lambda d: d.filter(
         (F.col("someComplexArray") == F.col("someComplexArray"))
         | F.col("someComplexArray").isNull())),
+    # whole-STRUCT equality in a filter (r10 generative coverage of the r9
+    # review class: comparisons require full operands even when only some
+    # subfields are otherwise projected)
+    ("struct_self_eq", lambda d: d.filter(
+        (F.col("struct") == F.col("struct")) | F.col("struct").isNull())),
 ]
 
 _FUZZ_EXPLODES = [
@@ -429,6 +438,13 @@ _FUZZ_EXPLODE_FIELDS = {
     # dependent explode of an exploded struct's array field (ex_aoca.col2,
     # array<long>) — drawn only when the "aoca" explode precedes it
     "aoca_chain": [("ex_aoca_chain", lambda: F.col("ex_aoca_chain"), True, True)],
+    # inline_outer(someComplexArray) emits one top-level column PER element
+    # field (r10 generative coverage of the r9 Inline per-field aliasing
+    # class) — names are the element's own field names
+    "inline": [
+        ("in_col1", lambda: F.col("col1"), True, True),
+        ("in_col2", lambda: F.col("col2"), False, True),
+    ],
 }
 
 
@@ -547,6 +563,11 @@ def test_pruned_reread_equals_full_for_random_plans(spark, fuzz_paths, data):
     )
     if chain_aoca:
         explodes = list(explodes) + [("aoca_chain", "ex_aoca.col2")]
+    # Inline is a MULTI-column generator (one output per element field) —
+    # the r9 per-field aliasing class; drawn independently of the explodes
+    do_inline = data.draw(st.booleans(), label="inline")
+    if do_inline:
+        explodes = list(explodes) + [("inline", "someComplexArray")]
     candidates = list(_FUZZ_BASE_FIELDS)
     for name, _ in explodes:
         candidates += _FUZZ_EXPLODE_FIELDS[name]
@@ -571,7 +592,10 @@ def test_pruned_reread_equals_full_for_random_plans(spark, fuzz_paths, data):
         for _, fn in preds:
             df = fn(df)
         for name, col in explodes:
-            df = df.withColumn(f"ex_{name}", F.explode_outer(F.col(col)))
+            if name == "inline":
+                df = df.select("*", F.inline_outer(F.col(col)))
+            else:
+                df = df.withColumn(f"ex_{name}", F.explode_outer(F.col(col)))
         df = df.select(*[fn().alias(name) for name, fn, _, _ in fields])
         gcols = [n for n, _, g, _ in fields if g]
         ncols = [n for n, _, _, num in fields if num]
@@ -707,10 +731,19 @@ def test_pruned_reread_equals_full_for_random_multi_source_plans(spark, fuzz_pat
     # into the sibling branches (r8 review find, fixed in
     # _merge_setop_groups; unionByName always inserts Projects, masking it)
     bare_union = shape == "union" and data.draw(st.booleans(), label="bare_union")
+    # empty-relation branch (r10 generative coverage of the r9 identity
+    # class): the second source becomes a ZERO-FILE parquet directory — the
+    # empty relation must keep its own identity (never shadow the real one
+    # under for_paths) and the set-op/join must still match row-for-row.
+    # cte never reads the second source, so the draw is meaningless there.
+    empty_b = shape != "cte" and data.draw(st.booleans(), label="empty_branch")
+    b_path = fuzz_paths["empty"] if empty_b else fuzz_paths["json"]
 
     def read(which, schema):
         r = spark.read.schema(schema)
         if which == "json":
+            if empty_b:
+                return r.parquet(fuzz_paths["empty"])
             return r.option("multiLine", "true").json(fuzz_paths["json"])
         return r.parquet(fuzz_paths["parquet"])
 
@@ -772,13 +805,13 @@ def test_pruned_reread_equals_full_for_random_multi_source_plans(spark, fuzz_pat
             raise
 
     try:
-        pruned_df = pipeline(derived(fuzz_paths["parquet"]), derived(fuzz_paths["json"]))
+        pruned_df = pipeline(derived(fuzz_paths["parquet"]), derived(b_path))
         _assert_pruned_matches_full(pruned_df, full_df, {
             "test": "multi_source", "shape": shape, "cache": cache_a,
             "filters_a": [n for n, _ in preds_a],
             "filters_b": [n for n, _ in preds_b],
             "projection": [n for n, *_ in fields], "agg": do_agg,
-            "bare_union": bare_union,
+            "bare_union": bare_union, "empty_branch": empty_b,
         })
     finally:
         for c in cached_frames:
@@ -847,7 +880,8 @@ def test_pruned_reread_equals_full_for_random_sql_plans(spark, fuzz_paths, data)
     )
     pred = data.draw(st.sampled_from([None] + _SQL_PREDICATES), label="where")
     mode = data.draw(
-        st.sampled_from(["plain", "group", "window", "cte", "join2", "union2"]),
+        st.sampled_from(["plain", "group", "window", "cte", "join2", "union2",
+                         "inline", "stack", "subq_in", "subq_scalar"]),
         label="mode",
     )
 
@@ -898,6 +932,35 @@ def test_pruned_reread_equals_full_for_random_sql_plans(spark, fuzz_paths, data)
         # (mandatory-full order keys even for complex first columns)
         q = (f"WITH c AS (SELECT {sel} FROM fuzz_sql_v {lateral}{where}) "
              f"SELECT {names} FROM c ORDER BY 1")
+    elif mode == "inline":
+        # LATERAL VIEW inline: a multi-column generator through the PARSER
+        # (r10 generative coverage of the r9 Inline per-field aliasing
+        # class); project one generated field + the drawn base fields
+        base_sel = ", ".join(
+            f"{expr} AS {name}" for name, expr, _, _ in base_fields)
+        q = (f"SELECT {base_sel}, t_in.col1 AS in_col1, t_in.col2 AS in_col2 "
+             f"FROM fuzz_sql_v "
+             f"LATERAL VIEW OUTER inline(someComplexArray) t_in{where}")
+    elif mode == "stack":
+        # stack() resolves to an UNKNOWN generator for the analyzer — the
+        # over-keep backstop class (r9 review); both stacked expressions
+        # must survive in the read schema
+        q = (f"SELECT someStr, "
+             f"stack(2, someLong, nestedStruct.childStruct.col2) AS sv "
+             f"FROM fuzz_sql_v{where}")
+    elif mode == "subq_in":
+        # whole-struct IN (subquery): the r10 subquery-plan class — the
+        # inner plan lives in an expression FIELD and its output is
+        # value-compared, so `struct` must stay full on BOTH sides
+        q = (f"SELECT {sel} FROM fuzz_sql_v {lateral} "
+             f"WHERE `struct` IN (SELECT `struct` FROM fuzz_sql_v)"
+             + (f" AND {pred}" if pred else ""))
+    elif mode == "subq_scalar":
+        # scalar subquery over the same view: inner plan visited, precise
+        # subfield pruning (r10)
+        q = (f"SELECT {sel}, "
+             f"(SELECT min(nestedStruct.childStruct.col2) FROM fuzz_sql_v) AS m "
+             f"FROM fuzz_sql_v {lateral}{where}")
     else:
         q = f"SELECT {sel} FROM fuzz_sql_v {lateral}{where}"
 

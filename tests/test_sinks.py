@@ -450,6 +450,23 @@ def test_write_partitioned_salts_dotted_column_names(spark, tmp_path):
     assert spark.read.parquet(out).count() == 2
 
 
+def test_write_partitioned_dotted_partition_key(spark, tmp_path):
+    """partition_by itself naming a dotted TOP-LEVEL column hit the same
+    nested-path parse at the repartition the salt fix addressed — now both
+    paths backtick-quote (review r10). writer.partitionBy takes raw names,
+    so only the repartition keys needed the quoting."""
+    from score_spark.sinks import write_partitioned
+
+    df = spark.createDataFrame(
+        [(1, "x", 5), (2, "y", 6)], ["c1", "p2", "v"]
+    ).withColumnRenamed("p2", "p.q")
+    out = str(tmp_path / "dotted_key")
+    write_partitioned(df, out, partition_by=("p.q",), files_per_partition=2)
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    assert "p.q" in got.columns
+
+
 def test_write_partitioned_rejects_fpp_without_partition_by(spark, tmp_path):
     import pytest
 

@@ -292,6 +292,36 @@ def ops(spark: SparkSession, docs_path: str, embs_path: str, events_path: str):
     }
 
 
+# relational queries measured over the DRIVER's TPC-H-shaped testdata at two
+# scale factors (sf0.01 -> sf0.1 is a true 10x of every table) — no synthetic
+# generator needed, and unlike the dedup corpora there is no pair-graph
+# replication artifact to avoid (VERDICT r9 "Next round" #2: the sf0.1 bench
+# is floor-dominated and proves nothing about growth; these rows do).
+RELATIONAL_QUERIES = (
+    "q03_shipping_priority",
+    "q05_regional_revenue",
+    "q09_window_suite",
+    "q28_column_profile",
+)
+SF_1X = os.environ.get("SCORE_SPARK_SCALE_SF1", "/root/testdata/sf0.01")
+SF_10X = os.environ.get("SCORE_SPARK_SCALE_SF10", "/root/testdata/sf0.1")
+
+# second-decade (100x) point: only the two ops whose 10x work ratios were
+# the highest — one decade can hide super-linear terms behind constants
+DEEP_FACTOR = 100
+DEEP_OPS = ("d02", "d03")
+
+
+def relational_ops(spark: SparkSession, sf_dir: str):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    return {
+        name.split("_")[0]: (lambda q=qs[name]: q(spark, sf_dir))
+        for name in RELATIONAL_QUERIES
+    }
+
+
 def main() -> None:
     from score_spark.session import get_session
 
@@ -309,26 +339,41 @@ def main() -> None:
 
     spark.range(int(cpus) * 4, numPartitions=int(cpus)).mapInPandas(_warm, "id long").count()
 
+    parts = set(
+        os.environ.get("SCORE_SPARK_SCALE_PARTS", "ops,relational,deep").split(",")
+    )
+
     report: dict[str, dict] = {}
-    for label, factor in (("1x", 1), (f"{FACTOR}x", FACTOR)):
-        docs_path = os.path.join(WORK_DIR, f"documents_{label}.parquet")
-        embs_path = os.path.join(WORK_DIR, f"embeddings_{label}.parquet")
-        events_path = os.path.join(WORK_DIR, f"events_{label}.parquet")
-        _materialize(gen_documents(spark, BASE_DOCS * factor), docs_path)
-        _materialize(gen_embeddings(spark, BASE_VECS * factor), embs_path)
-        _materialize(gen_events(spark, BASE_EVENTS * factor, BASE_USERS * factor), events_path)
-        rows = {
-            "docs": spark.read.parquet(docs_path).count(),
-            "vecs": spark.read.parquet(embs_path).count(),
-            "events": spark.read.parquet(events_path).count(),
-        }
-        results = {}
-        for name, build in ops(spark, docs_path, embs_path, events_path).items():
-            results[name] = _run_op(spark, build)
-        report[label] = {"rows": rows, "ops": results}
+    paths: dict[str, tuple[str, str, str]] = {}
+    if "ops" in parts or "deep" in parts:
+        for label, factor in (("1x", 1), (f"{FACTOR}x", FACTOR)):
+            docs_path = os.path.join(WORK_DIR, f"documents_{label}.parquet")
+            embs_path = os.path.join(WORK_DIR, f"embeddings_{label}.parquet")
+            events_path = os.path.join(WORK_DIR, f"events_{label}.parquet")
+            _materialize(gen_documents(spark, BASE_DOCS * factor), docs_path)
+            _materialize(gen_embeddings(spark, BASE_VECS * factor), embs_path)
+            _materialize(gen_events(spark, BASE_EVENTS * factor, BASE_USERS * factor), events_path)
+            paths[label] = (docs_path, embs_path, events_path)
+            rows = {
+                "docs": spark.read.parquet(docs_path).count(),
+                "vecs": spark.read.parquet(embs_path).count(),
+                "events": spark.read.parquet(events_path).count(),
+            }
+            all_ops = ops(spark, docs_path, embs_path, events_path)
+            wanted = (
+                all_ops
+                if "ops" in parts
+                # deep-only run still needs the 10x leg of its two ops for
+                # the second-decade ratio (and their 1x leg is ~free)
+                else {k: all_ops[k] for k in DEEP_OPS}
+            )
+            results = {}
+            for name, build in wanted.items():
+                results[name] = _run_op(spark, build)
+            report[label] = {"rows": rows, "ops": results}
 
     summary = {}
-    for name in report["1x"]["ops"]:
+    for name in report.get("1x", {}).get("ops", {}):
         a, b = report["1x"]["ops"][name], report[f"{FACTOR}x"]["ops"][name]
         summary[name] = {
             "sec_1x": a["sec"],
@@ -344,9 +389,66 @@ def main() -> None:
             f"max_stage_input_mb_{FACTOR}x": b["max_stage_input_mb"],
             f"max_stage_shuffle_write_mb_{FACTOR}x": b["max_stage_shuffle_write_mb"],
         }
+
+    # --- deep point (r10): a SECOND decade for the two highest-work-ratio
+    # dedup ops (d02 4.85, d03 6.12 at 10x) — band counts and the doc-freq
+    # cap are constants that can hide super-linear terms at one decade.
+    deep_summary: dict[str, dict] = {}
+    if "deep" in parts:
+        label = f"{DEEP_FACTOR}x"
+        docs_deep = os.path.join(WORK_DIR, f"documents_{label}.parquet")
+        _materialize(gen_documents(spark, BASE_DOCS * DEEP_FACTOR), docs_deep)
+        # embeddings/events unused by d02/d03 — reuse the 10x fixtures
+        _, embs_10x, events_10x = paths[f"{FACTOR}x"]
+        deep_ops = ops(spark, docs_deep, embs_10x, events_10x)
+        for name in DEEP_OPS:
+            r = _run_op(spark, deep_ops[name], runs=2)
+            ten = report[f"{FACTOR}x"]["ops"][name]
+            deep_summary[name] = {
+                f"sec_{FACTOR}x": ten["sec"],
+                f"sec_{DEEP_FACTOR}x": r["sec"],
+                f"executor_sec_{FACTOR}x": ten["executor_sec"],
+                f"executor_sec_{DEEP_FACTOR}x": r["executor_sec"],
+                # work growth across the SECOND decade; linear == 10
+                "decade2_work_ratio": round(r["executor_sec"] / ten["executor_sec"], 2)
+                if ten["executor_sec"]
+                else None,
+                "max_stage_input_mb": r["max_stage_input_mb"],
+                "max_stage_shuffle_write_mb": r["max_stage_shuffle_write_mb"],
+                "gc_sec": r["gc_sec"],
+            }
+        shutil.rmtree(docs_deep, ignore_errors=True)
+
+    # --- relational queries (r10): the driver's TPC-H-shaped testdata at
+    # sf0.01 -> sf0.1 is a true 10x of every table; no generator needed.
+    rel_report: dict[str, dict] = {}
+    rel_summary: dict[str, dict] = {}
+    if "relational" in parts:
+        for label, sf_dir in (("1x", SF_1X), (f"{FACTOR}x", SF_10X)):
+            results = {}
+            for name, build in relational_ops(spark, sf_dir).items():
+                results[name] = _run_op(spark, build)
+            rel_report[label] = {"sf_dir": sf_dir, "ops": results}
+        for name in rel_report["1x"]["ops"]:
+            a, b = rel_report["1x"]["ops"][name], rel_report[f"{FACTOR}x"]["ops"][name]
+            rel_summary[name] = {
+                "sec_1x": a["sec"],
+                f"sec_{FACTOR}x": b["sec"],
+                "wall_ratio": round(b["sec"] / a["sec"], 2) if a["sec"] else None,
+                "executor_sec_1x": a["executor_sec"],
+                f"executor_sec_{FACTOR}x": b["executor_sec"],
+                "work_ratio": round(b["executor_sec"] / a["executor_sec"], 2)
+                if a["executor_sec"]
+                else None,
+                f"max_stage_input_mb_{FACTOR}x": b["max_stage_input_mb"],
+                f"max_stage_shuffle_write_mb_{FACTOR}x": b["max_stage_shuffle_write_mb"],
+            }
+
     out = {"base_docs": BASE_DOCS, "base_vecs": BASE_VECS, "base_events": BASE_EVENTS,
-           "base_users": BASE_USERS, "factor": FACTOR,
-           "detail": report, "summary": summary}
+           "base_users": BASE_USERS, "factor": FACTOR, "deep_factor": DEEP_FACTOR,
+           "detail": report, "summary": summary,
+           "deep_summary": deep_summary,
+           "relational_detail": rel_report, "relational_summary": rel_summary}
     print(json.dumps(out, indent=2))
     _write_md(out)
     spark.stop()
@@ -368,7 +470,7 @@ def main() -> None:
 def _write_md(out: dict) -> None:
     factor = out["factor"]
     lines = [
-        "# SCALE — measured 10x scaling points (r7 dedup/ANN; r8 stateful/window family; r9 z-order write path)",
+        "# SCALE — measured 10x scaling points (r7 dedup/ANN; r8 stateful/window family; r9 z-order write path; r10 d02/d03 second decade + relational queries)",
         "",
         f"Synthetic corpora from `tools/scale_bench.py` (deterministic seeded",
         f"generator, 2% planted exact-duplicate rate so duplicate structure is",
@@ -409,6 +511,71 @@ def _write_md(out: dict) -> None:
         "factor = the 1x run is dominated by per-query constants). Stage maxima",
         "bound per-task memory pressure: no stage ballooned past its input and",
         "no OOM/spill was observed.",
+    ]
+    deep = out.get("deep_summary") or {}
+    if deep:
+        dfct = out["deep_factor"]
+        lines += [
+            "",
+            f"## Second decade ({factor}x -> {dfct}x) — d02 / d03 (r10)",
+            "",
+            f"The two highest 10x work ratios get a second decade ({out['base_docs'] * dfct}",
+            "docs, same generator and planted-duplicate rate; best-of-2).",
+            "`decade2 work ratio` is executor time at 100x over 10x — linear = 10:",
+            "",
+            f"| op | {factor}x wall | {dfct}x wall | {factor}x executor | {dfct}x executor "
+            f"| decade2 work ratio | max stage input ({dfct}x) | max stage shuffle write ({dfct}x) | gc ({dfct}x) |",
+            "|---|---|---|---|---|---|---|---|---|",
+        ]
+        for name, s in deep.items():
+            lines.append(
+                f"| {name} | {s[f'sec_{factor}x']} s | {s[f'sec_{dfct}x']} s "
+                f"| {s[f'executor_sec_{factor}x']} s | {s[f'executor_sec_{dfct}x']} s "
+                f"| {s['decade2_work_ratio']} | {s['max_stage_input_mb']} MB "
+                f"| {s['max_stage_shuffle_write_mb']} MB | {s['gc_sec']} s |"
+            )
+        lines += [
+            "",
+            "Caveat on reading the harness's deep cells (r10 probe, full",
+            "write-up in BASELINE.md 'd02 second-decade probe'): the harness",
+            "runs 100x LAST in a long session, and the d02 cell measured 38.9",
+            "that way. Fresh-session A/B with the SAME plan pinned at both",
+            "scales (autoBroadcastJoinThreshold=-1) measures 75.2 -> 731.3",
+            "executor-sec = ratio 9.7 (linear; hot-stage cpu~=run, so it is",
+            "work, not stall). The gap decomposes into (a) AQE runtime-",
+            "broadcasting the capped shingle exchanges at 10x — a legitimate",
+            "small-scale win that cheapens the DENOMINATOR and disappears",
+            "once both sides exceed the threshold — and (b) late-session",
+            "GC/memory pressure inflating the harness's 100x leg (the same",
+            "checkpoint-lineage lesson as the epilogue below). Output pairs",
+            "grow linearly (1000 -> 10001, planted-duplicate rate exactly).",
+        ]
+    rel = out.get("relational_summary") or {}
+    if rel:
+        lines += [
+            "",
+            "## Relational queries — sf0.01 -> sf0.1 (r10)",
+            "",
+            "The driver's TPC-H-shaped testdata at two scale factors is a true",
+            "10x of every table (no synthetic generator, no replication",
+            "artifact). These rows are the growth evidence the sf0.1 bench",
+            "cannot give (it is floor-dominated, net-of-floor ~0.1): q03 =",
+            "c⋈o⋈l agg top-10, q05 = 6-way dim chain, q09 = window suite,",
+            "q28 = column profiling (bounded rank-selection percentiles; its",
+            "constant ~9-job broadcast chain is the BASELINE.md r10 probe).",
+            "",
+            f"| query | sf0.01 wall | sf0.1 wall | wall ratio | sf0.01 executor | sf0.1 executor "
+            f"| work ratio | max stage input (sf0.1) | max stage shuffle write (sf0.1) |",
+            "|---|---|---|---|---|---|---|---|---|",
+        ]
+        for name, s in rel.items():
+            lines.append(
+                f"| {name} | {s['sec_1x']} s | {s[f'sec_{factor}x']} s | {s['wall_ratio']} "
+                f"| {s['executor_sec_1x']} s | {s[f'executor_sec_{factor}x']} s | {s['work_ratio']} "
+                f"| {s[f'max_stage_input_mb_{factor}x']} MB "
+                f"| {s[f'max_stage_shuffle_write_mb_{factor}x']} MB |"
+            )
+    lines += [
         "",
         "One real finding from building this harness: without the bench's",
         "inter-query cleanup (drop refs + System.gc() so the ContextCleaner",
