@@ -11,10 +11,18 @@ from pyspark.sql import Row
 from pyspark.sql import types as T
 
 
+# the suite targets the VENDORED connector (format "avro_minimal"); Spark
+# 4.1.2 ships its own full avro connector inside spark-sql (the vendored
+# jar's service file also registers it under "avro" — see the scala header)
+AVRO_FMT = "avro_minimal"
+
+
 def _avro_available(spark) -> bool:
     try:
-        jvm = spark._jvm
-        jvm.java.lang.Class.forName("org.apache.spark.sql.avro.AvroFileFormat")
+        # the vendored class lives on spark.jars, visible to Spark's own
+        # loader (Utils.classForName), not necessarily to py4j's root loader
+        spark._jvm.org.apache.spark.util.Utils.classForName(
+            "org.apache.spark.sql.avrominimal.AvroFileFormat", True, False)
         return True
     except Exception:
         return False
@@ -41,8 +49,8 @@ def test_avro_roundtrip_all_supported_types(avro, tmp_path):
         " array(3L), map('q', CAST(NULL AS STRING))"
     )
     path = str(tmp_path / "rt.avro")
-    df.coalesce(1).write.format("avro").save(path)
-    back = spark.read.format("avro").load(path)
+    df.coalesce(1).write.format(AVRO_FMT).save(path)
+    back = spark.read.format(AVRO_FMT).load(path)
 
     # the writer emits every field as a [null, T] union (same as upstream
     # spark-avro), so read-back nullability widens to all-nullable at every
@@ -80,8 +88,8 @@ def test_avro_nested_pruned_read(avro, tmp_path):
                 ),
             ]
         ),
-    ).coalesce(1).write.format("avro").save(path)
-    pruned = spark.read.schema("s string, inner struct<x: bigint>").format("avro").load(path)
+    ).coalesce(1).write.format(AVRO_FMT).save(path)
+    pruned = spark.read.schema("s string, inner struct<x: bigint>").format(AVRO_FMT).load(path)
     assert sorted((r.s, r.inner.x) for r in pruned.collect()) == [("a", 10), ("b", 30)]
 
 
@@ -91,7 +99,7 @@ def test_avro_readback_from_second_engine_shape(avro, tmp_path):
     spark = avro
     path = str(tmp_path / "plain.avro")
     spark.createDataFrame([("x", 5)], "s string, n long").coalesce(1).write.format(
-        "avro"
+        AVRO_FMT
     ).save(path)
     import glob
 
@@ -142,12 +150,12 @@ def test_avro_pruned_fields_are_skipped_not_decoded(avro, tmp_path):
     _write_raw_avro(
         jvm, schema_json, f, [{"s": "a", "poison": 7, "n": 10}, {"s": "b", "poison": "x", "n": 20}]
     )
-    pruned = spark.read.schema("s string, n bigint").format("avro").load(f)
+    pruned = spark.read.schema("s string, n bigint").format(AVRO_FMT).load(f)
     assert sorted((r.s, r.n) for r in pruned.collect()) == [("a", 10), ("b", 20)]
     with pytest.raises(Exception, match="union|Union|poison|support"):
         spark.read.schema(
             "s string, poison string, n bigint"
-        ).format("avro").load(f).collect()
+        ).format(AVRO_FMT).load(f).collect()
 
 
 def test_avro_large_file_splits_across_tasks(avro, tmp_path):
@@ -161,11 +169,11 @@ def test_avro_large_file_splits_across_tasks(avro, tmp_path):
     n = 200_000
     spark.range(n).selectExpr(
         "id", "repeat(uuid(), 4) AS pad"
-    ).coalesce(1).write.format("avro").save(path)
+    ).coalesce(1).write.format(AVRO_FMT).save(path)
     old = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try:
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 * 1024))
-        df = spark.read.format("avro").load(path).select("id")
+        df = spark.read.format(AVRO_FMT).load(path).select("id")
         parts = df.rdd.getNumPartitions()
         assert parts > 4, f"unsplit read: {parts} partition(s)"
         got = df.collect()
@@ -200,7 +208,7 @@ def test_avro_timestamp_millis_reads_correctly(avro, tmp_path):
     writer.append(rec)
     writer.close()
 
-    got = spark.read.format("avro").load(f).collect()
+    got = spark.read.format(AVRO_FMT).load(f).collect()
     import datetime
 
     assert got[0].n == 7
@@ -208,7 +216,7 @@ def test_avro_timestamp_millis_reads_correctly(avro, tmp_path):
     # the x1000 scaling is a TimestampType-slot concern only: an explicit
     # bigint read of the same field must return the RAW stored millis
     # (review r7: an unconditional scale inflated such reads 1000x)
-    raw = spark.read.schema("ts bigint, n bigint").format("avro").load(f).collect()
+    raw = spark.read.schema("ts bigint, n bigint").format(AVRO_FMT).load(f).collect()
     assert raw[0].ts == 1704164645123
 
 
@@ -226,13 +234,13 @@ def test_prune_works_over_avro_source(avro, tmp_path):
     spark.createDataFrame(
         [(i, f"t{i}", (i * 10, f"fat{'x' * 50}")) for i in range(20)],
         "id long, tag string, payload struct<small: bigint, fat: string>",
-    ).coalesce(1).write.format("avro").save(path)
+    ).coalesce(1).write.format(AVRO_FMT).save(path)
 
     def q(t):
         return t["a"].groupBy("tag").agg(F.sum("payload.small").alias("s"))
 
-    full = q({"a": spark.read.format("avro").load(path)})
-    pruned_df = prune(spark, {"a": Source(path, "avro")}, q)
+    full = q({"a": spark.read.format(AVRO_FMT).load(path)})
+    pruned_df = prune(spark, {"a": Source(path, AVRO_FMT)}, q)
     assert sorted(map(tuple, pruned_df.collect())) == sorted(map(tuple, full.collect()))
     # the derived read schema must actually narrow (payload.fat dropped)
     sor = SchemaOnRead.generate(full)
@@ -253,8 +261,8 @@ def test_avro_partitioned_directory_layout(avro, tmp_path):
     path = str(tmp_path / "part.avro")
     spark.createDataFrame(
         [(1, "a", 10), (2, "b", 10), (3, "c", 20)], "id long, s string, someLong long"
-    ).write.partitionBy("someLong").format("avro").save(path)
-    back = spark.read.format("avro").load(path)
+    ).write.partitionBy("someLong").format(AVRO_FMT).save(path)
+    back = spark.read.format(AVRO_FMT).load(path)
     assert sorted((r.id, r.s, r.someLong) for r in back.collect()) == [
         (1, "a", 10),
         (2, "b", 10),
@@ -275,9 +283,9 @@ def test_avro_primitive_promotion_on_read(avro, tmp_path):
     spark = avro
     path = str(tmp_path / "promo.avro")
     spark.sql("SELECT cast(7 as int) n, cast(1.5 as float) f").coalesce(1).write.format(
-        "avro"
+        AVRO_FMT
     ).save(path)
-    got = spark.read.schema("n bigint, f double").format("avro").load(path).collect()
+    got = spark.read.schema("n bigint, f double").format(AVRO_FMT).load(path).collect()
     assert got[0].n == 7 and isinstance(got[0].n, int)
     assert abs(got[0].f - 1.5) < 1e-12
 
@@ -301,11 +309,11 @@ def test_avro_compression_codecs_roundtrip(avro, tmp_path):
         ("xz", "xz"),
     ]:
         path = str(tmp_path / f"c_{codec or 'default'}.avro")
-        w = df.coalesce(1).write.format("avro")
+        w = df.coalesce(1).write.format(AVRO_FMT)
         if codec is not None:
             w = w.option("compression", codec)
         w.save(path)
-        back = spark.read.format("avro").load(path)
+        back = spark.read.format(AVRO_FMT).load(path)
         assert back.count() == 500
         assert back.selectExpr("sum(id) s").collect()[0].s == 500 * 499 // 2
         f = glob.glob(f"{path}/part-*.avro")[0]
@@ -319,13 +327,13 @@ def test_avro_compression_codecs_roundtrip(avro, tmp_path):
     # mapping catches it first; AvroCodecs.validate is the backstop when the
     # option arrives through a path Spark doesn't pre-validate)
     with pytest.raises(Exception, match="compression|CODEC_SHORT_NAME_NOT_FOUND"):
-        df.write.format("avro").option("compression", "lz77").save(str(tmp_path / "bad.avro"))
+        df.write.format(AVRO_FMT).option("compression", "lz77").save(str(tmp_path / "bad.avro"))
 
 
 def test_avro_decimal_roundtrip(avro, tmp_path):
     """Decimal logical type (r10): written as avro bytes + decimal(p,s),
     read back bit-exact — the testdata's TPC-H money columns are decimal,
-    so a lineitem round-trip through format("avro") must preserve values
+    so a lineitem round-trip through format(AVRO_FMT) must preserve values
     (including negatives: the payload is two's-complement big-endian)."""
     spark = avro
     from decimal import Decimal as D
@@ -339,8 +347,8 @@ def test_avro_decimal_roundtrip(avro, tmp_path):
         "id bigint, money decimal(10,2), tiny decimal(8,2)",
     )
     path = str(tmp_path / "dec.avro")
-    df.coalesce(1).write.format("avro").save(path)
-    back = spark.read.format("avro").load(path)
+    df.coalesce(1).write.format(AVRO_FMT).save(path)
+    back = spark.read.format(AVRO_FMT).load(path)
     # inference maps avro decimal(p,s) straight back to DecimalType(p,s)
     assert dict((f.name, f.dataType.simpleString()) for f in back.schema.fields) == {
         "id": "bigint", "money": "decimal(10,2)", "tiny": "decimal(8,2)"
@@ -363,8 +371,8 @@ def test_avro_lineitem_money_columns_roundtrip(avro, sf_dir, tmp_path):
         .limit(200)
     )
     path = str(tmp_path / "li.avro")
-    src.write.format("avro").save(path)
-    back = spark.read.format("avro").load(path)
+    src.write.format(AVRO_FMT).save(path)
+    back = spark.read.format(AVRO_FMT).load(path)
     a = sorted(map(str, src.collect()))
     b = sorted(map(str, back.collect()))
     assert a == b
@@ -376,6 +384,46 @@ def test_avro_decimal_from_untagged_bytes_fails_loudly(avro, tmp_path):
     spark = avro
     df = spark.createDataFrame([(bytearray(b"\x01\x02"),)], "b binary")
     path = str(tmp_path / "rawbytes.avro")
-    df.coalesce(1).write.format("avro").save(path)
-    with pytest.raises(Exception, match="no decimal logical type"):
-        spark.read.schema("b decimal(10,2)").format("avro").load(path).collect()
+    df.coalesce(1).write.format(AVRO_FMT).save(path)
+    with pytest.raises(Exception) as excinfo:
+        spark.read.schema("b decimal(10,2)").format(AVRO_FMT).load(path).collect()
+    # Spark wraps the reader error in FAILED_READ_FILE; the connector's
+    # message sits in the Java cause chain (py4j's str() truncates it)
+    msgs = [str(excinfo.value)]
+    cause = getattr(excinfo.value, "java_exception", None)
+    while cause is not None:
+        msgs.append(str(cause.getMessage()))
+        cause = cause.getCause()
+    assert any("no decimal logical type" in m for m in msgs if m), msgs[:3]
+
+
+def test_avro_builtin_and_minimal_interop(avro, tmp_path):
+    """Registration contract (r10 find): Spark 4.1.2 ships the FULL avro
+    connector inside spark-sql but WITHOUT its service registration, and the
+    vendored jar's original same-FQN entry resolved to the DISTRO class
+    under parent-first classloading — the vendored code was dead at runtime.
+    Now: format("avro") = the builtin (service-registered by our jar's glue
+    line), format("avro_minimal") = the vendored connector, and files are
+    interchangeable both ways (same container format)."""
+    spark = avro
+    from decimal import Decimal as D
+
+    jvm = spark._jvm
+    builtin = jvm.org.apache.spark.util.Utils.classForName(
+        "org.apache.spark.sql.avro.AvroFileFormat", True, False
+    ).newInstance()
+    mine = jvm.org.apache.spark.util.Utils.classForName(
+        "org.apache.spark.sql.avrominimal.AvroFileFormat", True, False
+    ).newInstance()
+    assert builtin.toString() == "Avro"
+    assert mine.toString() == "Avro(minimal)"
+
+    df = spark.createDataFrame(
+        [(1, "a", D("9.99")), (2, "b", None)], "id bigint, s string, m decimal(6,2)"
+    )
+    p1, p2 = str(tmp_path / "by_min.avro"), str(tmp_path / "by_builtin.avro")
+    df.coalesce(1).write.format("avro_minimal").save(p1)
+    df.coalesce(1).write.format("avro").save(p2)
+    want = sorted(map(str, df.collect()))
+    assert sorted(map(str, spark.read.format("avro").load(p1).collect())) == want
+    assert sorted(map(str, spark.read.format("avro_minimal").load(p2).collect())) == want

@@ -108,7 +108,7 @@ def ensure_fixture(spark: SparkSession) -> tuple[str, str, str | None]:
         try:
             build_fixture_df(spark, N_AVRO_ROWS).repartition(16).write.mode(
                 "overwrite"
-            ).format("avro").save(av_path)
+            ).format("avro_minimal").save(av_path)
             return av_path
         except Exception:
             import shutil
@@ -242,9 +242,9 @@ def run_avro_wall(spark: SparkSession, av_path: str, full_schema) -> dict:
         return time.monotonic() - t0, rows
 
     def read(schema):
-        return spark.read.schema(schema).format("avro").load(av_path).coalesce(8)
+        return spark.read.schema(schema).format("avro_minimal").load(av_path).coalesce(8)
 
-    full_df = spark.read.schema(full_schema).format("avro").load(av_path)
+    full_df = spark.read.schema(full_schema).format("avro_minimal").load(av_path)
     sor = SchemaOnRead.generate(build(full_df))
     pruned_schema = sor.for_paths(av_path)
     full_times, pruned_times = [], []
