@@ -51,6 +51,11 @@ _PATH_EXPRS = {
     "GetArrayItem",
     "ElementAt",
     "Get",  # F.get(arr, i): NULL-on-out-of-bounds ElementAt (r8 fuzz find)
+    # correlated-subquery reference to an outer attribute (r10): a LEAF
+    # expression whose wrapped attribute lives in the `e` FIELD, not in
+    # _children — without this, `outer(s2).a` inside a LATERAL/correlated
+    # subquery dead-ended and s2 emitted as a skeleton (proven by execution)
+    "OuterReference",
 }
 
 # Expressions whose RESULT depends on every field of a complex operand —
@@ -742,6 +747,11 @@ class SchemaOnRead:
         if cname == "AttributeReference":
             eid = expr_id(expr)
             return list(self._state.exprid_map.get(eid, [])) if eid else []
+        if cname == "OuterReference":
+            # transparent wrapper around an outer-plan attribute; a LEAF
+            # expression — the attribute is the `e` FIELD, not a child (r10)
+            inner = expr_trees(expr.get("e"))
+            return self._resolve_path(inner[0]) if inner else []
         if cname == "GetStructField":
             base = self._resolve_path(expr["_children"][0])
             name = expr.get("name")

@@ -279,3 +279,45 @@ def test_correlated_exists_subquery_roundtrips(spark, subq_path):
         "WHERE EXISTS (SELECT 1 FROM an_sem_r10_t i WHERE i.s2.a = o.x)",
     )
     assert set(pruned["s2"].dataType.fieldNames()) == {"a"}, pruned.simpleString()
+
+
+def test_lateral_subquery_correlated_struct_prunes_precisely(spark, subq_path):
+    """LATERAL (SELECT t.s2.a + 1): the lateral's plan rides in the
+    LateralJoin's `right` expression FIELD, and the correlated reference is
+    an OuterReference — a LEAF whose attribute sits in its `e` FIELD. Before
+    r10 both dead-ended: s2 emitted as struct<> and the pruned re-read
+    failed UNRESOLVED_COLUMN (confirmed by execution)."""
+    schema = _full_schema(spark, _SCHEMA4, _ROWS4)
+    pruned = _sql_roundtrip(
+        spark, subq_path, schema,
+        "SELECT t.x, l.a2 FROM an_sem_r10_t t, "
+        "LATERAL (SELECT t.s2.a + 1 AS a2) l",
+    )
+    assert set(pruned.fieldNames()) == {"s2", "x"}, pruned.simpleString()
+    assert set(pruned["s2"].dataType.fieldNames()) == {"a"}, pruned.simpleString()
+
+
+def test_lateral_subquery_over_same_view_roundtrips(spark, subq_path):
+    """Correlated lateral aggregate re-reading the same relation: the inner
+    leg's s1.b use and the correlation on x must both survive."""
+    schema = _full_schema(spark, _SCHEMA4, _ROWS4)
+    pruned = _sql_roundtrip(
+        spark, subq_path, schema,
+        "SELECT t.x, l.mb FROM an_sem_r10_t t, "
+        "LATERAL (SELECT max(i.s1.b) AS mb FROM an_sem_r10_t i "
+        "WHERE i.x <= t.x) l",
+    )
+    assert set(pruned["s1"].dataType.fieldNames()) == {"b"}, pruned.simpleString()
+
+
+def test_correlated_exists_whole_struct_outer_compare(spark, subq_path):
+    """EXISTS (... WHERE i.s1 = t.s1): the OUTER side of the whole-struct
+    comparison reaches the walker through OuterReference — both sides must
+    stay full (primitives masked this class pre-r10; structs under-kept)."""
+    schema = _full_schema(spark, _SCHEMA4, _ROWS4)
+    pruned = _sql_roundtrip(
+        spark, subq_path, schema,
+        "SELECT t.x FROM an_sem_r10_t t "
+        "WHERE EXISTS (SELECT 1 FROM an_sem_r10_t i WHERE i.s1 = t.s1)",
+    )
+    assert set(pruned["s1"].dataType.fieldNames()) == {"a", "b"}, pruned.simpleString()
