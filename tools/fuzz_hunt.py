@@ -59,6 +59,9 @@ def main() -> int:
         return {"parquet": pq, "json": js}
 
     fuzz_paths = write_pair(prune_fuzz_rows(), SAMPLE_SCHEMA, "fuzz")
+    # zero-FILE directory — the empty-relation branch draw (r10) needs it
+    fuzz_paths["empty"] = f"{base}/empty_dir"
+    os.makedirs(fuzz_paths["empty"], exist_ok=True)
     crazy_paths = write_pair(crazy_fuzz_rows(), CRAZY_MAP_SCHEMA, "crazy")
 
     def hunt(name, inner, kw, n):
