@@ -881,7 +881,8 @@ def test_pruned_reread_equals_full_for_random_sql_plans(spark, fuzz_paths, data)
     pred = data.draw(st.sampled_from([None] + _SQL_PREDICATES), label="where")
     mode = data.draw(
         st.sampled_from(["plain", "group", "window", "cte", "join2", "union2",
-                         "inline", "stack", "subq_in", "subq_scalar"]),
+                         "inline", "stack", "subq_in", "subq_scalar",
+                         "subq_case", "subq_join"]),
         label="mode",
     )
 
@@ -955,6 +956,20 @@ def test_pruned_reread_equals_full_for_random_sql_plans(spark, fuzz_paths, data)
         q = (f"SELECT {sel} FROM fuzz_sql_v {lateral} "
              f"WHERE `struct` IN (SELECT `struct` FROM fuzz_sql_v)"
              + (f" AND {pred}" if pred else ""))
+    elif mode == "subq_case":
+        # IN-subquery nested inside a CASE WHEN projection (not a WHERE):
+        # the subquery expression reaches the walker through the Project's
+        # conditional columns rather than a Filter condition (r10)
+        q = (f"SELECT {sel}, CASE WHEN `struct` IN "
+             f"(SELECT `struct` FROM fuzz_sql_v) THEN 1 ELSE 0 END AS flag "
+             f"FROM fuzz_sql_v {lateral}{where}")
+    elif mode == "subq_join":
+        # correlated EXISTS inside a JOIN CONDITION — the subquery rides
+        # the Join node's mandatory condition walk (r10)
+        q = ("SELECT a.someLong AS k FROM fuzz_sql_v a JOIN fuzz_sql_v b "
+             "ON a.someLong = b.someLong AND EXISTS "
+             "(SELECT 1 FROM fuzz_sql_v i "
+             " WHERE i.nestedStruct.childStruct.col2 = a.someLong)")
     elif mode == "subq_scalar":
         # scalar subquery over the same view: inner plan visited, precise
         # subfield pruning (r10)
