@@ -321,3 +321,20 @@ def test_correlated_exists_whole_struct_outer_compare(spark, subq_path):
         "WHERE EXISTS (SELECT 1 FROM an_sem_r10_t i WHERE i.s1 = t.s1)",
     )
     assert set(pruned["s1"].dataType.fieldNames()) == {"a", "b"}, pruned.simpleString()
+
+
+def test_unparseable_subquery_plan_raises_not_underkeeps():
+    """A known subquery expression whose `plan` field fails to parse must
+    RAISE (reaching generate()'s loud/fallback contract), never silently
+    skip the inner plan — that is the exact under-keep class r10 fixed."""
+    from score_spark.schema_on_read.generator import SchemaOnRead
+
+    gen = SchemaOnRead()
+    node = {
+        "class": "org.apache.spark.sql.catalyst.expressions.ListQuery",
+        "num-children": 0,
+        "plan": "not-a-plan",
+        "_children": [],
+    }
+    with pytest.raises(ValueError, match="no parseable plan"):
+        gen._walk_expr(node, "touch")
