@@ -449,6 +449,17 @@ class SchemaOnRead:
             return  # cross joins own nothing (TreeNodeProcessingRegistry.java:77-82)
         self._selection(node, mandatory=cond, conditional=[])
 
+    def _on_CollectMetrics(self, node: Node) -> None:
+        # df.observe(name, metrics...): a passthrough node whose metric
+        # aggregates live in the `metrics` expression field — never walked
+        # before r10, so a metric-only column vanished from the pruned
+        # schema (UNRESOLVED_COLUMN on re-read, confirmed by execution),
+        # and a metric over a narrowed struct would be silently wrong.
+        # Touch mode suffices: aggregate operands route through
+        # _VALUE_COMPARISON_EXPRS where ordering-sensitive (max/min/...).
+        for e in expr_trees(node.get("metrics")):
+            self._walk_expr(e, "touch")
+
     def _on_LateralJoin(self, node: Node) -> None:
         # SQL `FROM t, LATERAL (SELECT ...)`: the right side is a
         # LateralSubquery EXPRESSION carrying its plan — same channel as

@@ -338,3 +338,23 @@ def test_unparseable_subquery_plan_raises_not_underkeeps():
     }
     with pytest.raises(ValueError, match="no parseable plan"):
         gen._walk_expr(node, "touch")
+
+
+def test_observe_metrics_survive_pruning(spark, subq_path):
+    """df.observe(): CollectMetrics is a passthrough node whose metric
+    aggregates live in the `metrics` expression FIELD — unwalked before
+    r10, a metric-only column vanished from the pruned schema
+    (UNRESOLVED_COLUMN, confirmed by execution); a whole-struct metric
+    could be silently wrong over a narrowed struct."""
+    schema = _full_schema(spark, _SCHEMA4, _ROWS4)
+    pruned = _roundtrip(
+        spark, subq_path, schema,
+        lambda df: df.observe("m_r10", F.max(F.col("s2.a")).alias("mx")).select("x"),
+    )
+    assert set(pruned.fieldNames()) == {"s2", "x"}, pruned.simpleString()
+    assert set(pruned["s2"].dataType.fieldNames()) == {"a"}, pruned.simpleString()
+    pruned2 = _roundtrip(
+        spark, subq_path, schema,
+        lambda df: df.observe("m2_r10", F.max(F.col("s2")).alias("mx")).select("x"),
+    )
+    assert set(pruned2["s2"].dataType.fieldNames()) == {"a", "b"}, pruned2.simpleString()
