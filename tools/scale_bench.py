@@ -306,10 +306,12 @@ RELATIONAL_QUERIES = (
 SF_1X = os.environ.get("SCORE_SPARK_SCALE_SF1", "/root/testdata/sf0.01")
 SF_10X = os.environ.get("SCORE_SPARK_SCALE_SF10", "/root/testdata/sf0.1")
 
-# second-decade (100x) point: only the two ops whose 10x work ratios were
-# the highest — one decade can hide super-linear terms behind constants
+# second-decade (100x) point: the ops whose 10x work ratios were the
+# highest, plus d05 (its counted <=2M-edge driver tier is the bound worth
+# watching at 100x) — one decade can hide super-linear terms behind
+# constants
 DEEP_FACTOR = 100
-DEEP_OPS = ("d02", "d03")
+DEEP_OPS = ("d02", "d03", "d05")
 
 
 def relational_ops(spark: SparkSession, sf_dir: str):
@@ -539,7 +541,9 @@ def _write_md(out: dict) -> None:
             "Caveat on reading the harness's deep cells (r10 probe, full",
             "write-up in BASELINE.md 'd02 second-decade probe'): the harness",
             "runs 100x LAST in a long session, and the d02 cell measured 38.9",
-            "that way. Fresh-session A/B with the SAME plan pinned at both",
+            "and 23.9 that way across two harness runs (the spread itself is",
+            "the session-state signature). Fresh-session A/B with the SAME",
+            "plan pinned at both",
             "scales (autoBroadcastJoinThreshold=-1) measures 75.2 -> 731.3",
             "executor-sec = ratio 9.7 (linear; hot-stage cpu~=run, so it is",
             "work, not stall). The gap decomposes into (a) AQE runtime-",
