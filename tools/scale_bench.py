@@ -324,7 +324,42 @@ def relational_ops(spark: SparkSession, sf_dir: str):
     }
 
 
+def _deep_worker(argv: list[str]) -> None:
+    """Fresh-process measurement of the second-decade ops (r10): the first
+    deep cells were measured LAST in the main harness session and carried
+    its accumulated GC/memory state — d02 read 38.9/23.9 across two runs
+    while a fresh-session same-plan A/B measured 9.7 (BASELINE.md probe).
+    Both decade legs now run in this clean subprocess so the ratio compares
+    like against like."""
+    docs_10x, docs_100x, embs, events, out_json, ops_csv = argv
+    from score_spark.session import get_session
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_session(
+        app_name="score-spark-scale-deep",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4058"},
+    )
+
+    def _warm(batches):
+        yield from batches
+
+    spark.range(int(cpus) * 4, numPartitions=int(cpus)).mapInPandas(_warm, "id long").count()
+    out: dict[str, dict] = {}
+    for label, docs_path in (("10x", docs_10x), (f"{DEEP_FACTOR}x", docs_100x)):
+        built = ops(spark, docs_path, embs, events)
+        for name in ops_csv.split(","):
+            out.setdefault(name, {})[label] = _run_op(spark, built[name], runs=2)
+    with open(out_json, "w") as f:
+        json.dump(out, f)
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--deep-worker":
+        _deep_worker(sys.argv[2:])
+        return
+
     from score_spark.session import get_session
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -400,12 +435,26 @@ def main() -> None:
         label = f"{DEEP_FACTOR}x"
         docs_deep = os.path.join(WORK_DIR, f"documents_{label}.parquet")
         _materialize(gen_documents(spark, BASE_DOCS * DEEP_FACTOR), docs_deep)
-        # embeddings/events unused by d02/d03 — reuse the 10x fixtures
-        _, embs_10x, events_10x = paths[f"{FACTOR}x"]
-        deep_ops = ops(spark, docs_deep, embs_10x, events_10x)
+        # embeddings/events unused by the deep ops — reuse the 10x fixtures
+        docs_10x, embs_10x, events_10x = paths[f"{FACTOR}x"]
+        # both decade legs measured in a FRESH subprocess session (see
+        # _deep_worker): the in-session 10x cells above carry ~70 prior
+        # measurements of session state, and the first deep runs proved
+        # that state moves executor time by 2-4x on the heaviest op
+        out_json = os.path.join(WORK_DIR, "deep_worker.json")
+        import subprocess
+
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--deep-worker",
+             docs_10x, docs_deep, embs_10x, events_10x, out_json,
+             ",".join(DEEP_OPS)],
+            check=True,
+        )
+        with open(out_json) as f:
+            worker = json.load(f)
         for name in DEEP_OPS:
-            r = _run_op(spark, deep_ops[name], runs=2)
-            ten = report[f"{FACTOR}x"]["ops"][name]
+            ten = worker[name]["10x"]
+            r = worker[name][label]
             deep_summary[name] = {
                 f"sec_{FACTOR}x": ten["sec"],
                 f"sec_{DEEP_FACTOR}x": r["sec"],
@@ -419,6 +468,7 @@ def main() -> None:
                 "max_stage_shuffle_write_mb": r["max_stage_shuffle_write_mb"],
                 "gc_sec": r["gc_sec"],
             }
+        os.remove(out_json)
         shutil.rmtree(docs_deep, ignore_errors=True)
 
     # --- relational queries (r10): the driver's TPC-H-shaped testdata at
@@ -467,6 +517,22 @@ def main() -> None:
         os.rmdir(WORK_DIR)  # only removes it when empty
     except OSError:
         pass
+
+
+_DEEP_CAVEAT = """Reading the 100x time cells (full probe + r10 addendum in
+BASELINE.md 'd02 second-decade probe'): an interleaved A/B
+showed this host's CPU-TIME regime itself swings up to ~2.8x
+between identical runs at this data size (hot-stage
+executorCpuTime 965 -> 285 s, cpu ~= run), so absolute
+executor-sec at 100x is regime noise. The reliable decade-2
+evidence is (a) byte/cardinality metrics, stable across every
+run: max stage input exactly 10x the 10x leg, shuffle write
+12x on 10x data, output pairs exactly the planted-duplicate
+rate (1000 -> 10001); and (b) the same-session back-to-back
+same-plan pair, 75.2 -> 731.3 executor-sec = 9.7 (linear).
+AQE legitimately broadcasts the capped shingle exchanges at
+10x and correctly keeps the shuffle plan at 100x — no plan
+change warranted."""
 
 
 def _write_md(out: dict) -> None:
@@ -521,9 +587,15 @@ def _write_md(out: dict) -> None:
             "",
             f"## Second decade ({factor}x -> {dfct}x) — d02 / d03 (r10)",
             "",
-            f"The two highest 10x work ratios get a second decade ({out['base_docs'] * dfct}",
+            f"The heaviest dedup ops get a second decade ({out['base_docs'] * dfct}",
             "docs, same generator and planted-duplicate rate; best-of-2).",
-            "`decade2 work ratio` is executor time at 100x over 10x — linear = 10:",
+            "BOTH legs (10x and 100x) are measured in a FRESH subprocess",
+            "session: the first deep cells ran LAST in the main harness",
+            "session and its accumulated GC/memory state moved d02's cell",
+            "38.9 -> 23.9 between identical runs, while a fresh-session",
+            "same-plan A/B measured 9.7 (full probe: BASELINE.md 'd02",
+            "second-decade probe'). `decade2 work ratio` is executor time",
+            "at 100x over 10x — linear = 10:",
             "",
             f"| op | {factor}x wall | {dfct}x wall | {factor}x executor | {dfct}x executor "
             f"| decade2 work ratio | max stage input ({dfct}x) | max stage shuffle write ({dfct}x) | gc ({dfct}x) |",
@@ -536,24 +608,7 @@ def _write_md(out: dict) -> None:
                 f"| {s['decade2_work_ratio']} | {s['max_stage_input_mb']} MB "
                 f"| {s['max_stage_shuffle_write_mb']} MB | {s['gc_sec']} s |"
             )
-        lines += [
-            "",
-            "Caveat on reading the harness's deep cells (r10 probe, full",
-            "write-up in BASELINE.md 'd02 second-decade probe'): the harness",
-            "runs 100x LAST in a long session, and the d02 cell measured 38.9",
-            "and 23.9 that way across two harness runs (the spread itself is",
-            "the session-state signature). Fresh-session A/B with the SAME",
-            "plan pinned at both",
-            "scales (autoBroadcastJoinThreshold=-1) measures 75.2 -> 731.3",
-            "executor-sec = ratio 9.7 (linear; hot-stage cpu~=run, so it is",
-            "work, not stall). The gap decomposes into (a) AQE runtime-",
-            "broadcasting the capped shingle exchanges at 10x — a legitimate",
-            "small-scale win that cheapens the DENOMINATOR and disappears",
-            "once both sides exceed the threshold — and (b) late-session",
-            "GC/memory pressure inflating the harness's 100x leg (the same",
-            "checkpoint-lineage lesson as the epilogue below). Output pairs",
-            "grow linearly (1000 -> 10001, planted-duplicate rate exactly).",
-        ]
+        lines += ["", *(ln for ln in _DEEP_CAVEAT.splitlines())]
     rel = out.get("relational_summary") or {}
     if rel:
         lines += [
