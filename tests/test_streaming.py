@@ -298,3 +298,38 @@ def test_enrich_rejects_existing_enrichment_columns(spark):
     dim = spark.createDataFrame([(1, "AUTO")], "c_custkey bigint, c_mktsegment string")
     with pytest.raises(ValueError, match="already carries"):
         enrich_with_dimension(events, dim)
+
+
+def test_streaming_read_with_pruned_schema_equals_full(spark, tmp_path):
+    """Schema-on-read for STREAMING sources — the documented pattern: derive
+    the pruned read schema from the BATCH twin over the same path (the
+    analyzer sees only batch plans), then hand it to readStream.schema().
+    The streamed result over the pruned schema must equal the full-schema
+    run; the pruned schema must actually narrow (nested subfield only)."""
+    import pyspark.sql.functions as F
+
+    from score_spark.schema_on_read.generator import SchemaOnRead
+
+    src = str(tmp_path / "nested_stream")
+    spark.createDataFrame(
+        [(1, ("a", 10.0), 5), (2, ("b", 20.0), 6), (3, ("a", 30.0), 7)],
+        "id bigint, s struct<k:string,v:double>, x bigint",
+    ).write.mode("overwrite").parquet(src)
+
+    transform = lambda d: (  # noqa: E731
+        d.groupBy(F.col("s.k").alias("k")).agg(F.round(F.sum("s.v"), 2).alias("tv"))
+    )
+    full_schema = spark.read.parquet(src).schema
+    batch_df = transform(spark.read.parquet(src))
+    pruned = SchemaOnRead.generate(batch_df).for_paths(src)
+    assert [f.name for f in pruned.fields] == ["s"], pruned.simpleString()
+    assert set(pruned["s"].dataType.fieldNames()) == {"k", "v"}
+
+    want = sorted(map(str, batch_df.collect()))
+    for name, schema in (("sor_full", full_schema), ("sor_pruned", pruned)):
+        q = run_stream_once(
+            spark, src, transform, schema,
+            checkpoint=str(tmp_path / f"ck_{name}"), table_name=name,
+        )
+        q.awaitTermination(120)
+        assert sorted(map(str, spark.table(name).collect())) == want, name
