@@ -358,3 +358,47 @@ def test_observe_metrics_survive_pruning(spark, subq_path):
         lambda df: df.observe("m2_r10", F.max(F.col("s2")).alias("mx")).select("x"),
     )
     assert set(pruned2["s2"].dataType.fieldNames()) == {"a", "b"}, pruned2.simpleString()
+
+
+def test_three_format_multi_source_prunes_each_relation(spark, tmp_path):
+    """One query over parquet + JSON + vendored-avro sources: each relation
+    gets its own derived read schema (relation identity by input files), the
+    rebuilt three-source join matches row-for-row, and each source narrows
+    to exactly what the query touches from it."""
+    import json as _json
+
+    from score_spark.schema_on_read.generator import SchemaOnRead
+
+    rows = [
+        {"k": 1, "s": {"a": 10, "b": 1}, "x": 100},
+        {"k": 2, "s": {"a": 20, "b": 2}, "x": 200},
+    ]
+    ddl = "k bigint, s struct<a:bigint,b:bigint>, x bigint"
+    schema = spark.createDataFrame(rows, ddl).schema
+    pq = str(tmp_path / "t.parquet")
+    js = str(tmp_path / "t.json")
+    av = str(tmp_path / "t.avro")
+    spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(pq)
+    with open(js, "w") as f:
+        _json.dump(rows, f)
+    try:
+        spark.createDataFrame(rows, ddl).coalesce(1).write.format("avro_minimal").save(av)
+    except Exception:
+        pytest.skip("avro connector jar not on this session's classpath")
+
+    def build(s_pq, s_js, s_av):
+        a = spark.read.schema(s_pq).parquet(pq).select("k", F.col("s.a").alias("pa"))
+        b = (spark.read.schema(s_js).option("multiLine", "true").json(js)
+             .select("k", F.col("s.b").alias("jb")))
+        c = spark.read.schema(s_av).format("avro_minimal").load(av).select("k", "x")
+        return a.join(b, "k").join(c, "k")
+
+    full = build(schema, schema, schema)
+    want = sorted(map(str, full.collect()))
+    sor = SchemaOnRead.generate(full)
+    p_pq, p_js, p_av = sor.for_paths(pq), sor.for_paths(js), sor.for_paths(av)
+    got = sorted(map(str, build(p_pq, p_js, p_av).collect()))
+    assert got == want
+    assert set(p_pq["s"].dataType.fieldNames()) == {"a"}, p_pq.simpleString()
+    assert set(p_js["s"].dataType.fieldNames()) == {"b"}, p_js.simpleString()
+    assert set(p_av.fieldNames()) == {"k", "x"}, p_av.simpleString()
