@@ -219,11 +219,12 @@ def main() -> None:
     _append_history(result)
 
 
-def _history_ratios() -> list:
+def _history_ratios(path: str | None = None) -> list:
     """Valid gated-SF (sf0.1) ratios from BENCH_HISTORY.jsonl, in order.
     Lines hand-marked "invalid" (contaminated by concurrent load) and
     small-SF iteration runs are excluded — same rules the gate uses."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
     ratios: list = []
     try:
         with open(path) as f:

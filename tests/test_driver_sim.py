@@ -98,3 +98,30 @@ def test_h01_oracle_est_normalization_is_reader_invariant(con):
         # fixture is module-scoped and later tests must see what they
         # started with (review r9)
         con.execute(f"SET TimeZone='{prior}'")
+
+
+def test_bench_history_ratios_filtering(tmp_path):
+    """The r10 trailing-median gate reads only VALID sf0.1 lines: lines
+    marked invalid (contaminated by concurrent load), small-SF iteration
+    runs, blank lines, and partial lines from killed runs are all skipped,
+    in order."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    p = tmp_path / "hist.jsonl"
+    p.write_text(
+        '{"ratio": 1.5, "sf": 0.1}\n'
+        "\n"
+        '{"ratio": 9.9, "sf": 0.01}\n'          # small-SF: excluded
+        '{"ratio": 3.0, "sf": 0.1, "invalid": "ran under load"}\n'  # excluded
+        '{"ratio": 1.2, "sf": 0.1}\n'
+        '{"ratio": 1.8, "sf": 0.1'              # partial line: skipped
+    )
+    assert bench._history_ratios(str(p)) == [1.5, 1.2]
+    # median-of-3 window over valid ratios + the current run
+    import statistics
+
+    window = (bench._history_ratios(str(p)) + [2.5])[-3:]
+    assert statistics.median(window) == 1.5
