@@ -402,3 +402,31 @@ def test_three_format_multi_source_prunes_each_relation(spark, tmp_path):
     assert set(p_pq["s"].dataType.fieldNames()) == {"a"}, p_pq.simpleString()
     assert set(p_js["s"].dataType.fieldNames()) == {"b"}, p_js.simpleString()
     assert set(p_av.fieldNames()) == {"k", "x"}, p_av.simpleString()
+
+
+@pytest.mark.parametrize("fmt", ["orc", "xml"])
+def test_prune_over_orc_and_xml_sources(spark, tmp_path, fmt):
+    """The analyzer is source-format-agnostic over v1 HadoopFsRelations:
+    ORC and XML (both built into Spark 4) bind user schemas BY NAME, so the
+    derived nested schema narrows the read safely — unlike CSV, which binds
+    positionally and is deliberately kept full-width (r9)."""
+    ddl = "k bigint, s struct<a:bigint,b:bigint>, x bigint"
+    df0 = spark.createDataFrame([(1, (10, 1), 100), (2, (20, 2), 200)], ddl)
+    p = str(tmp_path / f"t_{fmt}")
+    w = df0.coalesce(1).write.mode("overwrite")
+    r = spark.read.schema(df0.schema)
+    if fmt == "xml":
+        w = w.option("rowTag", "row")
+        read = lambda rr: rr.option("rowTag", "row").format("xml").load(p)  # noqa: E731
+    else:
+        read = lambda rr: rr.format(fmt).load(p)  # noqa: E731
+    w.format(fmt).save(p)
+
+    build = lambda d: d.select(F.col("s.a").alias("a"), "x")  # noqa: E731
+    full_df = build(read(r))
+    want = sorted(map(str, full_df.collect()))
+    pruned = SchemaOnRead.generate(full_df).for_paths(p)
+    assert set(pruned.fieldNames()) == {"s", "x"}, pruned.simpleString()
+    assert set(pruned["s"].dataType.fieldNames()) == {"a"}, pruned.simpleString()
+    got = sorted(map(str, build(read(spark.read.schema(pruned))).collect()))
+    assert got == want
