@@ -430,3 +430,34 @@ def test_prune_over_orc_and_xml_sources(spark, tmp_path, fmt):
     assert set(pruned["s"].dataType.fieldNames()) == {"a"}, pruned.simpleString()
     got = sorted(map(str, build(read(spark.read.schema(pruned))).collect()))
     assert got == want
+
+
+def test_api_pivot_prunes_precisely(spark, subq_path):
+    """DataFrame-API pivot (groupBy().pivot().agg()): analyzes to Aggregate
+    with per-pivot-value conditional aggregates; probed r10, pinned here.
+    Only the grouping subfield, pivot column, and aggregated subfield may
+    survive."""
+    schema = _full_schema(spark, _SCHEMA4, _ROWS4)
+    pruned = _roundtrip(
+        spark, subq_path, schema,
+        lambda df: df.withColumn("cat", (F.col("x") % 2).cast("string"))
+                     .groupBy(F.col("s1.b").alias("g"))
+                     .pivot("cat", ["0", "1"]).agg(F.sum("s2.a")),
+    )
+    assert set(pruned["s1"].dataType.fieldNames()) == {"b"}, pruned.simpleString()
+    assert set(pruned["s2"].dataType.fieldNames()) == {"a"}, pruned.simpleString()
+
+
+def test_api_melt_over_keeps_via_expand(spark, subq_path):
+    """DataFrame-API unpivot/melt analyzes to the handled Expand node —
+    the safe over-keep direction (probed r10): the round-trip must match;
+    the ids subfield is present."""
+    schema = _full_schema(spark, _SCHEMA4, _ROWS4)
+    pruned = _roundtrip(
+        spark, subq_path, schema,
+        lambda df: df.unpivot(
+            ids=[F.col("s1.a").alias("ida")], values=["x"],
+            variableColumnName="var", valueColumnName="val",
+        ),
+    )
+    assert "a" in set(pruned["s1"].dataType.fieldNames()), pruned.simpleString()

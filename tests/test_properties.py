@@ -585,6 +585,9 @@ def test_pruned_reread_equals_full_for_random_plans(spark, fuzz_paths, data):
     do_agg = data.draw(st.booleans(), label="aggregate")
     do_dedup = data.draw(st.booleans(), label="dedup")
     do_sort = data.draw(st.booleans(), label="sort")
+    # CollectMetrics (df.observe) carries its aggregates in an expression
+    # FIELD — the r10 under-keep class, now drawn generatively
+    do_observe = data.draw(st.booleans(), label="observe")
 
     def pipeline(df):
         from pyspark.sql.window import Window
@@ -597,6 +600,14 @@ def test_pruned_reread_equals_full_for_random_plans(spark, fuzz_paths, data):
             else:
                 df = df.withColumn(f"ex_{name}", F.explode_outer(F.col(col)))
         df = df.select(*[fn().alias(name) for name, fn, _, _ in fields])
+        if do_observe:
+            # metric over the first projected column: min() routes through
+            # the value-comparison set, so a struct/array metric operand
+            # must stay full (r10 CollectMetrics class)
+            df = df.observe(
+                "fz_obs", F.count(F.lit(1)).alias("fz_n"),
+                F.min(df.columns[0]).alias("fz_min"),
+            )
         gcols = [n for n, _, g, _ in fields if g]
         ncols = [n for n, _, _, num in fields if num]
         # window stage: partition/order keys are mandatory-full in the
@@ -647,6 +658,7 @@ def test_pruned_reread_equals_full_for_random_plans(spark, fuzz_paths, data):
         "explodes": [n for n, _ in explodes],
         "projection": [n for n, *_ in fields],
         "window": do_window, "rows_frame": bool(use_frame), "agg": do_agg,
+        "observe": do_observe,
         "dedup": do_dedup, "sort": do_sort,
         "pruned_schema": pruned_schema.simpleString(),
     })
