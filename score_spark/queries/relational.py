@@ -651,20 +651,33 @@ ORDER BY set_op
 
 
 def q27_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom UDAF via an Arrow-vectorized pandas grouped aggregate —
-    closes SURVEY §2B's "UDAF beyond built-ins" probe. The geometric mean
-    is not a Spark built-in; the pandas_udf computes exp(mean(log(x))) per
-    group with one Arrow batch per group partition (vectorized, never
-    row-at-a-time Python). At scale this shuffles on the group key exactly
-    like a built-in agg — the only difference is the final-stage evaluator.
-    Rounded to 2 dp so cross-engine float summation order cannot move the
-    result."""
+    """Custom UDAF via Arrow-vectorized pandas grouped aggregates — closes
+    SURVEY §2B's "UDAF beyond built-ins" probe. The geometric mean is not a
+    Spark built-in: exp(sum(ln x)/n), with the log-sums computed by a
+    pandas_udf (vectorized, never row-at-a-time Python).
+
+    Scale posture (restructured r10): pandas GROUPED-AGG UDFs have NO
+    partial aggregation — AggregateInPandasExec hands each group's ENTIRE
+    column to one evaluator, so a low-cardinality key (5 priorities) over
+    100 TB buffers billions of values in a single pandas Series: the exact
+    unbounded-evaluator class q28's percentile rebuild eliminated
+    (VERDICT r4 #2), just hidden behind Arrow. The scale-correct custom-agg
+    shape is the two-stage one every mergeable aggregate uses: the pandas
+    UDAF computes PARTIALS per (key, spark_partition_id) — each evaluator
+    sees at most one input partition's share of a key, bounded by
+    maxPartitionBytes — and mergeable built-ins (sum/sum) combine the
+    P x K partial rows. Partition ids vary across runs/AQE coalescing, but
+    sum-of-logs and count are grouping-invariant, so only float summation
+    ORDER moves — absorbed by the 2 dp rounding. The raw shuffle volume is
+    unchanged (one hash exchange, now on (key, pid)); the combine stage is
+    partial-row-sized."""
     @F.pandas_udf("double")
-    def geomean(v: pd.Series) -> float:
-        return float(np.exp(np.log(v).mean()))
+    def sum_logs(v: pd.Series) -> float:
+        return float(np.log(v).sum())
 
     # Spark disallows mixing pandas and non-pandas aggregates in one agg
-    # (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a pandas agg too
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the partial row count is a pandas
+    # agg too
     @F.pandas_udf("long")
     def n_rows(v: pd.Series) -> int:
         return len(v)
@@ -675,14 +688,22 @@ def q27_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # while the oracle's ln() raised — a latent divergence the clean
     # fixture could never exercise). NaN is excluded explicitly too (review
     # r8): both engines order NaN above every number so it PASSES `> 0`,
-    # then pandas .mean() skips it while DuckDB's avg propagates it.
+    # then pandas mean/sum skips it while DuckDB's avg propagates it.
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_totalprice") > 0) & ~F.isnan("o_totalprice")
     )
+    partials = (
+        o.withColumn("_pid", F.spark_partition_id())
+        .groupBy("o_orderpriority", "_pid")
+        .agg(sum_logs("o_totalprice").alias("_sl"),
+             n_rows("o_totalprice").alias("_n"))
+    )
     return (
-        o.groupBy("o_orderpriority")
-        .agg(F.round(geomean("o_totalprice"), 2).alias("geomean_price"),
-             n_rows("o_totalprice").alias("n_orders"))
+        partials.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.exp(F.sum("_sl") / F.sum("_n")), 2).alias("geomean_price"),
+            F.sum("_n").alias("n_orders"),
+        )
         .transform(presentation_sort, "o_orderpriority")
     )
 
