@@ -203,11 +203,15 @@ def main() -> None:
         "duckdb_baseline": baseline_summary,
         "trailing_median_ratio_3": trailing_median,
     }
-    # durable artifact: the driver captures stdout with a bounded buffer that
-    # truncated BENCH_r04 mid-stream (VERDICT r4 "What's wrong" #3/#4, "Next
-    # round" #4) — every per-query second also lands in a repo file so the
-    # numbers survive regardless of the capture
-    print(json.dumps(result))
+    # durable artifact: the driver captures stdout with a bounded buffer
+    # (~2 kB tail) that truncated BENCH_r04 mid-stream and left BENCH_r09/
+    # r10's `parsed` null (VERDICT r10 "What's wrong" #2 — second flag).
+    # The STDOUT line is therefore a compact projection sized to FIT the
+    # buffer: the spec-required fields (metric/value/unit/queries/sf) plus
+    # the headline ratios — ~1.6 kB for the 50-query registry. The full
+    # nested report (floors, per-query duckdb ratios, bytes gates) lands in
+    # BENCH_LOCAL.json, which the compact line points at.
+    print(_compact_line(result))
     sys.stdout.flush()
     try:
         with open(
@@ -217,6 +221,41 @@ def main() -> None:
     except OSError as e:  # never lose the stdout channel to a file error
         print(f"BENCH_LOCAL.json write failed: {e}", file=sys.stderr)
     _append_history(result)
+
+
+def _compact_line(result: dict) -> str:
+    """The stdout projection of the full bench report. Compact separators +
+    required-fields-only keeps it ~1.6 kB for the 50-query registry — under
+    the driver's tail buffer — so BENCH_rN.json's `parsed` stops being null."""
+    return json.dumps(
+        {
+            "metric": result["metric"],
+            "value": result["value"],
+            "unit": result["unit"],
+            "queries": result["queries"],
+            "sf": result["sf"],
+            "spark_vs_duckdb_ratio": (result.get("duckdb_baseline") or {}).get(
+                "spark_vs_duckdb_ratio"
+            ),
+            "trailing_median_ratio_3": result.get("trailing_median_ratio_3"),
+            "detail": "BENCH_LOCAL.json",
+        },
+        separators=(",", ":"),
+    )
+
+
+def _gate_level(ratio, med) -> str | None:
+    """Gate decision (testable): single-run >= 2.5 is an unconditional FAIL
+    (a real step regression must fail on its FIRST run — ADVICE r10; 2.5 is
+    above the measured same-code drift band, max observed 1.53); trailing
+    median >= 2.0 is the sustained FAIL; median >= 1.8 or single >= 2.0 WARN."""
+    if ratio is not None and ratio >= 2.5:
+        return "FAIL_SINGLE"
+    if med is not None and med >= 2.0:
+        return "FAIL_MEDIAN"
+    if (med is not None and med >= 1.8) or (ratio is not None and ratio >= 2.0):
+        return "WARN"
+    return None
 
 
 def _history_ratios(path: str | None = None) -> list:
@@ -272,13 +311,20 @@ def _append_history(result: dict) -> None:
             return
         window = [r for r in _history_ratios() if r is not None][-3:]
         med = statistics.median(window) if window else None
-        if med is not None and med >= 2.0:
+        level = _gate_level(ratio, med)
+        if level == "FAIL_SINGLE":
+            print(
+                f"BENCH GATE FAIL: single-run ratio {ratio} >= 2.5 "
+                f"(unconditional step-regression gate; median window {window})",
+                file=sys.stderr,
+            )
+        elif level == "FAIL_MEDIAN":
             print(
                 f"BENCH GATE FAIL: trailing median ratio >= 2.0 over last "
                 f"{len(window)} runs: {window}",
                 file=sys.stderr,
             )
-        elif (med is not None and med >= 1.8) or (ratio is not None and ratio >= 2.0):
+        elif level == "WARN":
             print(
                 f"BENCH GATE WARN: trailing median {med} / single-run {ratio} "
                 f"approaching the 2x gate (window {window})",

@@ -125,3 +125,58 @@ def test_bench_history_ratios_filtering(tmp_path):
 
     window = (bench._history_ratios(str(p)) + [2.5])[-3:]
     assert statistics.median(window) == 1.5
+
+
+def test_bench_compact_stdout_line_fits_driver_tail_buffer():
+    """BENCH_r09/r10's `parsed` was null because the full nested report
+    (~4.5 kB) overflowed the driver's ~2 kB stdout tail buffer (VERDICT r10
+    "What's wrong" #2, second flag). The stdout projection must carry the
+    spec-required fields and stay under the buffer for the 50-query registry."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    from score_spark.queries import QUERIES
+
+    # worst-case-shaped per-query dict: real registry keys, 3-decimal values
+    result = {
+        "metric": "total_query_wall_clock",
+        "value": 123.456,
+        "unit": "sec",
+        "queries": {name: 12.345 for name in QUERIES},
+        "sf": 0.1,
+        "duckdb_baseline": {"spark_vs_duckdb_ratio": 1.29},
+        "trailing_median_ratio_3": 1.41,
+    }
+    line = bench._compact_line(result)
+    assert len(line) < 1900, f"compact line {len(line)} bytes risks tail truncation"
+    parsed = json.loads(line)
+    for field in ("metric", "value", "unit", "queries", "sf"):
+        assert field in parsed
+    assert len(parsed["queries"]) == len(QUERIES)
+    assert parsed["spark_vs_duckdb_ratio"] == 1.29
+
+
+def test_bench_gate_single_run_step_regression_fails_first_run():
+    """ADVICE r10: the median gate alone needs up to 3 gated runs to trip a
+    genuine step regression (first post-regression window holds two
+    pre-change ratios). A single run >= 2.5 must FAIL unconditionally, while
+    drift-band singles (<= 2.0) and borderline medians keep their old tiers."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    # step regression, first run: window median still healthy
+    assert bench._gate_level(3.1, 1.4) == "FAIL_SINGLE"
+    # sustained creep: median gate
+    assert bench._gate_level(1.9, 2.1) == "FAIL_MEDIAN"
+    # drift-band single over 2.0 but under 2.5: WARN, not FAIL
+    assert bench._gate_level(2.05, 1.5) == "WARN"
+    assert bench._gate_level(1.7, 1.85) == "WARN"
+    # healthy
+    assert bench._gate_level(1.3, 1.35) is None
+    # missing baseline (duckdb error path): no crash, no verdict on ratio
+    assert bench._gate_level(None, None) is None
