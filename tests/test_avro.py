@@ -12,8 +12,10 @@ from pyspark.sql import types as T
 
 
 # the suite targets the VENDORED connector (format "avro_minimal"); Spark
-# 4.1.2 ships its own full avro connector inside spark-sql (the vendored
-# jar's service file also registers it under "avro" — see the scala header)
+# 4.1.2 ships its own full avro connector inside spark-sql (the separate
+# services-only score-spark-avro-distro-glue.jar registers it under "avro"
+# — split from the minimal jar in r11 so the minimal jar never names a
+# class it does not contain; see the scala header)
 AVRO_FMT = "avro_minimal"
 
 
@@ -402,8 +404,8 @@ def test_avro_builtin_and_minimal_interop(avro, tmp_path):
     connector inside spark-sql but WITHOUT its service registration, and the
     vendored jar's original same-FQN entry resolved to the DISTRO class
     under parent-first classloading — the vendored code was dead at runtime.
-    Now: format("avro") = the builtin (service-registered by our jar's glue
-    line), format("avro_minimal") = the vendored connector, and files are
+    Now: format("avro") = the builtin (service-registered by the separate
+    distro-glue jar), format("avro_minimal") = the vendored connector, and files are
     interchangeable both ways (same container format)."""
     spark = avro
     from decimal import Decimal as D
@@ -458,3 +460,39 @@ def test_avro_decimal_edge_values_roundtrip(avro, tmp_path):
     # builtin connector agrees on the same file (payload is spec-exact)
     got2 = {r.id: r.v for r in spark.read.format("avro").load(path).collect()}
     assert got2 == got
+
+
+def test_minimal_jar_service_entries_are_self_contained():
+    """ADVICE r10: ServiceLoader instantiates every DataSourceRegister entry
+    during lookupDataSource, and Spark does not catch the resulting
+    ServiceConfigurationError — a service entry naming a class the jar does
+    not contain breaks resolution of EVERY data source on distros lacking
+    that class. Contract: score-spark-avro-minimal.jar registers only
+    classes it ships; the builtin's glue registration lives in the
+    services-only score-spark-avro-distro-glue.jar."""
+    import os
+    import zipfile
+
+    vendor = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "vendor")
+    svc = "META-INF/services/org.apache.spark.sql.sources.DataSourceRegister"
+
+    def entries(jar):
+        with zipfile.ZipFile(jar) as z:
+            lines = z.read(svc).decode().splitlines()
+            names = set(z.namelist())
+        # ServiceLoader spec: '#' starts a comment, blanks ignored
+        return [
+            ln.split("#", 1)[0].strip() for ln in lines if ln.split("#", 1)[0].strip()
+        ], names
+
+    minimal, names = entries(os.path.join(vendor, "score-spark-avro-minimal.jar"))
+    assert minimal, "minimal jar must register its own connector"
+    for fqn in minimal:
+        clazz = fqn.replace(".", "/") + ".class"
+        assert clazz in names, f"service entry {fqn} not shipped in the minimal jar"
+
+    glue, glue_names = entries(os.path.join(vendor, "score-spark-avro-distro-glue.jar"))
+    assert glue == ["org.apache.spark.sql.avro.AvroFileFormat"]
+    assert not any(n.endswith(".class") for n in glue_names), (
+        "glue jar must stay services-only (it registers a class the DISTRO ships)"
+    )
