@@ -325,6 +325,16 @@ class SchemaOnRead:
             if exposed is not None and not found:
                 exposed[node["cteId"]] = True
             return
+        if cname == "LateralJoin":
+            # the right side is a LateralSubquery EXPRESSION (a field, not a
+            # child), invisible to this pre-pass. Unlike every other subquery
+            # position, lateral outputs ARE user-facing: record the found
+            # state here so _on_LateralJoin can pass it into the subquery
+            # plan's own pre-pass — found=True unconditionally skeletonized a
+            # complex lateral output whenever no defining Project sat above
+            # the LateralJoin (API df.lateralJoin(...); ADVICE r10, confirmed
+            # by execution: struct pruned to struct<>).
+            node["_lateral_found"] = found
         is_selection = cname in _SELECTION and (cname != "Join" or expr_trees(node.get("condition")))
         if is_selection and not found:
             self._state.upper_most.add(id(node))
@@ -466,9 +476,23 @@ class SchemaOnRead:
         # scalar/IN subqueries (r10). Walking it routes through
         # _visit_subquery; the lateral's output exprIds are the inner
         # plan's own outputs, so outer references resolve normally.
-        for key in ("right", "condition"):
-            for e in expr_trees(node.get(key)):
+        # found passthrough (ADVICE r10): lateral outputs are the one
+        # subquery position that IS user-facing, so the subquery plan's
+        # pre-pass gets the LateralJoin's own found state (recorded by
+        # _mark_upper_most) instead of the unconditional found=True every
+        # other subquery position correctly uses.
+        found = node.get("_lateral_found", True)
+        for e in expr_trees(node.get("right")):
+            subplans = expr_trees(e.get("plan")) if "plan" in e else []
+            if subplans:
+                for sp in subplans:
+                    self._visit_subquery(sp, "touch", found=found)
+                for c in e["_children"]:  # outer refs
+                    self._walk_expr(c, "touch")
+            else:
                 self._walk_expr(e, "touch")
+        for e in expr_trees(node.get("condition")):
+            self._walk_expr(e, "touch")
 
     def _on_Generate(self, node: Node) -> None:
         # conditional generator + outputs (SchemaOnReadUtils.java:148-158).
@@ -726,20 +750,23 @@ class SchemaOnRead:
             return first_child_handles or []
         return last
 
-    def _visit_subquery(self, sp: Node, mode: str) -> list[Handle]:
+    def _visit_subquery(self, sp: Node, mode: str, found: bool = True) -> list[Handle]:
         """Visit a subquery expression's nested logical plan (review r10).
 
-        The plan is logically inlined at its consumption site: no node
-        inside is upper-most (found=True — its outputs are consumed by the
-        enclosing comparison/scalar slot, never final user output), and its
-        outputs bind at the caller's mode. current_relation is saved/
+        The plan is logically inlined at its consumption site: by default no
+        node inside is upper-most (found=True — its outputs are consumed by
+        the enclosing comparison/scalar slot, never final user output), and
+        its outputs bind at the caller's mode. The one exception is a
+        LATERAL subquery under a LateralJoin with no defining Project above
+        it: there the outputs are final user output and the caller passes
+        its own found state through (ADVICE r10). current_relation is saved/
         restored so a SubqueryAlias ABOVE the enclosing filter doesn't bind
         to the subquery's relation."""
         st = self._state
         saved = st.current_relation
         self._subq_depth += 1
         try:
-            self._mark_upper_most(sp, found=True)
+            self._mark_upper_most(sp, found=found)
             self._visit(sp)
         finally:
             self._subq_depth -= 1

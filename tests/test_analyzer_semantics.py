@@ -310,6 +310,36 @@ def test_lateral_subquery_over_same_view_roundtrips(spark, subq_path):
     assert set(pruned["s1"].dataType.fieldNames()) == {"b"}, pruned.simpleString()
 
 
+def test_lateral_output_final_without_project_stays_full(spark, subq_path):
+    """API df.lateralJoin(...) with NO defining Project above the
+    LateralJoin: the lateral subquery's outputs ARE final user output —
+    the one subquery position where that is possible (ADVICE r10). The
+    pre-r11 unconditional found=True pre-pass skeletonized a complex
+    lateral output to struct<> (confirmed by execution); the LateralJoin
+    now passes its own found state into the subquery plan's pre-pass."""
+    schema = _full_schema(spark, _SCHEMA4, _ROWS4)
+
+    def build(df):
+        right = (
+            spark.read.schema(schema).parquet(subq_path)
+            .select(F.col("s1").alias("r_s1"), F.col("x").alias("r_x"))
+            .limit(1)
+        )
+        # no .select(...) afterwards: LateralJoin output is final
+        return df.select("x").lateralJoin(right)
+
+    full_df = build(spark.read.schema(schema).parquet(subq_path))
+    pruned = SchemaOnRead.generate(full_df).for_paths(subq_path)
+    pruned_df = build(spark.read.schema(pruned).parquet(subq_path))
+    assert sorted(map(str, pruned_df.collect())) == sorted(map(str, full_df.collect())), (
+        pruned.simpleString()
+    )
+    assert set(pruned["s1"].dataType.fieldNames()) == {"a", "b"}, pruned.simpleString()
+    # narrowing through an ENCLOSING Project is unchanged: the SQL shape
+    # (Project above the LateralJoin) still prunes the lateral's inner
+    # reads precisely — pinned by test_lateral_subquery_* above.
+
+
 def test_correlated_exists_whole_struct_outer_compare(spark, subq_path):
     """EXISTS (... WHERE i.s1 = t.s1): the OUTER side of the whole-struct
     comparison reaches the walker through OuterReference — both sides must
