@@ -873,9 +873,18 @@ def _collect_jvm_subquery_relations(jplan) -> dict[frozenset, dict[str, Any] | N
     their own channel. The k-th-leaf order pairing doesn't extend across
     that boundary robustly; instead each relation is keyed by the frozenset
     of its output attributes' (jvmId, id) exprIds — globally unique per
-    relation instance, and the JSON node carries the same ids. The per-attr
-    py4j round trips only happen when subqueries exist at all (the common
-    case is an empty subqueriesAll, two py4j calls total)."""
+    relation instance, and the JSON node carries the same ids. The py4j
+    round trips only happen when subqueries exist at all (the common case
+    is an empty subqueriesAll, two py4j calls total).
+
+    The key is extracted from ONE toJSON() call per leaf, parsed by the
+    same expr_trees/expr_id helpers the main-plan walker uses — the r10
+    shape did 3 py4j round trips per output ATTRIBUTE (jvmId/id/toString),
+    which on wide relations inside several subqueries blew the <100 ms
+    warm-analyzer budget (ADVICE r10; measured 116 ms median on a 4-subquery
+    plan over 16-column lineitem, ~47 ms of it in the per-attr loop)."""
+    from .plan_json import expr_id, expr_trees
+
     out: dict[frozenset, dict[str, Any] | None] = {}
     subs = jplan.subqueriesAll()
     for i in range(subs.length()):
@@ -884,13 +893,12 @@ def _collect_jvm_subquery_relations(jplan) -> dict[frozenset, dict[str, Any] | N
             jnode = leaves.apply(k)
             if jnode.getClass().getName().rsplit(".", 1)[-1] != "LogicalRelation":
                 continue
-            outs = jnode.output()
+            # leaf serialized once; element 0 of the flat list is the node
+            node = json.loads(jnode.toJSON())[0]
             key = frozenset(
-                (
-                    outs.apply(j).exprId().jvmId().toString(),
-                    outs.apply(j).exprId().id(),
-                )
-                for j in range(outs.length())
+                eid
+                for o in expr_trees(node.get("output"))
+                if (eid := expr_id(o)) is not None
             )
             out[key] = _jvm_relation_info(jnode)
     return out
