@@ -532,7 +532,15 @@ rate (1000 -> 10001); and (b) the same-session back-to-back
 same-plan pair, 75.2 -> 731.3 executor-sec = 9.7 (linear).
 AQE legitimately broadcasts the capped shingle exchanges at
 10x and correctly keeps the shuffle plan at 100x — no plan
-change warranted."""
+change warranted.
+
+d05's cell decomposes the same way (r11 probe, BASELINE.md
+'d05 second-decade probe'): its mining half IS d02, and the
+clustering step measured alone is linear in every primary
+metric — edges/labels exactly 10x, clustering-stage maxima
+~10x, min-label ROUND COUNT constant at 2 (planted clusters
+are diameter-1), per-round executor ~linear — with both
+tiers schedule-floor-dominated at these edge counts."""
 
 
 def _write_md(out: dict) -> None:
