@@ -626,7 +626,11 @@ def _write_md(out: dict) -> None:
             "The driver's TPC-H-shaped testdata at two scale factors is a true",
             "10x of every table (no synthetic generator, no replication",
             "artifact). These rows are the growth evidence the sf0.1 bench",
-            "cannot give (it is floor-dominated, net-of-floor ~0.1): q03 =",
+            "cannot give (it is floor-dominated, net-of-floor ~0.1). The",
+            "SECOND decade (sf0.1 -> sf1 via disjoint key-shifted replication)",
+            "is probed in BASELINE.md 'Relational second decade (r11)': all",
+            "four walls sub-linear, bytes linear under constant plans, q03's",
+            "broadcast->shuffle transition identified and correct. q03 =",
             "c⋈o⋈l agg top-10, q05 = 6-way dim chain, q09 = window suite,",
             "q28 = column profiling (bounded rank-selection percentiles; its",
             "constant ~9-job broadcast chain is the BASELINE.md r10 probe).",
