@@ -398,7 +398,17 @@ def lsh_pair_candidates(
     Arrow-batched matmul per input batch. ONLY scalar ids and band keys move
     through the join and the dedup — never the vectors, so the dedup
     exchange is two longs wide instead of two full embeddings (VERDICT r2
-    "What's wrong" #1)."""
+    "What's wrong" #1).
+
+    Sizing k with the corpus (measured, r11 second-decade probe): the
+    random-pair collision probability is a PER-PAIR constant (~L * p_rand^k),
+    so at FIXED (L, k) the candidate count grows ~quadratically with n —
+    the probe measured the candidate exchange at 108x on a 10x corpus
+    (0.4 -> 43 MB, exactly p * C(n,2)). This is intrinsic to every LSH
+    family, not a plan defect: hold the false-candidate budget by growing
+    k ~ log2(n) (each extra hyperplane halves random collisions, costing
+    recall that one extra table restores). The exchange stays ids-only
+    either way; rerank work is candidate-bounded."""
     if dim is None:
         dim = embedding_dim(emb, vec_col)
     P = np.array(_hyperplanes(n_tables * n_planes, dim), dtype=np.float64)
@@ -441,8 +451,10 @@ def near_dup_pairs_lsh(
     cand: DataFrame | None = None,
 ) -> DataFrame:
     """The 100 TB near-dup path: banded-LSH candidate pairs, exact cosine
-    rerank of ONLY those pairs. Linear-ish candidate generation (band-key
-    self-join over L tables) replaces the quadratic block grid; recall
+    rerank of ONLY those pairs. Candidate generation (band-key self-join
+    over L tables) replaces the quadratic block grid — candidates are
+    p*C(n,2) with a tiny per-pair constant, so k must grow ~log2(n) to hold
+    the budget as the corpus scales (see lsh_pair_candidates); recall
     depends on n_tables/n_planes vs the threshold (a sim-s pair is missed
     with prob (1-p^k)^L, p = 1 - acos(s)/pi — high-sim pairs share a full
     band key in at least one table with high probability). Vectors rejoin

@@ -534,6 +534,13 @@ AQE legitimately broadcasts the capped shingle exchanges at
 10x and correctly keeps the shuffle plan at 100x — no plan
 change warranted.
 
+The rest of the ops table (w01/w04/h01/a01/s05/c05/z01) got its
+second decade in r11 (BASELINE.md 'Stateful/window + ANN + sink
+second decade'): all sub-linear in CPU, bytes ~10x where
+data-linear; one real finding — s05's candidate exchange grows
+quadratically at FIXED plane count (intrinsic LSH behavior;
+k ~ log2(n) is the production posture, docstrings corrected).
+
 d05's cell decomposes the same way (r11 probe, BASELINE.md
 'd05 second-decade probe'): its mining half IS d02, and the
 clustering step measured alone is linear in every primary
