@@ -400,7 +400,20 @@ def hamming_pairs(
     chunks, so any pair differing in <= max_hamming bits shares at least one
     identical chunk — full recall guaranteed for any max_hamming <= 63, never
     an all-pairs join. (r1 hardcoded 4 chunks, which only covers distance 3;
-    ADVICE r1 finding.)"""
+    ADVICE r1 finding.)
+
+    Candidate volume vs corpus size (measured, r11 second-decade probe):
+    the chunk-bucket join compares Theta(n^2 / 2^w) candidate pairs per
+    chunk (w = chunk width, 16 bits here) — random signatures collide per
+    pair with constant probability, so at FIXED signature width the
+    comparison volume grows quadratically even though the OUTPUT stays
+    linear (probe: pairs exactly the planted rate and full recall at 10x
+    and 100x, but CPU ~36x on 10x docs as the 500k-doc corpus put ~7.6
+    docs per 16-bit bucket). Same class as lsh_pair_candidates' finding:
+    hold the budget by widening the signature with the corpus (128-bit
+    simhash -> 32-bit chunks at the same max_hamming), i.e. w ~ 2 log2(n).
+    The comparison is a cheap JVM popcount and only ids/signatures move
+    through the join either way."""
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     n_chunks = max_hamming + 1
