@@ -142,6 +142,39 @@ def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def recommended_lsh_planes(
+    n_rows: int,
+    n_tables: int = 4,
+    candidates_per_row: float = 2.0,
+    p_random: float = 0.55,
+) -> int:
+    """Planes-per-table (k) sized to the corpus — the r11 probe's sizing
+    rule as code (BASELINE.md "Stateful/window + ANN + sink second decade").
+
+    Expected random-pair candidates from banded LSH are
+    ``n_tables * C(n, 2) * p_random^k``: per-pair collision probability is
+    constant, so holding a per-row candidate budget requires
+    ``k ~ log(n)`` — at FIXED k the candidate exchange grows quadratically
+    (measured 99.2x on a 10x corpus). Solving for k:
+
+        k = log(n_tables * (n - 1) / (2 * budget)) / log(1 / p_random)
+
+    ``p_random`` defaults to 0.55, slightly above the idealized 0.5 for
+    sign-bit hyperplanes, matching the measured collision rate on dim-64
+    uniform vectors (k=23 at n=200k left ~0.2 candidates/row; k=16 at
+    n=20k ~1.2/row — this formula reproduces both regimes). Recall for
+    near-duplicate pairs is restored by n_tables, not k (a sim-s pair is
+    missed with prob (1 - p_s^k)^L); exact duplicates collide at any k."""
+    import math
+
+    if n_rows < 2:
+        return 1
+    target = n_tables * (n_rows - 1) / (2.0 * candidates_per_row)
+    if target <= 1:
+        return 1
+    return max(1, math.ceil(math.log(target) / math.log(1.0 / p_random)))
+
+
 def _stack(series) -> "np.ndarray":
     """Arrow list column -> dense (batch, dim) float64 matrix."""
     return np.array(list(series), dtype=np.float64)

@@ -303,3 +303,27 @@ def test_zero_norm_vectors_never_near_dups(spark):
     lsh = {(r.v1, r.v2) for r in near_dup_pairs_lsh(emb, threshold=0.4, cand=cand).collect()}
     assert exact == {(2, 3)}, exact
     assert lsh == {(2, 3)}, lsh
+
+
+def test_recommended_lsh_planes_matches_measured_regimes():
+    """The r11 candidate-growth probe's sizing rule as code: expected random
+    candidates are L * C(n,2) * p^k, so k must grow ~log(n). The formula
+    must reproduce the two measured operating points (tools/probe_lsh_growth
+    .py): k=16 at n=20k gave ~1.2 candidates/row (the gate/scale family),
+    and k=23 at n=200k gave ~0.2/row while k=20 gave ~1.1/row."""
+    from score_spark.operators.similarity import recommended_lsh_planes
+
+    # 20k corpus at ~2/row budget: the shipped 4x16 family
+    assert 15 <= recommended_lsh_planes(20_000) <= 18
+    # 10x corpus: ~log2(100)*0.86 ≈ +5-6 planes, landing between the
+    # measured k=20 (1.1/row) and k=23 (0.2/row) points
+    assert 20 <= recommended_lsh_planes(200_000) <= 23
+    # growth is logarithmic: another 100x adds roughly the same increment
+    assert recommended_lsh_planes(20_000_000) - recommended_lsh_planes(200_000) <= 9
+    # monotone in corpus size, inverse-monotone in budget
+    assert recommended_lsh_planes(1_000_000) >= recommended_lsh_planes(10_000)
+    assert recommended_lsh_planes(200_000, candidates_per_row=16.0) < \
+        recommended_lsh_planes(200_000, candidates_per_row=1.0)
+    # degenerate corpora don't blow up
+    assert recommended_lsh_planes(1) == 1
+    assert recommended_lsh_planes(2, candidates_per_row=100.0) == 1
