@@ -541,6 +541,10 @@ data-linear; one real finding — s05's candidate exchange grows
 quadratically at FIXED plane count (intrinsic LSH behavior;
 k ~ log2(n) is the production posture, docstrings corrected).
 
+d02 also carries a THIRD decade (r11, BASELINE.md 'd02 THIRD
+decade'): 500k -> 5M docs with max stage input exactly 10.00x,
+shuffle 9.995x, output at the planted rate, wall sub-linear.
+
 d05's cell decomposes the same way (r11 probe, BASELINE.md
 'd05 second-decade probe'): its mining half IS d02, and the
 clustering step measured alone is linear in every primary
