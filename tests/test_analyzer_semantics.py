@@ -491,3 +491,47 @@ def test_api_melt_over_keeps_via_expand(spark, subq_path):
         ),
     )
     assert "a" in set(pruned["s1"].dataType.fieldNames()), pruned.simpleString()
+
+
+def test_chained_laterals_api_no_project_above(spark, subq_path):
+    """Two stacked API lateralJoins with NO defining Project above either:
+    both lateral subquery plans must inherit the found state (r11 lateral
+    passthrough) — the outer lateral's complex output AND the inner one's
+    must survive full on the pruned re-read."""
+    schema = _full_schema(spark, _SCHEMA4, _ROWS4)
+
+    def build(df):
+        r1 = (
+            spark.read.schema(schema).parquet(subq_path)
+            .select(F.col("s1").alias("r1_s1")).limit(1)
+        )
+        r2 = (
+            spark.read.schema(schema).parquet(subq_path)
+            .select(F.col("s2").alias("r2_s2")).limit(1)
+        )
+        return df.select("x").lateralJoin(r1).lateralJoin(r2)
+
+    full_df = build(spark.read.schema(schema).parquet(subq_path))
+    pruned = SchemaOnRead.generate(full_df).for_paths(subq_path)
+    pruned_df = build(spark.read.schema(pruned).parquet(subq_path))
+    assert sorted(map(str, pruned_df.collect())) == sorted(map(str, full_df.collect())), (
+        pruned.simpleString()
+    )
+    assert set(pruned["s1"].dataType.fieldNames()) == {"a", "b"}, pruned.simpleString()
+    assert set(pruned["s2"].dataType.fieldNames()) == {"a", "b"}, pruned.simpleString()
+
+
+def test_chained_sql_laterals_still_narrow(spark, subq_path):
+    """Chained SQL laterals (each referencing the previous) under a defining
+    Project keep narrowing precisely — the r11 passthrough must not
+    over-keep when an upper-most Project DOES exist."""
+    schema = _full_schema(spark, _SCHEMA4, _ROWS4)
+    pruned = _sql_roundtrip(
+        spark, subq_path, schema,
+        "SELECT t.x, l2.b FROM an_sem_r10_t t, "
+        "LATERAL (SELECT t.s2.a + 1 AS a2) l1, "
+        "LATERAL (SELECT l1.a2 + t.s1.b AS b) l2",
+    )
+    assert set(pruned.fieldNames()) == {"s1", "s2", "x"}, pruned.simpleString()
+    assert set(pruned["s2"].dataType.fieldNames()) == {"a"}, pruned.simpleString()
+    assert set(pruned["s1"].dataType.fieldNames()) == {"b"}, pruned.simpleString()
