@@ -545,6 +545,13 @@ d02 also carries a THIRD decade (r11, BASELINE.md 'd02 THIRD
 decade'): 500k -> 5M docs with max stage input exactly 10.00x,
 shuffle 9.995x, output at the planted rate, wall sub-linear.
 
+w01's third decade (10M -> 100M events, BASELINE.md 'w01 third
+decade') adds the partition-width lesson: the session's static
+shuffle width (= local cores) spills a 3 GB window sort at 100M
+rows; widening to bytes/128MB cuts CPU 3.1x, and the remaining
+growth is single-box bandwidth saturation — cardinality and
+shuffle bytes stay exactly linear (10.00x / 10.19x).
+
 d05's cell decomposes the same way (r11 probe, BASELINE.md
 'd05 second-decade probe'): its mining half IS d02, and the
 clustering step measured alone is linear in every primary
