@@ -1,5 +1,9 @@
+"""w01 third decade (10M -> 100M events): back-to-back same-session legs,
+bytes/cardinality primary — results in BASELINE.md "w01 third decade".
+Usage: python tools/probe_w01_decade3.py"""
 import json, os, sys, time, urllib.request
-sys.path.insert(0, "/root/repo")
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pyspark.sql.functions as F
 from score_spark.session import get_session
 from score_spark.streaming.windows import session_stats

@@ -1,5 +1,8 @@
+"""Partition-width A/B on w01's 100M-row leg (BASELINE.md "w01 third
+decade" finding #1). Usage: python tools/probe_w01_width.py <shuffle_partitions>"""
 import json, sys, time, urllib.request
-sys.path.insert(0, "/root/repo")
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from score_spark.session import get_session
 from score_spark.streaming.windows import session_stats
 from tools.scale_bench import gen_events
