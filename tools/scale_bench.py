@@ -552,6 +552,11 @@ rows; widening to bytes/128MB cuts CPU 3.1x, and the remaining
 growth is single-box bandwidth saturation — cardinality and
 shuffle bytes stay exactly linear (10.00x / 10.19x).
 
+a01's third decade (10M -> 100M events, BASELINE.md 'a01 third
+decade'): rows/shuffle exactly 10.00x/10.15x, zero spill, CPU
+1.36x (still overhead-dominated — the as-of's streaming
+sort-merge bounds per-task memory by merge buffers).
+
 d05's cell decomposes the same way (r11 probe, BASELINE.md
 'd05 second-decade probe'): its mining half IS d02, and the
 clustering step measured alone is linear in every primary
