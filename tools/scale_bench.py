@@ -545,6 +545,12 @@ d02 also carries a THIRD decade (r11, BASELINE.md 'd02 THIRD
 decade'): 500k -> 5M docs with max stage input exactly 10.00x,
 shuffle 9.995x, output at the planted rate, wall sub-linear.
 
+d03's third decade (500k -> 5M docs, BASELINE.md 'd03 third
+decade'): shuffle byte-exact linear (9.99x), wall linear
+(10.2x), CPU 13.1x with spill onset at 32 static partitions —
+the w01 partition-width mechanism; minhash band keys are
+64-bit tuples, so candidates track content, not C(n,2).
+
 w01's third decade (10M -> 100M events, BASELINE.md 'w01 third
 decade') adds the partition-width lesson: the session's static
 shuffle width (= local cores) spills a 3 GB window sort at 100M
