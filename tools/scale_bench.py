@@ -558,6 +558,11 @@ rows; widening to bytes/128MB cuts CPU 3.1x, and the remaining
 growth is single-box bandwidth saturation — cardinality and
 shuffle bytes stay exactly linear (10.00x / 10.19x).
 
+h01's third decade (10M -> 100M events, BASELINE.md 'h01 third
+decade'): shuffle bytes and output rows CONSTANT across 10x the
+events (0.2 MB / 750 rows at both scales), wall flat — the HLL
+sketch exchange is bucket-bounded by design.
+
 a01's third decade (10M -> 100M events, BASELINE.md 'a01 third
 decade'): rows/shuffle exactly 10.00x/10.15x, zero spill, CPU
 1.36x (still overhead-dominated — the as-of's streaming
