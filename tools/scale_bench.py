@@ -563,6 +563,12 @@ decade'): shuffle bytes and output rows CONSTANT across 10x the
 events (0.2 MB / 750 rows at both scales), wall flat — the HLL
 sketch exchange is bucket-bounded by design.
 
+w04/c05's third decades (BASELINE.md 'w04 / c05 third decades'):
+c05 clean linear; w04's bytes linear with a 54x CPU cell that the
+width A/B (32 -> 256 partitions, zero spill both arms) cut 3.1x —
+the w01 mechanism in the PRE-spill cache regime. Every ops-table
+operator now carries a probed second decade; most carry a third.
+
 a01's third decade (10M -> 100M events, BASELINE.md 'a01 third
 decade'): rows/shuffle exactly 10.00x/10.15x, zero spill, CPU
 1.36x (still overhead-dominated — the as-of's streaming
