@@ -563,6 +563,11 @@ decade'): shuffle bytes and output rows CONSTANT across 10x the
 events (0.2 MB / 750 rows at both scales), wall flat — the HLL
 sketch exchange is bucket-bounded by design.
 
+z01's third decade (BASELINE.md 'z01 third decade'): bytes and
+rows exactly 10x, zero spill; the width A/B is a NEGATIVE result
+(encode-shaped stages don't respond to partition width — the
+lever is for sort-shaped stages only).
+
 w04/c05's third decades (BASELINE.md 'w04 / c05 third decades'):
 c05 clean linear; w04's bytes linear with a 54x CPU cell that the
 width A/B (32 -> 256 partitions, zero spill both arms) cut 3.1x —
