@@ -675,7 +675,11 @@ def _write_md(out: dict) -> None:
             "SECOND decade (sf0.1 -> sf1 via disjoint key-shifted replication)",
             "is probed in BASELINE.md 'Relational second decade (r11)': all",
             "four walls sub-linear, bytes linear under constant plans, q03's",
-            "broadcast->shuffle transition identified and correct. q03 =",
+            "broadcast->shuffle transition identified and correct; a THIRD",
+            "decade (sf1 -> sf10, BASELINE.md 'Relational third decade') shows",
+            "bytes linear, zero spill, and q05 crossing the same transition",
+            "exactly one decade after q03 — threshold-ordered, as AQE intends.",
+            "q03 =",
             "c⋈o⋈l agg top-10, q05 = 6-way dim chain, q09 = window suite,",
             "q28 = column profiling (bounded rank-selection percentiles; its",
             "constant ~9-job broadcast chain is the BASELINE.md r10 probe).",
