@@ -56,6 +56,11 @@ _PATH_EXPRS = {
     # _children — without this, `outer(s2).a` inside a LATERAL/correlated
     # subquery dead-ended and s2 emitted as a skeleton (proven by execution)
     "OuterReference",
+    # HOF lambda variable (r11): a LEAF whose exprId resolves through the
+    # collection-argument binding _walk_hof registered — needed here so a
+    # BARE var in require mode (exists(arr, x -> x == someStruct)) requires
+    # the full element, not just field accesses through it
+    "NamedLambdaVariable",
 }
 
 # Expressions whose RESULT depends on every field of a complex operand —
@@ -95,6 +100,21 @@ _VALUE_COMPARISON_EXPRS = {
 _SUBQUERY_PLAN_EXPRS = {
     "ListQuery", "ScalarSubquery", "Exists", "LateralSubquery",
     "DynamicPruningSubquery", "FunctionTableSubqueryArgumentExpression",
+}
+
+# HOFs whose RESULT is built from the lambda body's values (transform-like):
+# an enclosing Alias may bind to the body's handles — a later whole-result
+# require then keeps exactly the body's paths, the true data dependency.
+# Every OTHER lambda-bearing expression (ArrayFilter/ArraySort/MapFilter/
+# TransformKeys/unknown) is treated as element-PRESERVING: its result
+# carries the ORIGINAL elements (filter returns the surviving structs
+# whole), so the alias must bind to the collection handles too — binding
+# only the body under-kept `filter(arr, x -> x.col1 > 0) AS t; SELECT t`
+# to struct<col1>, silently dropping col2 from t (r11 probe, proven by
+# execution). Unknown-by-default = safe over-keep.
+_HOF_RESULT_IS_BODY = {
+    "ArrayTransform", "ZipWith", "TransformValues", "MapZipWith",
+    "ArrayExists", "ArrayForAll", "ArrayAggregate",
 }
 
 
@@ -738,6 +758,9 @@ class SchemaOnRead:
                 self._walk_expr(c, mode)
             return handles
         child_mode = "require" if cname in _VALUE_COMPARISON_EXPRS else mode
+        lambdas = [c for c in expr["_children"] if cls_name(c) == "LambdaFunction"]
+        if lambdas:
+            return self._walk_hof(expr, lambdas, child_mode)
         last: list[Handle] = []
         first_child_handles: list[Handle] | None = None
         for c in expr["_children"]:
@@ -749,6 +772,66 @@ class SchemaOnRead:
         if cname == "WindowExpression":
             return first_child_handles or []
         return last
+
+    def _walk_hof(self, expr: Node, lambdas: list[Node], mode: str) -> list[Handle]:
+        """Higher-order function — any expression with LambdaFunction children
+        (ArrayExists/ArrayFilter/ArrayTransform/ArrayForAll/ArrayAggregate/
+        ZipWith/MapFilter/TransformKeys/TransformValues/MapZipWith/...).
+
+        r11 probe find (confirmed by execution, the r10-subquery class of
+        bug): the lambda body's field accesses go through NamedLambdaVariable
+        leaves whose exprIds belong to NO relation, so the generic walk saw
+        `exists(arr, x -> x.col1 > 0)` in a Filter as a bare touch of `arr`
+        with no child paths — the trie collapsed arr to array<struct<>> and
+        the pruned re-read lost col1 (FIELD_NOT_FOUND on parquet; silently
+        wrong rows on lenient sources). The passing shapes before this fix
+        survived only by accident: a value-comparison wrapper (size(..)>0)
+        forced require mode on the whole subtree.
+
+        Fix: bind each lambda variable's exprId to the COLLECTION arguments'
+        trie handles before walking the body. Array and map layers are
+        transparent in the trie (children of array<struct> are the element's
+        fields; children of a map are the value's fields), so the collection
+        node itself IS the element handle — `x.col1` then records
+        arr.element.col1 precisely, narrowing the read schema instead of
+        keeping the whole element struct. Vars are over-bound to ALL path
+        arguments (zip_with's y also binds to left): field descents that
+        don't exist in a source are dropped at schema intersection, name
+        collisions over-keep — never under-keep. A DERIVED collection
+        argument (concat(a1,a2), array(s), ...) is required fully instead:
+        the generic walk returns only its LAST child's handles, so binding
+        could miss sibling sources (a1's fields would never be recorded).
+
+        Returns the last lambda body's handles (falling back to the bound
+        collection handles) so an enclosing Alias binds `transform(arr,
+        x -> x.col1) AS t` to arr.element.col1 — a later whole-`t` require
+        keeps exactly col1, the true data dependency.
+        """
+        st = self._state
+        bind: list[Handle] = []
+        for c in expr["_children"]:
+            if cls_name(c) == "LambdaFunction":
+                continue
+            got = self._walk_expr(c, mode)
+            if cls_name(c) in _PATH_EXPRS:
+                bind.extend(got)
+            elif got:
+                self._walk_expr(c, "require")
+        last: list[Handle] = []
+        for lam in lambdas:
+            for var in lam["_children"][1:]:
+                veid = expr_id(var)
+                if veid is not None and bind:
+                    st.exprid_map.setdefault(veid, []).extend(bind)
+            got = self._walk_expr(lam["_children"][0], mode)
+            if got:
+                last = got
+        if cls_name(expr) in _HOF_RESULT_IS_BODY:
+            return last or bind
+        # element-preserving (or unknown) HOF: the result carries the
+        # original elements — downstream requires must reach them
+        # (duplicate handles are harmless: materialize/require idempotent)
+        return bind + last
 
     def _visit_subquery(self, sp: Node, mode: str, found: bool = True) -> list[Handle]:
         """Visit a subquery expression's nested logical plan (review r10).
@@ -782,7 +865,12 @@ class SchemaOnRead:
 
     def _resolve_path(self, expr: Node) -> list[Handle]:
         cname = cls_name(expr)
-        if cname == "AttributeReference":
+        if cname in ("AttributeReference", "NamedLambdaVariable"):
+            # NamedLambdaVariable resolves through the binding _walk_hof
+            # registered (HOF lambda var -> its collection argument's trie
+            # handles); unbound vars (derived collections, index vars)
+            # resolve to nothing — _walk_hof already required the derived
+            # sources fully, so nothing is lost (r11 probe find)
             eid = expr_id(expr)
             return list(self._state.exprid_map.get(eid, [])) if eid else []
         if cname == "OuterReference":

@@ -1173,3 +1173,153 @@ def test_bare_union_pending_branch_materializes_and_mirrors(spark, fx):
         .select("someStr")
     )
     assert sorted(r[0] for r in pruned.collect()) == sorted(r[0] for r in df.collect())
+
+
+# ------------------------------------------------- higher-order functions
+
+
+def _roundtrip(spark, fx, build):
+    """full-vs-pruned execution equivalence on the sample parquet fixture."""
+    path = fx["sample_parquet"]
+    full = build(spark.read.parquet(path))
+    expected = sorted(map(str, full.collect()))
+    pruned = gen(full).for_paths(path)
+    got = sorted(map(str, build(spark.read.schema(pruned).parquet(path)).collect()))
+    assert got == expected, pruned
+    return pruned
+
+
+def test_hof_exists_in_filter_keeps_lambda_field(spark, fx):
+    # r11 probe find (the r10-subquery class of bug), proven by execution
+    # BEFORE the fix: exists(arr, x -> x.col1 > 0) as a bare Filter
+    # condition skeletonized someComplexArray to array<struct<>> — the
+    # pruned re-read crashed FIELD_NOT_FOUND (silent wrong rows on lenient
+    # sources). The lambda's GetStructField goes through a
+    # NamedLambdaVariable leaf that belongs to no relation; _walk_hof now
+    # binds it to the collection argument's trie handles. Precision: col1
+    # is kept, col2 is NOT (the trie's array transparency records
+    # arr.element.col1 exactly).
+    pruned = _roundtrip(
+        spark, fx,
+        lambda df: df.filter(F.exists("someComplexArray", lambda x: x["col1"] > 0)).select("someStr"),
+    )
+    assert pruned["someComplexArray"].dataType.elementType.fieldNames() == ["col1"]
+
+
+def test_hof_forall_and_sql_exists_in_filter(spark, fx):
+    _roundtrip(
+        spark, fx,
+        lambda df: df.filter(F.forall("someComplexArray", lambda x: x["col1"] > 0)).select("someStr"),
+    )
+    pruned = _roundtrip(
+        spark, fx,
+        lambda df: df.filter(F.expr("exists(someComplexArray, x -> x.col1 > 0)")).select("someLong"),
+    )
+    assert pruned["someComplexArray"].dataType.elementType.fieldNames() == ["col1"]
+
+
+def test_hof_transform_alias_narrows_to_lambda_field(spark, fx):
+    # transform(arr, x -> x.col2) AS t consumed downstream: the alias binds
+    # to the lambda BODY's handles, so a whole-`t` require keeps exactly
+    # col2 — the true data dependency — not the whole element struct
+    pruned = _roundtrip(
+        spark, fx,
+        lambda df: df.select(F.explode(F.transform("someComplexArray", lambda x: x["col2"])).alias("v")),
+    )
+    assert pruned["someComplexArray"].dataType.elementType.fieldNames() == ["col2"]
+
+
+def test_hof_transform_identity_keeps_full_element(spark, fx):
+    # transform(arr, x -> x): the body IS the bare var — it must resolve to
+    # the collection handles so the final-output require keeps the element
+    pruned = _roundtrip(
+        spark, fx,
+        lambda df: df.select(F.transform("someComplexArray", lambda x: x).alias("t")),
+    )
+    assert pruned["someComplexArray"].dataType.elementType.fieldNames() == ["col1", "col2"]
+
+
+def test_hof_bare_var_value_comparison_requires_full_element(spark, fx):
+    # exists(arr, x -> x == struct(..)): EqualTo observes the WHOLE element,
+    # and the var is a bare leaf (no field access) — NamedLambdaVariable
+    # must be a _PATH_EXPRS member for require mode to reach the collection
+    pruned = _roundtrip(
+        spark, fx,
+        lambda df: df.filter(
+            F.exists(
+                "someComplexArray",
+                lambda x: x == F.struct(F.lit(1).cast("long").alias("col1"), F.lit(2).cast("long").alias("col2")),
+            )
+        ).select("someStr"),
+    )
+    assert pruned["someComplexArray"].dataType.elementType.fieldNames() == ["col1", "col2"]
+
+
+def test_hof_derived_collection_requires_sources_fully(spark, fx):
+    # the collection is DERIVED (array(struct_col)): the generic walk
+    # returns only the last child's handles, so instead of binding the var
+    # the whole derived subtree is required — safe over-keep, never loss
+    pruned = _roundtrip(
+        spark, fx,
+        lambda df: df.filter(F.exists(F.array(F.col("struct")), lambda x: x["col2"] > 0)).select("someStr"),
+    )
+    assert pruned["struct"].dataType.fieldNames() == ["col1", "col2", "col3", "subArray"]
+
+
+def test_hof_nested_lambdas_narrow_both_levels(spark, fx):
+    # exists(arrOfStruct, s -> exists(s.col2, v -> v > 1)): the inner HOF's
+    # collection is a field access THROUGH the outer var — both levels
+    # resolve, and the read schema narrows to exactly col2
+    pruned = _roundtrip(
+        spark, fx,
+        lambda df: df.filter(
+            F.exists("someArrayOfComplexArrays", lambda s: F.exists(s["col2"], lambda v: v > 1))
+        ).select("someStr"),
+    )
+    assert pruned["someArrayOfComplexArrays"].dataType.elementType.fieldNames() == ["col2"]
+
+
+def test_hof_aggregate_and_zip_with_in_filter(spark, fx):
+    # aggregate's merge lambda reads x.col2; the `> 3` comparison walks the
+    # whole subtree in require mode (value-comparison semantics), so the
+    # FULL collection is kept — over-keep by design, never loss
+    pruned = _roundtrip(
+        spark, fx,
+        lambda df: df.filter(F.expr("aggregate(someComplexArray, 0L, (acc, x) -> acc + x.col2) > 3")).select("someLong"),
+    )
+    assert "col2" in pruned["someComplexArray"].dataType.elementType.fieldNames()
+    # zip_with reads a field from EACH side; vars over-bind to both
+    # collections (descents that don't exist in a source drop at schema
+    # intersection) — both sides keep their accessed field
+    pruned = _roundtrip(
+        spark, fx,
+        lambda df: df.filter(
+            F.exists(
+                F.zip_with("someComplexArray", "someArrayOfComplexArrays", lambda a, b: a["col1"] + b["col3"]),
+                lambda s: s > 0,
+            )
+        ).select("someStr"),
+    )
+    assert "col1" in pruned["someComplexArray"].dataType.elementType.fieldNames()
+    assert "col3" in pruned["someArrayOfComplexArrays"].dataType.elementType.fieldNames()
+
+
+def test_hof_element_preserving_alias_keeps_full_element(spark, fx):
+    # r11 probe find #2 (proven silent DATA-LOSS before the fix): filter()'s
+    # result carries the ORIGINAL elements whole, so `filter(arr, x ->
+    # x.col1 > 0) AS t` in a non-upper Project followed by SELECT t must
+    # keep the full element — binding the alias only to the lambda body's
+    # handles pruned t to struct<col1> and silently dropped col2 from the
+    # query result. Element-preserving HOFs (and unknown ones) now return
+    # collection + body handles.
+    pruned = _roundtrip(
+        spark, fx,
+        lambda df: df.select(F.filter("someComplexArray", lambda x: x["col1"] > 0).alias("t")).select("t"),
+    )
+    assert pruned["someComplexArray"].dataType.elementType.fieldNames() == ["col1", "col2"]
+    # array_sort with a comparator lambda: same contract
+    pruned = _roundtrip(
+        spark, fx,
+        lambda df: df.select(F.array_sort("someComplexArray", lambda a, b: (a["col1"] - b["col1"]).cast("int")).alias("t")).select("t"),
+    )
+    assert pruned["someComplexArray"].dataType.elementType.fieldNames() == ["col1", "col2"]
