@@ -321,12 +321,16 @@ def w01_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_W01 = """
 WITH marked AS (
-  -- >= : Spark's session_window merges an event only when it lands STRICTLY
-  -- inside the gap, so an exact 30-minute gap starts a NEW session (ADVICE
-  -- r1: '>' here would merge exact-boundary gaps and diverge from Spark)
+  -- > : Spark's session_window MERGES an event landing exactly at the
+  -- previous session's end (each event spans [t, t+gap) and touching
+  -- intervals merge — proven by execution on 4.1.2, r11: a property-fuzz
+  -- draw of two events exactly `gap` apart produced ONE session of 2).
+  -- The r1 comment here claimed the opposite ('>= diverges from Spark');
+  -- real event data never has exact-gap pairs, so both forms pass the
+  -- sf gate — this one is also right at the boundary.
   SELECT user_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+                OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),

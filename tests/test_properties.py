@@ -201,7 +201,11 @@ events_strategy = st.lists(
 def test_session_windows_match_gaps_and_islands(spark, events):
     """Spark's session_window (30 s gap) == the classic gaps-and-islands
     rewrite computed independently in Python, for any per-user event layout
-    incl. exact-boundary gaps (>= gap starts a NEW session)."""
+    incl. exact-boundary gaps. Boundary semantics proven by execution on
+    4.1.2 (r11, the fuzz drew events exactly `gap` apart for the first
+    time): an event landing exactly at the previous session's end MERGES
+    — each event spans [t, t+gap) and touching intervals merge — so a new
+    session starts only when the delta is STRICTLY GREATER than the gap."""
     import datetime as dt
 
     from score_spark.streaming.windows import session_stats
@@ -221,7 +225,7 @@ def test_session_windows_match_gaps_and_islands(spark, events):
         ts.sort()
         start, n, prev = ts[0], 0, None
         for t in ts:
-            if prev is not None and t - prev >= 30:
+            if prev is not None and t - prev > 30:
                 want.add((u, base + dt.timedelta(seconds=start), n))
                 start, n = t, 0
             n += 1
@@ -394,6 +398,14 @@ _FUZZ_PREDICATES = [
     # subfields are otherwise projected)
     ("struct_self_eq", lambda d: d.filter(
         (F.col("struct") == F.col("struct")) | F.col("struct").isNull())),
+    # HOF lambda field access as a BARE filter condition — the r11
+    # _walk_hof class: the collection must keep the lambda-accessed
+    # element fields (before the fix, exists() here skeletonized
+    # someComplexArray to array<struct<>>)
+    ("hof_exists_col1", lambda d: d.filter(
+        F.exists("someComplexArray", lambda x: x["col1"] > 0))),
+    ("hof_agg_col2", lambda d: d.filter(
+        F.expr("aggregate(someComplexArray, 0L, (acc, x) -> acc + x.col2) > 3"))),
 ]
 
 _FUZZ_EXPLODES = [
@@ -421,6 +433,12 @@ _FUZZ_BASE_FIELDS = [
     ("complex0_col2", lambda: F.get("someComplexArray", 0)["col2"], False, True),
     ("aoa_01", lambda: F.get(F.get("someArrayOfArrays", 0), 1), False, True),
     ("sub_array", lambda: F.col("struct.subArray"), False, False),
+    # HOF projections (r11 _walk_hof class): transform's alias binds to the
+    # lambda BODY (read schema narrows to col2); filter is
+    # element-PRESERVING (its output carries the original elements whole,
+    # so downstream requires must reach the full element struct)
+    ("hof_t_col2", lambda: F.transform("someComplexArray", lambda x: x["col2"]), False, False),
+    ("hof_f_elems", lambda: F.filter("someComplexArray", lambda x: x["col1"] > 0), False, False),
 ]
 
 _FUZZ_EXPLODE_FIELDS = {
@@ -867,6 +885,8 @@ _SQL_PREDICATES = [
     "someBoolean",
     "(someStr IS NULL OR someStr != 'zzz')",
     "`struct`.col1 IS NOT NULL",
+    # bare HOF condition — the r11 lambda-binding class on the SQL surface
+    "exists(someComplexArray, x -> x.col1 > 0)",
 ]
 
 

@@ -333,3 +333,31 @@ def test_streaming_read_with_pruned_schema_equals_full(spark, tmp_path):
         )
         q.awaitTermination(120)
         assert sorted(map(str, spark.table(name).collect())) == want, name
+
+
+def test_session_window_exact_boundary_merges(spark):
+    """Pinned from the r11 property-fuzz draw: two events exactly `gap`
+    apart land in ONE session (each event spans [t, t+gap); touching
+    intervals merge), one tick beyond the gap starts a new session. The
+    w01 DuckDB oracle's gaps-and-islands rewrite uses `>` to match —
+    the r1 `>=` form was latent-wrong at the boundary (real event data
+    never draws exact-gap pairs, so the sf gate can't tell them apart)."""
+    import datetime as dt
+
+    from score_spark.streaming.windows import session_stats
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1.0), (1, base + dt.timedelta(seconds=30), 1.0),  # == gap: merge
+        (2, base, 1.0), (2, base + dt.timedelta(seconds=31), 1.0),  # > gap: split
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = sorted(
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in session_stats(df, gap="30 seconds").collect()
+    )
+    assert got == [
+        (1, base, 2),
+        (2, base, 1),
+        (2, base + dt.timedelta(seconds=31), 1),
+    ]
