@@ -102,6 +102,20 @@ _SUBQUERY_PLAN_EXPRS = {
     "DynamicPruningSubquery", "FunctionTableSubqueryArgumentExpression",
 }
 
+# Expressions whose RESULT is ONE OF their value operands (branch-value):
+# If / CaseWhen / Coalesce pass a branch value through unchanged. Two r11
+# execution-proven consequences the generic last-child walk missed:
+# (a) an enclosing Alias must bind to EVERY value branch — binding only the
+#     last one skeletonized the others (`coalesce(s1, s2) AS s; SELECT s.a`
+#     left s1 as struct<>), and (b) the surviving branch SHAPES must agree
+#     on the pruned re-read (coalesce(struct<>, struct<a>) fails analysis
+#     with DATA_DIFF_TYPES) — the same one-value-stream contract as set-op
+#     branches, reconciled through the same merge buckets. The nvl family
+#     (Nvl/Nvl2/NullIf) needs no entry: RuntimeReplaceable serializes its
+#     replacement (Coalesce/If/With) as the single child, which flows
+#     through this handling on its own.
+_BRANCH_VALUE_EXPRS = {"If", "CaseWhen", "Coalesce"}
+
 # HOFs whose RESULT is built from the lambda body's values (transform-like):
 # an enclosing Alias may bind to the body's handles — a later whole-result
 # require then keeps exactly the body's paths, the true data dependency.
@@ -761,6 +775,20 @@ class SchemaOnRead:
         lambdas = [c for c in expr["_children"] if cls_name(c) == "LambdaFunction"]
         if lambdas:
             return self._walk_hof(expr, lambdas, child_mode)
+        if cname in _BRANCH_VALUE_EXPRS:
+            return self._walk_branch_value(expr, child_mode)
+        if cname == "UpdateFields":
+            # withField/dropFields: the result is the BASE struct with field
+            # ops applied — it carries every base field (minus drops), so an
+            # enclosing Alias must reach the base AND the replacement
+            # values. The generic last-child walk bound `s1.withField('b',
+            # id) AS s; SELECT s` to id only, silently dropping s1.a from
+            # the result (r11 probe, proven by execution). Union over-keeps
+            # a replaced field's original data — never loses.
+            handles: list[Handle] = []
+            for c in expr["_children"]:
+                handles.extend(self._walk_expr(c, child_mode))
+            return handles
         last: list[Handle] = []
         first_child_handles: list[Handle] | None = None
         for c in expr["_children"]:
@@ -772,6 +800,49 @@ class SchemaOnRead:
         if cname == "WindowExpression":
             return first_child_handles or []
         return last
+
+    def _walk_branch_value(self, expr: Node, mode: str) -> list[Handle]:
+        """If / CaseWhen / Coalesce (see _BRANCH_VALUE_EXPRS): the result is
+        one of the value operands, so downstream narrowing and requires
+        apply to ALL value branches, and the branches' pruned shapes must
+        stay type-compatible on the re-read.
+
+        Value-child positions: If -> children[1:]; CaseWhen -> children are
+        [cond1, val1, cond2, val2, ...] with an optional trailing else
+        (odd indices, plus the last when the count is odd); Coalesce -> all.
+
+        Precision rule: when EVERY value child is a pure path expression,
+        bind the union of their handles and register them as one merge
+        bucket (the set-op machinery) so branch-local narrowing reconciles.
+        If ANY value child is derived or literal, its shape is FIXED
+        (named_struct('a', x, 'b', 99) always carries both fields), so no
+        sibling may narrow against it — every value child is required fully
+        instead (a no-op for primitives, exactly the needed over-keep for
+        complex branches)."""
+        ch = expr["_children"]
+        n = len(ch)
+        cname = cls_name(expr)
+        if cname == "If":
+            value_idx = set(range(1, n))
+        elif cname == "CaseWhen":
+            value_idx = {i for i in range(n) if i % 2 == 1}
+            if n % 2 == 1:
+                value_idx.add(n - 1)
+        else:  # Coalesce
+            value_idx = set(range(n))
+        all_paths = all(cls_name(ch[i]) in _PATH_EXPRS for i in value_idx)
+        out: list[Handle] = []
+        bucket: list[Handle] = []
+        for i, c in enumerate(ch):
+            if i not in value_idx:
+                self._walk_expr(c, mode)
+                continue
+            got = self._walk_expr(c, "require" if not all_paths else mode)
+            out.extend(got)
+            bucket.extend(got)
+        if all_paths and len(bucket) > 1:
+            self._state.setop_groups.append(bucket)
+        return out
 
     def _walk_hof(self, expr: Node, lambdas: list[Node], mode: str) -> list[Handle]:
         """Higher-order function — any expression with LambdaFunction children

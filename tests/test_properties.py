@@ -439,6 +439,11 @@ _FUZZ_BASE_FIELDS = [
     # so downstream requires must reach the full element struct)
     ("hof_t_col2", lambda: F.transform("someComplexArray", lambda x: x["col2"]), False, False),
     ("hof_f_elems", lambda: F.filter("someComplexArray", lambda x: x["col1"] > 0), False, False),
+    # branch-value + UpdateFields projections (r11 classes): when() with no
+    # otherwise carries a NULL-literal branch (fixed shape -> full-require
+    # leg); withField's result is the base struct plus the new field
+    ("bv_when_struct", lambda: F.when(F.col("someBoolean"), F.col("struct")), False, False),
+    ("uf_withfield", lambda: F.col("struct").withField("zz", F.col("someLong")), False, False),
 ]
 
 _FUZZ_EXPLODE_FIELDS = {
@@ -887,6 +892,9 @@ _SQL_PREDICATES = [
     "`struct`.col1 IS NOT NULL",
     # bare HOF condition — the r11 lambda-binding class on the SQL surface
     "exists(someComplexArray, x -> x.col1 > 0)",
+    # field access THROUGH a branch-value head — resolves via the
+    # require-children backstop (r11 branch-value class, SQL surface)
+    "coalesce(`struct`, `struct`).col1 IS NOT NULL",
 ]
 
 

@@ -1323,3 +1323,73 @@ def test_hof_element_preserving_alias_keeps_full_element(spark, fx):
         lambda df: df.select(F.array_sort("someComplexArray", lambda a, b: (a["col1"] - b["col1"]).cast("int")).alias("t")).select("t"),
     )
     assert pruned["someComplexArray"].dataType.elementType.fieldNames() == ["col1", "col2"]
+
+
+# -------------------------------------- branch-value exprs / withField
+
+
+def test_branch_value_alias_reaches_all_branches(spark, fx, tmp_path):
+    # r11 probe find, proven by execution: coalesce/CASE WHEN/if results
+    # are ONE OF their value operands, but the generic last-child walk
+    # bound an enclosing alias to only the LAST branch — `coalesce(s1, s2)
+    # AS s; SELECT s.a` pruned s1 to struct<> and the re-read failed
+    # analysis with DATA_DIFF_TYPES (and would silently lose on same-shape
+    # narrowing). Value branches now bind together and their pruned shapes
+    # reconcile through the set-op merge buckets.
+    p = str(tmp_path / "bv")
+    spark.createDataFrame(
+        [(1, (10, 11), (20, 21), True), (2, None, (30, 31), False)],
+        "id bigint, s1 struct<a:bigint,b:bigint>, s2 struct<a:bigint,b:bigint>, flag boolean",
+    ).write.parquet(p)
+
+    def run(build):
+        full = build(spark.read.parquet(p))
+        expected = sorted(map(str, full.collect()))
+        pruned = gen(full).for_paths(p)
+        got = sorted(map(str, build(spark.read.schema(pruned).parquet(p)).collect()))
+        assert got == expected, pruned
+        return pruned
+
+    pruned = run(lambda df: df.select(F.coalesce("s1", "s2").alias("s"), "id").select("id", "s.a"))
+    # precision: BOTH branches narrow to the accessed field
+    assert pruned["s1"].dataType.fieldNames() == ["a"]
+    assert pruned["s2"].dataType.fieldNames() == ["a"]
+    run(lambda df: df.select(F.when(F.col("flag"), F.col("s1")).otherwise(F.col("s2")).alias("s")).select("s"))
+    run(lambda df: df.select(F.expr("CASE WHEN flag THEN s1 WHEN id > 2 THEN s2 ELSE s2 END").alias("s"), "id").select("id", "s.b"))
+    # a LITERAL branch has a fixed shape: no sibling may narrow against it
+    pruned = run(lambda df: df.select(
+        F.expr("CASE WHEN flag THEN s1 ELSE named_struct('a', CAST(1 AS BIGINT), 'b', CAST(2 AS BIGINT)) END").alias("s"), "id"
+    ).select("id", "s.a"))
+    assert pruned["s1"].dataType.fieldNames() == ["a", "b"]
+    # nvl family flows through its RuntimeReplaceable replacement child
+    run(lambda df: df.select(F.expr("nvl2(flag, s1, s2)").alias("s")).select("s"))
+    run(lambda df: df.select(F.expr("nullif(s1, s2)").alias("s")).select("s"))
+
+
+def test_update_fields_alias_keeps_base_struct(spark, fx, tmp_path):
+    # r11 probe find, proven SILENT data loss: withField's result is the
+    # base struct with ops applied, but the alias bound to the REPLACEMENT
+    # value only — `s1.withField('b', id) AS s; SELECT s` returned
+    # Row(b=..) instead of Row(a=.., b=..). UpdateFields now unions base +
+    # value handles.
+    p = str(tmp_path / "uf")
+    spark.createDataFrame(
+        [(1, (10, 11)), (2, (40, 41))], "id bigint, s1 struct<a:bigint,b:bigint>"
+    ).write.parquet(p)
+
+    def run(build):
+        full = build(spark.read.parquet(p))
+        expected = sorted(map(str, full.collect()))
+        pruned = gen(full).for_paths(p)
+        got = sorted(map(str, build(spark.read.schema(pruned).parquet(p)).collect()))
+        assert got == expected, pruned
+        return pruned
+
+    pruned = run(lambda df: df.select(F.col("s1").withField("b", F.col("id")).alias("s")).select("s"))
+    assert pruned["s1"].dataType.fieldNames() == ["a", "b"]
+    run(lambda df: df.select(F.col("s1").dropFields("b").alias("s")).select("s"))
+    # accessing only ORIGINAL fields through the alias still narrows
+    pruned = run(lambda df: df.select(
+        F.col("s1").withField("c", F.lit(9).cast("bigint")).alias("s"), "id"
+    ).select("id", "s.a"))
+    assert pruned["s1"].dataType.fieldNames() == ["a"]
