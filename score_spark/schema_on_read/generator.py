@@ -37,7 +37,14 @@ from typing import Any
 from pyspark.sql import DataFrame, types as T
 
 from score_spark.schema_on_read.plan_json import Node, build_tree, cls_name, expr_id, expr_trees
-from score_spark.schema_on_read.trie import Handle, TrieNode, merge_requirements, prune_schema
+from score_spark.schema_on_read.trie import (
+    FanNode,
+    Handle,
+    StructSynthNode,
+    TrieNode,
+    merge_requirements,
+    prune_schema,
+)
 
 # Selection nodes "own" their columns (SchemaOnReadUtils.java:32-39). Join
 # participates only when it has a condition (TreeNodeProcessingRegistry.java:77-82).
@@ -114,7 +121,14 @@ _SUBQUERY_PLAN_EXPRS = {
 #     (Nvl/Nvl2/NullIf) needs no entry: RuntimeReplaceable serializes its
 #     replacement (Coalesce/If/With) as the single child, which flows
 #     through this handling on its own.
-_BRANCH_VALUE_EXPRS = {"If", "CaseWhen", "Coalesce"}
+_BRANCH_VALUE_EXPRS = {
+    "If", "CaseWhen", "Coalesce",
+    # collection constructors: their elements/values are the same kind of
+    # single value stream (array(a, b)[0].f must narrow BOTH a and b, and
+    # their pruned shapes must agree); constructed-map keys are required
+    # fully — rebuilt key lookups compare whole key values
+    "CreateArray", "CreateMap", "MapFromArrays",
+}
 
 # HOFs whose RESULT is built from the lambda body's values (transform-like):
 # an enclosing Alias may bind to the body's handles — a later whole-result
@@ -777,6 +791,8 @@ class SchemaOnRead:
             return self._walk_hof(expr, lambdas, child_mode)
         if cname in _BRANCH_VALUE_EXPRS:
             return self._walk_branch_value(expr, child_mode)
+        if cname == "CreateNamedStruct":
+            return self._walk_struct_ctor(expr, child_mode)
         if cname == "UpdateFields":
             # withField/dropFields: the result is the BASE struct with field
             # ops applied — it carries every base field (minus drops), so an
@@ -811,38 +827,87 @@ class SchemaOnRead:
         [cond1, val1, cond2, val2, ...] with an optional trailing else
         (odd indices, plus the last when the count is odd); Coalesce -> all.
 
-        Precision rule: when EVERY value child is a pure path expression,
-        bind the union of their handles and register them as one merge
-        bucket (the set-op machinery) so branch-local narrowing reconciles.
-        If ANY value child is derived or literal, its shape is FIXED
-        (named_struct('a', x, 'b', 99) always carries both fields), so no
-        sibling may narrow against it — every value child is required fully
-        instead (a no-op for primitives, exactly the needed over-keep for
-        complex branches)."""
+        CreateArray's elements are the same kind of single value stream
+        (`array(a, b)[0].f` narrowed only the last element before r11 —
+        DATA_DIFF_TYPES on the re-read), and CreateMap carries TWO streams
+        (keys, values). Constructed-map KEY children are walked in require
+        mode unconditionally: a key lookup on the rebuilt map compares the
+        whole key values, so key-feeding columns can never narrow.
+
+        Precision rule (per stream): when EVERY value child is a pure path
+        expression, bind the union of their handles and register them as
+        one merge bucket (the set-op machinery) so branch-local narrowing
+        reconciles. If ANY value child is derived or literal, its shape is
+        FIXED (named_struct('a', x, 'b', 99) always carries both fields),
+        so no sibling may narrow against it — every value child of that
+        stream is required fully instead (a no-op for primitives, exactly
+        the needed over-keep for complex branches)."""
         ch = expr["_children"]
         n = len(ch)
         cname = cls_name(expr)
+        require_idx: set[int] = set()  # walked at require regardless (map keys)
         if cname == "If":
-            value_idx = set(range(1, n))
+            groups = [list(range(1, n))]
         elif cname == "CaseWhen":
-            value_idx = {i for i in range(n) if i % 2 == 1}
+            vals = [i for i in range(n) if i % 2 == 1]
             if n % 2 == 1:
-                value_idx.add(n - 1)
-        else:  # Coalesce
-            value_idx = set(range(n))
-        all_paths = all(cls_name(ch[i]) in _PATH_EXPRS for i in value_idx)
+                vals.append(n - 1)
+            groups = [vals]
+        elif cname == "CreateMap":
+            require_idx = {i for i in range(n) if i % 2 == 0}
+            groups = [[i for i in range(n) if i % 2 == 1]]
+        elif cname == "MapFromArrays":
+            require_idx = {0}
+            groups = [[1]] if n > 1 else []
+        else:  # Coalesce / CreateArray
+            groups = [list(range(n))]
+        grouped = {i for g in groups for i in g}
         out: list[Handle] = []
-        bucket: list[Handle] = []
+        for i in sorted(require_idx):
+            out.extend(self._walk_expr(ch[i], "require"))
         for i, c in enumerate(ch):
-            if i not in value_idx:
-                self._walk_expr(c, mode)
+            if i in grouped or i in require_idx:
                 continue
-            got = self._walk_expr(c, "require" if not all_paths else mode)
-            out.extend(got)
-            bucket.extend(got)
-        if all_paths and len(bucket) > 1:
-            self._state.setop_groups.append(bucket)
+            self._walk_expr(c, mode)  # conditions
+        for g in groups:
+            all_paths = all(cls_name(ch[i]) in _PATH_EXPRS for i in g)
+            bucket: list[Handle] = []
+            for i in g:
+                got = self._walk_expr(ch[i], "require" if not all_paths else mode)
+                out.extend(got)
+                bucket.extend(got)
+            if all_paths and len(bucket) > 1:
+                self._state.setop_groups.append(bucket)
         return out
+
+    def _walk_struct_ctor(self, expr: Node, mode: str) -> list[Handle]:
+        """CreateNamedStruct — struct()/named_struct (r11 probe find, the
+        alias-binding class): children alternate Literal(name) / value.
+        The generic last-child walk bound `struct(s1, n) AS s2` to n only:
+        `SELECT s2` silently returned Row() for s1 (whole-alias require
+        landed on the last value), and `SELECT s2.inner.col1` crashed
+        FIELD_NOT_FOUND (descend by the CONSTRUCTED name touched a bogus
+        child of the last value's node).
+
+        Fix: build a StructSynthNode mapping each constructed field name to
+        its value's real trie node(s) and return a handle to it — descents
+        route by name to the right source paths and stay precise
+        (`SELECT s2.inner.col1` narrows s1 to struct<col1>); requiring the
+        constructed value fans to every mapped value's full subtree.
+        Literal values map nothing (they need no source data); multi-handle
+        values fan through a FanNode."""
+        ch = expr["_children"]
+        synth = StructSynthNode()
+        for i in range(0, len(ch) - 1, 2):
+            nm = ch[i].get("value")
+            got = self._walk_expr(ch[i + 1], mode)
+            if not isinstance(nm, str) or not got:
+                continue
+            nodes = [h.materialize() for h in got]
+            synth.children[nm.lower()] = nodes[0] if len(nodes) == 1 else FanNode(members=nodes)
+        if mode == "require":
+            synth.require()
+        return [Handle(synth)]
 
     def _walk_hof(self, expr: Node, lambdas: list[Node], mode: str) -> list[Handle]:
         """Higher-order function — any expression with LambdaFunction children

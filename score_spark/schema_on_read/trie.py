@@ -58,6 +58,47 @@ class TrieNode:
         self.required = True
 
 
+@dataclass
+class StructSynthNode(TrieNode):
+    """Virtual node for a CONSTRUCTED struct (CreateNamedStruct, r11):
+    ``children`` maps the constructed field names to the REAL trie nodes of
+    the value expressions (shared references — the same mechanism as alias
+    clones). Never part of any relation trie, so it is never emitted;
+    descents through the construction land on the real value nodes, and
+    requiring the constructed value fans out to every mapped value's full
+    subtree (a plain TrieNode.require would mark only this detached node,
+    silently keeping nothing — the r11 probe's `struct(s1, n) AS s2;
+    SELECT s2` returned Row() for s1)."""
+
+    def require(self) -> None:
+        self.required = True
+        for c in self.children.values():
+            c.require()
+
+
+@dataclass
+class FanNode(TrieNode):
+    """Virtual node fanning trie operations over several real nodes — a
+    constructed-struct value whose expression resolved to MULTIPLE handles
+    (set-op linked aliases). Descending creates a fan over each member's
+    same-named child; requiring requires every member."""
+
+    members: list[TrieNode] = field(default_factory=list)
+
+    def child(self, name: str) -> TrieNode:
+        key = name.lower()
+        node = self.children.get(key)
+        if node is None:
+            node = FanNode(members=[m.child(name) for m in self.members])
+            self.children[key] = node
+        return node
+
+    def require(self) -> None:
+        self.required = True
+        for m in self.members:
+            m.require()
+
+
 @dataclass(frozen=True)
 class Handle:
     """A (node, pending-child-name) pointer into the trie. ``name=None`` means

@@ -444,6 +444,10 @@ _FUZZ_BASE_FIELDS = [
     # leg); withField's result is the base struct plus the new field
     ("bv_when_struct", lambda: F.when(F.col("someBoolean"), F.col("struct")), False, False),
     ("uf_withfield", lambda: F.col("struct").withField("zz", F.col("someLong")), False, False),
+    # constructed struct (r11 StructSynthNode class): descents route by the
+    # CONSTRUCTED names; whole-value require fans to every mapped source
+    ("cns_struct", lambda: F.struct(F.col("nestedStruct").alias("i"), F.col("someLong").alias("n")), False, False),
+    ("carr_two_srcs", lambda: F.array(F.col("nestedStruct.childStruct"), F.get("someComplexArray", 0)), False, False),
 ]
 
 _FUZZ_EXPLODE_FIELDS = {
@@ -895,6 +899,8 @@ _SQL_PREDICATES = [
     # field access THROUGH a branch-value head — resolves via the
     # require-children backstop (r11 branch-value class, SQL surface)
     "coalesce(`struct`, `struct`).col1 IS NOT NULL",
+    # field access through a CONSTRUCTED struct (r11 StructSynthNode class)
+    "named_struct('a', nestedStruct, 'b', someStr).a.str IS NOT NULL",
 ]
 
 

@@ -1393,3 +1393,76 @@ def test_update_fields_alias_keeps_base_struct(spark, fx, tmp_path):
         F.col("s1").withField("c", F.lit(9).cast("bigint")).alias("s"), "id"
     ).select("id", "s.a"))
     assert pruned["s1"].dataType.fieldNames() == ["a"]
+
+
+# ------------------------------------------------ constructed complex values
+
+
+def test_struct_ctor_alias_routes_by_constructed_name(spark, fx):
+    # r11 probe find (alias-binding class): struct()/named_struct results
+    # bound an enclosing alias to the LAST value only — `struct(s, n) AS
+    # s2; SELECT s2` silently returned Row() for s (whole-alias require
+    # landed on n), and `SELECT s2.inner.col1` crashed FIELD_NOT_FOUND
+    # (descend by the CONSTRUCTED name touched a bogus child of n's node).
+    # A StructSynthNode now maps constructed names to the real value nodes.
+    pruned = _roundtrip(
+        spark, fx,
+        lambda df: df.select(
+            F.struct(F.col("struct").alias("inner_s"), F.col("someLong").alias("n")).alias("s2")
+        ).select("s2.inner_s.col1"),
+    )
+    # precision: descend by constructed name narrows the mapped source
+    assert pruned["struct"].dataType.fieldNames() == ["col1"]
+    pruned = _roundtrip(
+        spark, fx,
+        lambda df: df.select(
+            F.struct(F.col("struct").alias("inner_s"), F.col("someLong").alias("n")).alias("s2")
+        ).select("s2"),
+    )
+    assert pruned["struct"].dataType.fieldNames() == ["col1", "col2", "col3", "subArray"]
+    pruned = _roundtrip(
+        spark, fx,
+        lambda df: df.select(F.expr("named_struct('a', nestedStruct, 'b', someStr)").alias("s2"))
+        .select("s2.a.childStruct.col2"),
+    )
+    assert pruned["nestedStruct"].dataType["childStruct"].dataType.fieldNames() == ["col2"]
+    # a literal constructed field needs no source data at all
+    pruned = _roundtrip(
+        spark, fx,
+        lambda df: df.select(F.struct(F.lit(7).alias("seven"), F.col("someLong").alias("n")).alias("s2"))
+        .select("s2.seven"),
+    )
+    assert "struct" not in pruned.fieldNames()
+
+
+def test_collection_ctor_elements_are_one_value_stream(spark, fx):
+    # array(a, b) elements are one value stream: element access must narrow
+    # EVERY element source and their pruned shapes must agree (before r11
+    # only the last element narrowed — DATA_DIFF_TYPES on the re-read)
+    pruned = _roundtrip(
+        spark, fx,
+        lambda df: df.select(
+            F.array(F.col("nestedStruct.childStruct"), F.col("someComplexArray")[0]).alias("arr2")
+        ).select(F.get("arr2", 0)["col1"].alias("v")),
+    )
+    assert pruned["someComplexArray"].dataType.elementType.fieldNames() == ["col1"]
+    assert pruned["nestedStruct"].dataType["childStruct"].dataType.fieldNames() == ["col1"]
+    # constructed-map KEY sources can never narrow (rebuilt lookups compare
+    # whole key values); value access through the map stays precise
+    pruned = _roundtrip(
+        spark, fx,
+        lambda df: df.select(F.create_map(F.col("someStr"), F.col("nestedStruct")).alias("m"), "someStr")
+        .select(F.col("m")[F.col("someStr")]["str"].alias("v")),
+    )
+    assert pruned["nestedStruct"].dataType.fieldNames() == ["str"]
+    _roundtrip(
+        spark, fx,
+        lambda df: df.select(F.explode(F.create_map(F.lit("k"), F.col("struct"))).alias("k", "v"))
+        .select("v.col3"),
+    )
+    _roundtrip(
+        spark, fx,
+        lambda df: df.select(
+            F.map_from_arrays(F.transform("someComplexArray", lambda x: x["col1"]), F.col("someComplexArray")).alias("m")
+        ).select(F.map_values("m")[0]["col2"].alias("v")),
+    )
