@@ -128,6 +128,9 @@ _BRANCH_VALUE_EXPRS = {
     # their pruned shapes must agree); constructed-map keys are required
     # fully — rebuilt key lookups compare whole key values
     "CreateArray", "CreateMap", "MapFromArrays",
+    # concatenations merge their operands into one element/entry stream
+    # (primitive operands ride along harmlessly — no children to bucket)
+    "Concat", "MapConcat",
 }
 
 # HOFs whose RESULT is built from the lambda body's values (transform-like):
@@ -793,6 +796,8 @@ class SchemaOnRead:
             return self._walk_branch_value(expr, child_mode)
         if cname == "CreateNamedStruct":
             return self._walk_struct_ctor(expr, child_mode)
+        if cname == "ArraysZip":
+            return self._walk_arrays_zip(expr, child_mode)
         if cname == "UpdateFields":
             # withField/dropFields: the result is the BASE struct with field
             # ops applied — it carries every base field (minus drops), so an
@@ -859,7 +864,12 @@ class SchemaOnRead:
         elif cname == "MapFromArrays":
             require_idx = {0}
             groups = [[1]] if n > 1 else []
-        else:  # Coalesce / CreateArray
+        elif cname == "MapConcat":
+            # entries merge: values are one stream; every operand's KEYS
+            # feed rebuilt lookups — but map keys are never pruned by the
+            # trie, so one all-children stream suffices
+            groups = [list(range(n))]
+        else:  # Coalesce / CreateArray / Concat
             groups = [list(range(n))]
         grouped = {i for g in groups for i in g}
         out: list[Handle] = []
@@ -901,6 +911,29 @@ class SchemaOnRead:
         for i in range(0, len(ch) - 1, 2):
             nm = ch[i].get("value")
             got = self._walk_expr(ch[i + 1], mode)
+            if not isinstance(nm, str) or not got:
+                continue
+            nodes = [h.materialize() for h in got]
+            synth.children[nm.lower()] = nodes[0] if len(nodes) == 1 else FanNode(members=nodes)
+        if mode == "require":
+            synth.require()
+        return [Handle(synth)]
+
+    def _walk_arrays_zip(self, expr: Node, mode: str) -> list[Handle]:
+        """arrays_zip (r11 probe find): the result is array<struct<name_i:
+        element_i>> — a CONSTRUCTED struct over the argument arrays'
+        element streams. The generic last-child walk crashed
+        FIELD_NOT_FOUND on `arrays_zip(ca, sa)[0].a.f` (descend by the zip
+        name touched a bogus child of the LAST array's node). Same cure as
+        CreateNamedStruct: a StructSynthNode maps each zip name (the
+        parallel `names` Literal field) to its array's trie node — array
+        transparency makes that node the element handle, so z[i].a.f
+        narrows the right source array to exactly f."""
+        names = [t.get("value") for t in expr_trees(expr.get("names"))]
+        synth = StructSynthNode()
+        for i, c in enumerate(expr["_children"]):
+            got = self._walk_expr(c, mode)
+            nm = names[i] if i < len(names) else None
             if not isinstance(nm, str) or not got:
                 continue
             nodes = [h.materialize() for h in got]

@@ -1466,3 +1466,43 @@ def test_collection_ctor_elements_are_one_value_stream(spark, fx):
             F.map_from_arrays(F.transform("someComplexArray", lambda x: x["col1"]), F.col("someComplexArray")).alias("m")
         ).select(F.map_values("m")[0]["col2"].alias("v")),
     )
+
+
+def test_concat_and_arrays_zip_value_streams(spark, fx, tmp_path):
+    # r11 probe finds: concat(a1, a2) merges both element streams — element
+    # access must narrow BOTH sources with agreeing shapes; arrays_zip is a
+    # CONSTRUCTED struct over element streams (descend by zip name routed
+    # to the LAST array before the fix — FIELD_NOT_FOUND).
+    p = str(tmp_path / "cc")
+    spark.createDataFrame(
+        [(1, [(1, 2)], [(3, 4)])],
+        "id bigint, a1 array<struct<x:bigint,y:bigint>>, a2 array<struct<x:bigint,y:bigint>>",
+    ).write.parquet(p)
+    full = spark.read.parquet(p).select(F.concat("a1", "a2").alias("c")).select(F.get("c", 0)["x"].alias("v"))
+    pruned = gen(full).for_paths(p)
+    got = (spark.read.schema(pruned).parquet(p)
+           .select(F.concat("a1", "a2").alias("c")).select(F.get("c", 0)["x"].alias("v")))
+    assert [r.v for r in got.collect()] == [r.v for r in full.collect()]
+    assert pruned["a1"].dataType.elementType.fieldNames() == ["x"]
+    assert pruned["a2"].dataType.elementType.fieldNames() == ["x"]
+
+    pruned = _roundtrip(
+        spark, fx,
+        lambda df: df.select(
+            F.arrays_zip(F.col("someComplexArray").alias("a"), F.col("someStrArray").alias("b")).alias("z")
+        ).select(F.get("z", 0)["a"]["col1"].alias("v")),
+    )
+    assert pruned["someComplexArray"].dataType.elementType.fieldNames() == ["col1"]
+    # explode of the zip + both zip fields; and the no-alias form (names
+    # default to the source column names)
+    _roundtrip(
+        spark, fx,
+        lambda df: df.select(
+            F.explode(F.arrays_zip(F.col("someComplexArray").alias("a"), F.col("someStrArray").alias("b"))).alias("e")
+        ).select("e.a.col1", "e.b"),
+    )
+    _roundtrip(
+        spark, fx,
+        lambda df: df.select(F.arrays_zip("someComplexArray", "someStrArray").alias("z"))
+        .select(F.get("z", 0)["someComplexArray"]["col2"].alias("v")),
+    )
