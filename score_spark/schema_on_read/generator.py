@@ -97,6 +97,26 @@ _VALUE_COMPARISON_EXPRS = {
     # MaxBy/MinBy strictly only need the ordering child required, but
     # requiring both operands is the safe over-keep.
     "MaxBy", "MinBy", "Mode", "InSubquery",
+    # whole-value OBSERVERS (r11 probe, proven silent loss): serializers
+    # and hashers read every field of a complex operand, but outside a
+    # comparison wrapper they sat in touch mode — filter(to_json(s)
+    # .contains(..)) / filter(cast(s as string).like(..)) skeletonized s
+    # and silently dropped rows. Require their operands like comparisons.
+    "StructsToJson", "StructsToCsv", "StructsToXml",
+    "Murmur3Hash", "XxHash64", "HiveHash",
+    "FormatString", "ToPrettyString", "TypeOf",
+    # map_from_entries: the map's keys AND values come from the entry
+    # structs' fields positionally (names arbitrary) — no name channel to
+    # narrow through, and rebuilt key lookups read whole keys
+    "MapFromEntries",
+    # sketch aggregates hash the whole input value
+    "HyperLogLogPlusPlus", "CountMinSketchAgg", "BloomFilterAggregate",
+    # Cast can NEVER narrow a complex operand: struct casts rebind fields
+    # POSITIONALLY and require the operand arity to match the declared
+    # target (a pruned struct<a> into cast(... as struct<a,b>) fails
+    # analysis), and cast-to-string serializes every field. Requiring a
+    # primitive cast operand is a no-op, so blanket membership is safe.
+    "Cast", "TryCast", "UpCast",
 }
 
 # expressions KNOWN to carry a nested logical plan in their `plan` field —
@@ -788,7 +808,12 @@ class SchemaOnRead:
             for c in expr["_children"]:  # outer refs / join conds
                 self._walk_expr(c, mode)
             return handles
-        child_mode = "require" if cname in _VALUE_COMPARISON_EXPRS else mode
+        # a DISTINCT aggregate observes whole-value equality of its inputs
+        # (count(DISTINCT s) over structs pruned to a field subset counts
+        # the wrong groups) — the flag lives on the AggregateExpression
+        # wrapper, not the function class (r11)
+        distinct_agg = cname == "AggregateExpression" and expr.get("isDistinct") is True
+        child_mode = "require" if (cname in _VALUE_COMPARISON_EXPRS or distinct_agg) else mode
         lambdas = [c for c in expr["_children"] if cls_name(c) == "LambdaFunction"]
         if lambdas:
             return self._walk_hof(expr, lambdas, child_mode)

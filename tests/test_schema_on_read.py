@@ -1506,3 +1506,37 @@ def test_concat_and_arrays_zip_value_streams(spark, fx, tmp_path):
         lambda df: df.select(F.arrays_zip("someComplexArray", "someStrArray").alias("z"))
         .select(F.get("z", 0)["someComplexArray"]["col2"].alias("v")),
     )
+
+
+def test_whole_value_observers_require_complex_operands(spark, fx, tmp_path):
+    # r11 probe find (proven silent row loss): serializers/hashers observe
+    # EVERY field of a complex operand, but outside a comparison wrapper
+    # they sat in touch mode — filter(to_json(s).contains(..)) and
+    # filter(cast(s as string).like(..)) skeletonized s and returned [].
+    # Cast additionally can never narrow a complex operand (positional
+    # field rebinding, declared-arity target). DISTINCT aggregates observe
+    # whole-value equality — the flag lives on AggregateExpression.
+    p = str(tmp_path / "wv")
+    spark.createDataFrame(
+        [(1, (10, 111111), True), (2, (10, 2), True), (3, (10, 333), False)],
+        "id bigint, s struct<a:bigint,b:bigint>, flag boolean",
+    ).write.parquet(p)
+
+    def run(build):
+        full = build(spark.read.parquet(p))
+        expected = sorted(map(str, full.collect()))
+        pruned = gen(full).for_paths(p)
+        got = sorted(map(str, build(spark.read.schema(pruned).parquet(p)).collect()))
+        assert got == expected, pruned
+        return pruned
+
+    run(lambda df: df.filter(F.to_json("s").contains("111111")).select("id"))
+    run(lambda df: df.filter(F.col("s").cast("string").contains("333")).select("id"))
+    run(lambda df: df.filter(F.to_json("s").like("%2%")).select("id"))
+    # count(DISTINCT s) where the otherwise-projected subfield COLLIDES
+    # across rows (all a=10): a subset-pruned distinct would count 1, not 3
+    pruned = run(lambda df: df.groupBy().agg(F.count_distinct("s").alias("n"), F.max("s.a").alias("ma")))
+    assert pruned["s"].dataType.fieldNames() == ["a", "b"]
+    run(lambda df: df.select(
+        F.map_from_entries(F.array(F.struct(F.col("id").alias("k"), F.col("s").alias("v")))).alias("m")
+    ).select(F.map_values("m")[0]["b"].alias("x")))
