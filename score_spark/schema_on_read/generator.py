@@ -111,6 +111,10 @@ _VALUE_COMPARISON_EXPRS = {
     "MapFromEntries",
     # sketch aggregates hash the whole input value
     "HyperLogLogPlusPlus", "CountMinSketchAgg", "BloomFilterAggregate",
+    # UDFs receive their argument VALUES whole (a Python worker indexing
+    # s['b'] crashes when the struct arrives pruned — r11 probe; requiring
+    # primitive args is a no-op as everywhere in this set)
+    "PythonUDF", "PythonUDAF", "ScalaUDF", "ScalaAggregator",
     # Cast can NEVER narrow a complex operand: struct casts rebind fields
     # POSITIONALLY and require the operand arity to match the declared
     # target (a pruned struct<a> into cast(... as struct<a,b>) fails

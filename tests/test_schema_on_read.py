@@ -1540,3 +1540,27 @@ def test_whole_value_observers_require_complex_operands(spark, fx, tmp_path):
     run(lambda df: df.select(
         F.map_from_entries(F.array(F.struct(F.col("id").alias("k"), F.col("s").alias("v")))).alias("m")
     ).select(F.map_values("m")[0]["b"].alias("x")))
+
+
+def test_python_udf_complex_arg_required_fully(spark, fx, tmp_path):
+    # r11 probe find: a UDF receives its argument VALUES whole — a bare
+    # boolean UDF filter over a struct crashed the Python worker on the
+    # pruned re-read (KeyError indexing a field the pruned struct lost).
+    # UDF complex args are now required like comparisons.
+    from pyspark.sql import types as T
+
+    p = str(tmp_path / "udfarg")
+    spark.createDataFrame(
+        [(1, (10, 111111)), (2, (10, 2))], "id bigint, s struct<a:bigint,b:bigint>"
+    ).write.parquet(p)
+
+    @F.udf(returnType=T.BooleanType())
+    def big_b(s):
+        return s is not None and (s["b"] or 0) > 100
+
+    build = lambda df: df.filter(big_b(F.col("s"))).select("id")  # noqa: E731
+    full = build(spark.read.parquet(p))
+    pruned = gen(full).for_paths(p)
+    assert pruned["s"].dataType.fieldNames() == ["a", "b"], pruned
+    got = build(spark.read.schema(pruned).parquet(p))
+    assert [r.id for r in got.collect()] == [r.id for r in full.collect()]
