@@ -827,6 +827,19 @@ class SchemaOnRead:
             return self._walk_struct_ctor(expr, child_mode)
         if cname == "ArraysZip":
             return self._walk_arrays_zip(expr, child_mode)
+        if cname == "With":
+            # Spark 4 common-expression binding (nullif/ifnull/... lower to
+            # With(child, defs) with CommonExpressionRef leaves): the refs'
+            # CommonExpressionId serializes as null in the plan JSON, so
+            # defs cannot be name-bound the way lambda vars are. Require
+            # every def's sources fully instead — refs then resolve to
+            # nothing WITHOUT under-keeping (before r11: nullif(s1, s2) in
+            # a bare filter skeletonized s1 while EqualTo's other operand
+            # kept s2 full — BINARY_OP_DIFF_TYPES on the re-read).
+            out = self._walk_expr(expr["_children"][0], child_mode)
+            for d in expr["_children"][1:]:
+                self._walk_expr(d, "require")
+            return out
         if cname == "UpdateFields":
             # withField/dropFields: the result is the BASE struct with field
             # ops applied — it carries every base field (minus drops), so an

@@ -1564,3 +1564,28 @@ def test_python_udf_complex_arg_required_fully(spark, fx, tmp_path):
     assert pruned["s"].dataType.fieldNames() == ["a", "b"], pruned
     got = build(spark.read.schema(pruned).parquet(p))
     assert [r.id for r in got.collect()] == [r.id for r in full.collect()]
+
+
+def test_with_common_expression_defs_required(spark, fx, tmp_path):
+    # r11 probe find: nullif/ifnull lower to With(child, defs) whose
+    # CommonExpressionRef leaves carry NO usable id in the plan JSON — a
+    # bare filter on nullif(s1, s2) skeletonized s1 (the def) while the
+    # comparison kept s2 full, failing the re-read with
+    # BINARY_OP_DIFF_TYPES. Defs are now required fully.
+    p = str(tmp_path / "withce")
+    spark.createDataFrame(
+        [(1, (10, 11), (20, 21)), (2, (10, 11), (10, 11))],
+        "id bigint, s1 struct<a:bigint,b:bigint>, s2 struct<a:bigint,b:bigint>",
+    ).write.parquet(p)
+
+    def run(build):
+        full = build(spark.read.parquet(p))
+        expected = sorted(map(str, full.collect()))
+        pruned = gen(full).for_paths(p)
+        got = sorted(map(str, build(spark.read.schema(pruned).parquet(p)).collect()))
+        assert got == expected, pruned
+        return pruned
+
+    run(lambda df: df.filter(F.expr("nullif(s1, s2)").isNotNull()).select("id"))
+    run(lambda df: df.filter(F.expr("nullif(s1, s1)").isNull()).select("id"))
+    run(lambda df: df.filter(F.expr("ifnull(s1, s2)").isNotNull()).select("id"))
