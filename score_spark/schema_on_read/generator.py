@@ -1101,9 +1101,14 @@ class SchemaOnRead:
         if cname in ("GetMapValue", "GetArrayItem", "ElementAt", "Get"):
             # collection index/key access never narrows (SQLExpressionParser
             # strips [0] / ['key'] — :12-44); keys/ordinals may still
-            # reference columns
+            # reference columns. Keys walk in REQUIRE mode (r11): a map
+            # lookup compares the WHOLE key value, so m[k] with a struct
+            # key column k pruned to a subset fails the re-read with
+            # MAP_FUNCTION_DIFF_TYPES (proven by execution) — and a
+            # same-shape narrowing would change which entries match.
+            # Requiring an int ordinal is a no-op, as everywhere.
             for extra in expr["_children"][1:]:
-                self._walk_expr(extra, "touch")
+                self._walk_expr(extra, "require")
             return self._resolve_path(expr["_children"][0])
         return []
 

@@ -1589,3 +1589,28 @@ def test_with_common_expression_defs_required(spark, fx, tmp_path):
     run(lambda df: df.filter(F.expr("nullif(s1, s2)").isNotNull()).select("id"))
     run(lambda df: df.filter(F.expr("nullif(s1, s1)").isNull()).select("id"))
     run(lambda df: df.filter(F.expr("ifnull(s1, s2)").isNotNull()).select("id"))
+
+
+def test_map_lookup_struct_key_required(spark, fx, tmp_path):
+    # r11 probe find: m[k] / element_at(m, k) compare the WHOLE key value,
+    # but lookup-key operands walked in touch mode — a struct key COLUMN
+    # pruned to a subset failed the re-read with MAP_FUNCTION_DIFF_TYPES
+    # (and a same-shape narrowing would change which entries match). Keys/
+    # ordinals now walk in require mode (int ordinals: no-op).
+    p = str(tmp_path / "mk")
+    spark.createDataFrame(
+        [(1, {(10, 11): 5}, (10, 11)), (2, {(30, 31): 7}, (30, 31))],
+        "id bigint, m map<struct<a:bigint,b:bigint>,bigint>, k struct<a:bigint,b:bigint>",
+    ).write.parquet(p)
+
+    def run(build):
+        full = build(spark.read.parquet(p))
+        expected = sorted(map(str, full.collect()))
+        pruned = gen(full).for_paths(p)
+        got = sorted(map(str, build(spark.read.schema(pruned).parquet(p)).collect()))
+        assert got == expected, pruned
+        return pruned
+
+    pruned = run(lambda df: df.select(F.element_at("m", F.col("k")).alias("v"), "id").select("id", "v"))
+    assert pruned["k"].dataType.fieldNames() == ["a", "b"]
+    run(lambda df: df.select(F.col("m")[F.col("k")].alias("v"), "id").select("id", "v"))
