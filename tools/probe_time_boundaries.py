@@ -109,6 +109,9 @@ def main() -> int:
         "q23_event_time_buckets",
         "w01_session_windows",
         "w03_dedup_counts",
+        # funnel horizon: a click exactly 30 min before its purchase is a
+        # conversion in both engines (user 302); 30 min + 1 s is not (303)
+        "w04_conversion_funnel",
     ]
     con = duckdb.connect()
     con.execute(
