@@ -924,10 +924,23 @@ class SchemaOnRead:
         for g in groups:
             all_paths = all(cls_name(ch[i]) in _PATH_EXPRS for i in g)
             bucket: list[Handle] = []
+            per_child: list[list[Handle]] = []
             for i in g:
                 got = self._walk_expr(ch[i], "require" if not all_paths else mode)
+                per_child.append(got)
                 out.extend(got)
                 bucket.extend(got)
+            # a path-CLASSED child can still resolve to NOTHING (its base
+            # hides a derived head — get(concat(a, a), 0) — and the
+            # _walk_expr backstop full-requires it instead): that branch's
+            # shape is then FULL, so siblings must not narrow against it.
+            # Found by the r11 expression-grammar fuzz: coalesce(
+            # get(concat(a, a), 0), s).col1 narrowed s to struct<col1>
+            # against the full first branch — DATA_DIFF_TYPES on re-read.
+            if all_paths and any(not got for got in per_child):
+                for i in g:
+                    self._walk_expr(ch[i], "require")
+                continue
             if all_paths and len(bucket) > 1:
                 self._state.setop_groups.append(bucket)
         return out

@@ -1268,3 +1268,144 @@ def test_streaming_pruned_schema_equals_batch_for_random_plans(spark, fuzz_paths
         shutil.rmtree(ck, ignore_errors=True)
         spark.catalog.dropTempView(table)
     assert got == want, f"streamed pruned result diverged from batch; plan={plan}"
+
+
+# ----------------------------------------------- typed expression grammar
+
+# The r11 leg-2 sweep fixed ten expression-channel loss classes found by
+# hand probes; this dimension NESTS those constructs generatively. A typed
+# grammar over {STRUCT, ARRSTRUCT, PRIM, BOOL} draws a SPEC TREE first
+# (plain tuples — drawn exactly once), then a deterministic builder turns
+# the spec into a Column for EACH leg, so the full and pruned pipelines are
+# construction-identical. Any composition whose pruned re-read diverges
+# from the full read is a real bug by the repo's contract.
+
+_GRAMMAR = {
+    "STRUCT": (["childstruct", "complex0"],
+               ["coalesce_s", "when_s", "withfield", "struct_ctor", "elem_at"]),
+    "ARRSTRUCT": (["complexarray"],
+                  ["carr", "concat_a", "hof_filter", "slice_a", "when_a"]),
+    "PRIM": (["somelong", "litlong", "structcol1"],
+             ["hof_agg", "size_a", "json_len", "elem_field"]),
+    "BOOL": (["somebool", "longpos"],
+             ["hof_exists", "json_contains", "struct_self_eq2"]),
+}
+
+_GRAMMAR_ARITY = {
+    # op -> child categories (children drawn recursively at depth-1)
+    "coalesce_s": ("STRUCT", "STRUCT"), "when_s": ("BOOL", "STRUCT", "STRUCT"),
+    "withfield": ("STRUCT", "PRIM"), "struct_ctor": ("PRIM", "PRIM"),
+    "elem_at": ("ARRSTRUCT",),
+    "carr": ("STRUCT", "STRUCT"), "concat_a": ("ARRSTRUCT", "ARRSTRUCT"),
+    "hof_filter": ("ARRSTRUCT",), "slice_a": ("ARRSTRUCT",), "when_a": ("BOOL", "ARRSTRUCT", "ARRSTRUCT"),
+    "hof_agg": ("ARRSTRUCT",), "size_a": ("ARRSTRUCT",), "json_len": ("STRUCT",), "elem_field": ("ARRSTRUCT",),
+    "hof_exists": ("ARRSTRUCT",), "json_contains": ("STRUCT",), "struct_self_eq2": ("STRUCT",),
+}
+
+
+def _draw_spec(data, depth: int, cat: str):
+    leaves, ops = _GRAMMAR[cat]
+    choices = list(leaves) + (list(ops) if depth > 0 else [])
+    pick = data.draw(st.sampled_from(choices), label=f"{cat}@{depth}")
+    if pick in leaves:
+        return (pick,)
+    return (pick,) + tuple(_draw_spec(data, depth - 1, c) for c in _GRAMMAR_ARITY[pick])
+
+
+def _build_spec(spec):
+    op, args = spec[0], [(_build_spec(s)) for s in spec[1:]]
+    if op == "childstruct":
+        return F.col("nestedStruct.childStruct")
+    if op == "complex0":
+        return F.get("someComplexArray", 0)
+    if op == "coalesce_s":
+        return F.coalesce(*args)
+    if op == "when_s" or op == "when_a":
+        return F.when(args[0], args[1]).otherwise(args[2])
+    if op == "withfield":
+        return args[0].withField("col2", args[1])
+    if op == "struct_ctor":
+        return F.struct(args[0].alias("col1"), args[1].alias("col2"))
+    if op == "elem_at":
+        return F.get(args[0], 0)
+    if op == "complexarray":
+        return F.col("someComplexArray")
+    if op == "carr":
+        return F.array(*args)
+    if op == "concat_a":
+        return F.concat(*args)
+    if op == "hof_filter":
+        return F.filter(args[0], lambda x: x["col1"].isNotNull())
+    if op == "slice_a":
+        return F.slice(args[0], 1, 2)
+    if op == "somelong":
+        return F.col("someLong")
+    if op == "litlong":
+        return F.lit(7).cast("long")
+    if op == "structcol1":
+        return F.col("struct.col1")
+    if op == "hof_agg":
+        return F.aggregate(args[0], F.lit(0).cast("long"),
+                           lambda acc, x: acc + F.coalesce(x["col2"], F.lit(0)))
+    if op == "size_a":
+        return F.size(args[0]).cast("long")
+    if op == "json_len":
+        return F.length(F.to_json(args[0])).cast("long")
+    if op == "elem_field":
+        return F.get(args[0], 0)["col1"]
+    if op == "somebool":
+        return F.col("someBoolean")
+    if op == "longpos":
+        return F.col("someLong") > 0
+    if op == "hof_exists":
+        return F.exists(args[0], lambda x: x["col1"] > 0)
+    if op == "json_contains":
+        return F.to_json(args[0]).contains("1")
+    if op == "struct_self_eq2":
+        return args[0] == args[0]
+    raise AssertionError(f"unknown op {op}")
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_pruned_reread_equals_full_for_expression_grammar(spark, fuzz_paths, data):
+    from tests.fixtures_nested import SAMPLE_SCHEMA
+    from score_spark.schema_on_read.generator import SchemaOnRead
+
+    depth = data.draw(st.integers(1, 3), label="depth")
+    out_cat = data.draw(st.sampled_from(["STRUCT", "ARRSTRUCT", "PRIM"]), label="out_cat")
+    consumers = ["whole", "field"] + (["explode"] if out_cat == "ARRSTRUCT" else [])
+    consume = data.draw(st.sampled_from(consumers), label="consumer")
+    with_filter = data.draw(st.booleans(), label="filter")
+    bool_spec = _draw_spec(data, depth, "BOOL") if with_filter else None
+    out_spec = _draw_spec(data, depth, out_cat)
+
+    def pipeline(df):
+        if bool_spec is not None:
+            df = df.filter(_build_spec(bool_spec))
+        df = df.select(_build_spec(out_spec).alias("e"), "someStr")
+        if consume == "field" and out_cat == "STRUCT":
+            return df.select("someStr", F.col("e")["col1"].alias("v"))
+        if consume == "field" and out_cat == "ARRSTRUCT":
+            return df.select("someStr", F.get("e", 0)["col1"].alias("v"))
+        if consume == "field":  # PRIM
+            return df.select("someStr", (F.col("e") + 1).alias("v"))
+        if consume == "explode":
+            return df.select("someStr", F.explode_outer("e").alias("x")).select("someStr", "x.col1")
+        return df
+
+    path = fuzz_paths["parquet"]
+
+    def read(schema):
+        return spark.read.schema(schema).parquet(path)
+
+    full_df = pipeline(read(SAMPLE_SCHEMA))
+    pruned_schema = SchemaOnRead.generate(full_df).for_paths(path)
+    pruned_df = pipeline(read(pruned_schema))
+    _assert_pruned_matches_full(pruned_df, full_df, {
+        "test": "expression_grammar", "depth": depth, "out_cat": out_cat,
+        "consumer": consume, "filter_spec": repr(bool_spec),
+        "out_spec": repr(out_spec),
+        "pruned_schema": pruned_schema.simpleString(),
+    })

@@ -1614,3 +1614,23 @@ def test_map_lookup_struct_key_required(spark, fx, tmp_path):
     pruned = run(lambda df: df.select(F.element_at("m", F.col("k")).alias("v"), "id").select("id", "v"))
     assert pruned["k"].dataType.fieldNames() == ["a", "b"]
     run(lambda df: df.select(F.col("m")[F.col("k")].alias("v"), "id").select("id", "v"))
+
+
+def test_branch_value_unresolvable_path_child_forces_full(spark, fx):
+    # r11 expression-grammar fuzz find: a path-CLASSED branch child whose
+    # base hides a derived head (get(concat(a, a), 0)) resolves to no
+    # handles — the backstop full-requires it — so its shape is FULL and
+    # siblings must not narrow against it. Before the fix, .col1 through
+    # the coalesce narrowed childStruct to struct<col1> against the full
+    # first branch: DATA_DIFF_TYPES on the pruned re-read.
+    pruned = _roundtrip(
+        spark, fx,
+        lambda df: df.select(
+            F.coalesce(
+                F.get(F.concat("someComplexArray", "someComplexArray"), 0),
+                F.col("nestedStruct.childStruct"),
+            ).alias("e"),
+            "someStr",
+        ).select("someStr", F.col("e")["col1"].alias("v")),
+    )
+    assert pruned["nestedStruct"].dataType["childStruct"].dataType.fieldNames() == ["col1", "col2"]

@@ -3,7 +3,7 @@
 a much larger example budget than the in-suite settings (which are sized for
 CI wall-clock, not hunting). Usage:
 
-    python tools/fuzz_hunt.py [n_single] [n_multi] [n_map] [n_sql] [n_stream]
+    python tools/fuzz_hunt.py [n_single] [n_multi] [n_map] [n_sql] [n_stream] [n_grammar]
 
 A budget of 0 skips that invariant (hunt a single one cheaply).
 
@@ -34,6 +34,7 @@ def main() -> int:
     n_map = int(sys.argv[3]) if len(sys.argv) > 3 else 100
     n_sql = int(sys.argv[4]) if len(sys.argv) > 4 else 150
     n_stream = int(sys.argv[5]) if len(sys.argv) > 5 else 60
+    n_grammar = int(sys.argv[6]) if len(sys.argv) > 6 else 120
 
     import tests.test_properties as tp
     from tests.fixtures_nested import (
@@ -87,6 +88,8 @@ def main() -> int:
          {"fuzz_paths": fuzz_paths}, n_sql),
         ("streaming", tp.test_streaming_pruned_schema_equals_batch_for_random_plans,
          {"fuzz_paths": fuzz_paths}, n_stream),
+        ("expr_grammar", tp.test_pruned_reread_equals_full_for_expression_grammar,
+         {"fuzz_paths": fuzz_paths}, n_grammar),
     ]
     for name, test_fn, kw, n in jobs:
         if n <= 0:  # 0 = skip the invariant (hunt a single one cheaply)
