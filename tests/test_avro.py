@@ -5,6 +5,7 @@ prune nested schemas, and preserve the type lattice the engine uses."""
 from __future__ import annotations
 
 import datetime
+import os
 
 import pytest
 from pyspark.sql import Row
@@ -496,3 +497,109 @@ def test_minimal_jar_service_entries_are_self_contained():
     assert not any(n.endswith(".class") for n in glue_names), (
         "glue jar must stay services-only (it registers a class the DISTRO ships)"
     )
+
+
+# ------------------------------------------- random-schema interop fuzz
+
+
+def _norm_nullable(dt):
+    if isinstance(dt, T.StructType):
+        return T.StructType([T.StructField(f.name, _norm_nullable(f.dataType), True) for f in dt.fields])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_norm_nullable(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_norm_nullable(dt.keyType), _norm_nullable(dt.valueType), True)
+    return dt
+
+
+def test_avro_random_schema_interop_both_directions(avro, tmp_path):
+    """Generative interop (r11): random nested schemas (struct/array/map
+    over the full supported primitive lattice incl. decimal/timestamp/date/
+    binary) and random rows must round-trip IDENTICALLY through all four
+    paths: minimal->minimal, minimal->builtin, builtin->minimal, and a
+    pruned minimal read of a random top-level subset. Schemas compare
+    nullability-normalized (the writer emits [null, T] unions, same as
+    upstream spark-avro)."""
+    import datetime as dt
+    import random
+    from decimal import Decimal
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    spark = avro
+
+    PRIMS = [
+        (T.StringType(), lambda r: r.choice(["", "x", "héllo", "a" * 50])),
+        (T.LongType(), lambda r: r.randint(-(2**62), 2**62)),
+        (T.IntegerType(), lambda r: r.randint(-(2**31) + 1, 2**31 - 1)),
+        (T.DoubleType(), lambda r: r.choice([0.0, -1.5, 3.25e10])),
+        (T.FloatType(), lambda r: r.choice([0.0, 2.5, -0.125])),
+        (T.BooleanType(), lambda r: r.choice([True, False])),
+        (T.BinaryType(), lambda r: bytearray(r.randbytes(r.randint(0, 6)))),
+        (T.DateType(), lambda r: dt.date(2024, r.randint(1, 12), r.randint(1, 28))),
+        (T.TimestampType(), lambda r: dt.datetime(2024, 1, 2, 3, 4, 5, r.randint(0, 999999))),
+        (T.DecimalType(12, 2), lambda r: Decimal(r.randint(-10**9, 10**9)) / 100),
+        (T.DecimalType(38, 10), lambda r: Decimal(r.randint(-10**18, 10**18)) / 10**10),
+    ]
+
+    def draw_type(data, depth):
+        kinds = ["prim"] if depth <= 0 else ["prim", "struct", "array", "map"]
+        kind = data.draw(st.sampled_from(kinds))
+        if kind == "prim":
+            i = data.draw(st.integers(0, len(PRIMS) - 1))
+            return PRIMS[i]
+        if kind == "array":
+            el = draw_type(data, depth - 1)
+            return (T.ArrayType(el[0]), lambda r, el=el: [None if r.random() < 0.2 else el[1](r) for _ in range(r.randint(0, 3))])
+        if kind == "map":
+            val = draw_type(data, depth - 1)
+            return (T.MapType(T.StringType(), val[0]),
+                    lambda r, val=val: {f"k{i}": (None if r.random() < 0.2 else val[1](r)) for i in range(r.randint(0, 3))})
+        n = data.draw(st.integers(1, 3))
+        fields = [(f"f{i}", draw_type(data, depth - 1)) for i in range(n)]
+        return (
+            T.StructType([T.StructField(nm, t[0]) for nm, t in fields]),
+            lambda r, fields=fields: tuple(None if r.random() < 0.15 else t[1](r) for _, t in fields),
+        )
+
+    seq = [0]
+
+    @settings(max_examples=int(os.environ.get("SCORE_AVRO_FUZZ_N", "10")),
+              deadline=None, suppress_health_check=list(HealthCheck))
+    @given(data=st.data())
+    def inner(data):
+        ncols = data.draw(st.integers(1, 4))
+        cols = [(f"c{i}", draw_type(data, 2)) for i in range(ncols)]
+        schema = T.StructType([T.StructField(nm, t[0]) for nm, t in cols])
+        seed = data.draw(st.integers(0, 2**31))
+        rng = random.Random(seed)
+        rows = [
+            tuple(None if rng.random() < 0.1 else t[1](rng) for _, t in cols)
+            for _ in range(rng.randint(1, 5))
+        ]
+        df = spark.createDataFrame(rows, schema)
+        want = sorted(map(str, df.collect()))
+
+        seq[0] += 1
+        p_min = str(tmp_path / f"fz_min_{seq[0]}.avro")
+        p_blt = str(tmp_path / f"fz_blt_{seq[0]}.avro")
+        df.coalesce(1).write.mode("overwrite").format(AVRO_FMT).save(p_min)
+        df.coalesce(1).write.mode("overwrite").format("avro").save(p_blt)
+
+        for fmt, path in (
+            (AVRO_FMT, p_min), ("avro", p_min), (AVRO_FMT, p_blt),
+        ):
+            back = spark.read.format(fmt).load(path)
+            assert _norm_nullable(back.schema) == _norm_nullable(schema), (fmt, path)
+            assert sorted(map(str, back.collect())) == want, (fmt, path, schema.simpleString())
+
+        # pruned minimal read: a random nonempty top-level subset
+        keep = sorted(data.draw(st.sets(st.integers(0, ncols - 1), min_size=1)))
+        sub = T.StructType([schema.fields[i] for i in keep])
+        back = spark.read.schema(sub).format(AVRO_FMT).load(p_min)
+        want_sub = sorted(map(str, df.select(*[f.name for f in sub.fields]).collect()))
+        got_sub = sorted(map(str, back.collect()))
+        assert got_sub == want_sub, (sub.simpleString(), schema.simpleString())
+
+    inner()
