@@ -1282,9 +1282,13 @@ def test_streaming_pruned_schema_equals_batch_for_random_plans(spark, fuzz_paths
 
 _GRAMMAR = {
     "STRUCT": (["childstruct", "complex0"],
-               ["coalesce_s", "when_s", "withfield", "struct_ctor", "elem_at"]),
+               ["coalesce_s", "when_s", "withfield", "struct_ctor", "elem_at", "elem_at_map"]),
     "ARRSTRUCT": (["complexarray"],
-                  ["carr", "concat_a", "hof_filter", "slice_a", "when_a"]),
+                  ["carr", "concat_a", "hof_filter", "slice_a", "when_a", "map_values_m"]),
+    # no map leaf in the fixture: every MAP is CONSTRUCTED (create_map over
+    # a fixed literal key — map_concat is deliberately absent, duplicate
+    # keys throw under the default EXCEPTION dedup policy)
+    "MAP": ([], ["cmap", "tvals"]),
     "PRIM": (["somelong", "litlong", "structcol1"],
              ["hof_agg", "size_a", "json_len", "elem_field"]),
     "BOOL": (["somebool", "longpos"],
@@ -1300,12 +1304,16 @@ _GRAMMAR_ARITY = {
     "hof_filter": ("ARRSTRUCT",), "slice_a": ("ARRSTRUCT",), "when_a": ("BOOL", "ARRSTRUCT", "ARRSTRUCT"),
     "hof_agg": ("ARRSTRUCT",), "size_a": ("ARRSTRUCT",), "json_len": ("STRUCT",), "elem_field": ("ARRSTRUCT",),
     "hof_exists": ("ARRSTRUCT",), "json_contains": ("STRUCT",), "struct_self_eq2": ("STRUCT",),
+    "map_values_m": ("MAP",), "cmap": ("STRUCT",), "tvals": ("MAP",),
+    "elem_at_map": ("MAP",),
 }
 
 
 def _draw_spec(data, depth: int, cat: str):
     leaves, ops = _GRAMMAR[cat]
     choices = list(leaves) + (list(ops) if depth > 0 else [])
+    if not choices:  # MAP has no leaf in the fixture: terminate via cmap
+        return ("cmap", _draw_spec(data, 0, "STRUCT"))
     pick = data.draw(st.sampled_from(choices), label=f"{cat}@{depth}")
     if pick in leaves:
         return (pick,)
@@ -1363,6 +1371,14 @@ def _build_spec(spec):
         return F.to_json(args[0]).contains("1")
     if op == "struct_self_eq2":
         return args[0] == args[0]
+    if op == "map_values_m":
+        return F.map_values(args[0])
+    if op == "cmap":
+        return F.create_map(F.lit("k0"), args[0])
+    if op == "tvals":
+        return F.transform_values(args[0], lambda k, v: F.coalesce(v, v))
+    if op == "elem_at_map":
+        return F.element_at(args[0], F.lit("k0"))
     raise AssertionError(f"unknown op {op}")
 
 
