@@ -1123,6 +1123,15 @@ class SchemaOnRead:
             for extra in expr["_children"][1:]:
                 self._walk_expr(extra, "require")
             return self._resolve_path(expr["_children"][0])
+        if cname in _BRANCH_VALUE_EXPRS or cname in ("CreateNamedStruct", "ArraysZip", "UpdateFields"):
+            # a path may run THROUGH a value-routing head inline —
+            # coalesce(s1, s2).a, named_struct('x', s).x.f — and the
+            # dedicated walkers already return the right handles (branch
+            # unions with shape buckets; synth nodes route constructed
+            # names), so descents stay precise instead of falling to the
+            # full-require backstop (r11 precision follow-up; conditions
+            # and key children are walked inside)
+            return self._walk_expr(expr, "touch")
         return []
 
 

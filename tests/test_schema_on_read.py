@@ -1618,11 +1618,16 @@ def test_map_lookup_struct_key_required(spark, fx, tmp_path):
 
 def test_branch_value_unresolvable_path_child_forces_full(spark, fx):
     # r11 expression-grammar fuzz find: a path-CLASSED branch child whose
-    # base hides a derived head (get(concat(a, a), 0)) resolves to no
-    # handles — the backstop full-requires it — so its shape is FULL and
-    # siblings must not narrow against it. Before the fix, .col1 through
-    # the coalesce narrowed childStruct to struct<col1> against the full
-    # first branch: DATA_DIFF_TYPES on the pruned re-read.
+    # base hides a derived head (get(concat(a, a), 0)) resolved to no
+    # handles, so its shape stayed FULL while the sibling narrowed to
+    # struct<col1> — DATA_DIFF_TYPES on the pruned re-read. Two fixes
+    # interact here: the resolved-handles guard in _walk_branch_value
+    # (full-require when any branch cannot bind), and the later
+    # _resolve_path routing through value-routing heads, which makes THIS
+    # shape bindable after all — Concat returns both arrays' handles, the
+    # Get strips the index, and every branch narrows to col1 with shapes
+    # reconciled through the merge bucket. The roundtrip is the contract;
+    # the schema assertion pins the (now precise) shape agreement.
     pruned = _roundtrip(
         spark, fx,
         lambda df: df.select(
@@ -1633,4 +1638,42 @@ def test_branch_value_unresolvable_path_child_forces_full(spark, fx):
             "someStr",
         ).select("someStr", F.col("e")["col1"].alias("v")),
     )
-    assert pruned["nestedStruct"].dataType["childStruct"].dataType.fieldNames() == ["col1", "col2"]
+    assert pruned["nestedStruct"].dataType["childStruct"].dataType.fieldNames() == ["col1"]
+    assert pruned["someComplexArray"].dataType.elementType.fieldNames() == ["col1"]
+
+
+def test_inline_field_access_through_routing_heads_is_precise(spark, fx, tmp_path):
+    # r11 precision follow-up: a path running THROUGH a value-routing head
+    # inline — coalesce(s1, s2).a, named_struct('x', s).x.f,
+    # arrays_zip(..)[0].a.f — used to fall to the full-require backstop;
+    # _resolve_path now routes through the dedicated walkers, so descents
+    # narrow precisely while branch shapes stay reconciled.
+    p = str(tmp_path / "inl")
+    spark.createDataFrame(
+        [(1, (10, 11), (20, 21), True), (2, None, (30, 31), False)],
+        "id bigint, s1 struct<a:bigint,b:bigint>, s2 struct<a:bigint,b:bigint>, flag boolean",
+    ).write.parquet(p)
+
+    def run(build, path):
+        full = build(spark.read.parquet(path))
+        expected = sorted(map(str, full.collect()))
+        pruned = gen(full).for_paths(path)
+        got = sorted(map(str, build(spark.read.schema(pruned).parquet(path)).collect()))
+        assert got == expected, pruned
+        return pruned
+
+    pruned = run(lambda df: df.select(F.coalesce("s1", "s2")["a"].alias("v"), "id"), p)
+    assert pruned["s1"].dataType.fieldNames() == ["a"]
+    assert pruned["s2"].dataType.fieldNames() == ["a"]
+    pruned = run(
+        lambda df: df.select(F.expr("named_struct('x', nestedStruct, 'y', someStr).x.childStruct.col2").alias("v")),
+        fx["sample_parquet"],
+    )
+    assert pruned["nestedStruct"].dataType["childStruct"].dataType.fieldNames() == ["col2"]
+    pruned = run(
+        lambda df: df.select(
+            F.arrays_zip(F.col("someComplexArray").alias("a"), F.col("someStrArray").alias("b"))[0]["a"]["col2"].alias("v")
+        ),
+        fx["sample_parquet"],
+    )
+    assert pruned["someComplexArray"].dataType.elementType.fieldNames() == ["col2"]
