@@ -86,14 +86,21 @@ def cosine_pd(a: Column, b: Column) -> Column:
 _DIM_CACHE: dict[tuple[int, str], tuple["weakref.ref", int]] = {}
 
 
-def embedding_dim(df: DataFrame, vec_col: str = "embedding") -> int:
+def embedding_dim(df: DataFrame, vec_col: str = "embedding", empty_default: int | None = None) -> int:
     """Embedding width derived from the data. ``.first()`` runs a real (if
     tiny — one row, one column) Spark job, so the result is cached per
     (DataFrame, column): operators that derive the dim twice per call pay one
     job total, not one per use (ADVICE r2). The cache holds a WEAK reference
     and validates identity on read: a bare id() key could alias a freed
     DataFrame's recycled address and serve a stale dim to an unrelated frame
-    (review r7)."""
+    (review r7).
+
+    ``empty_default``: returned when the input has NO rows (r11 degenerate
+    sweep: an empty corpus crashed the LSH operators instead of flowing an
+    empty result through the unchanged plan — at 100 TB an empty partition
+    or matches-nothing filter is routine, never an error). Any positive
+    width works: the derived planes hash zero rows. NULL/zero-width rows
+    still raise — that is malformed data, not emptiness."""
     import weakref
 
     key = (id(df._jdf), vec_col)
@@ -101,6 +108,8 @@ def embedding_dim(df: DataFrame, vec_col: str = "embedding") -> int:
     if hit is not None and hit[0]() is df._jdf:
         return hit[1]
     row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None and empty_default is not None:
+        return empty_default  # uncached: a later non-empty frame re-derives
     if row is None or row["d"] is None or row["d"] <= 0:
         raise ValueError(f"cannot derive embedding dim from column {vec_col!r}")
     _DIM_CACHE[key] = (weakref.ref(df._jdf), int(row["d"]))
@@ -235,7 +244,7 @@ def lsh_candidates(
     buckets. The distinct carries only the two ids — vectors are joined back
     by the scorer, so the bucket-join shuffle stays narrow."""
     if dim is None:
-        dim = embedding_dim(corpus, vec_col)
+        dim = embedding_dim(corpus, vec_col, empty_default=2)
     planes = _hyperplanes(n_planes, dim)
     # no fan_out: bucketing is one vectorized matmul per Arrow batch, so scan
     # splits already provide the parallelism at scale, and a repartition here
@@ -443,7 +452,7 @@ def lsh_pair_candidates(
     recall that one extra table restores). The exchange stays ids-only
     either way; rerank work is candidate-bounded."""
     if dim is None:
-        dim = embedding_dim(emb, vec_col)
+        dim = embedding_dim(emb, vec_col, empty_default=2)
     P = np.array(_hyperplanes(n_tables * n_planes, dim), dtype=np.float64)
     weights = (1 << np.arange(n_planes, dtype=np.int64)).astype(np.int64)
     L, k = n_tables, n_planes

@@ -327,3 +327,24 @@ def test_recommended_lsh_planes_matches_measured_regimes():
     # degenerate corpora don't blow up
     assert recommended_lsh_planes(1) == 1
     assert recommended_lsh_planes(2, candidates_per_row=100.0) == 1
+
+
+def test_lsh_operators_empty_corpus_returns_empty(spark):
+    # r11 degenerate-input sweep: an EMPTY corpus crashed hyperplane-LSH
+    # and banded-LSH inside embedding_dim (ValueError) instead of flowing
+    # an empty result through the unchanged plan — at 100 TB an empty
+    # partition or matches-nothing filter is routine, never an error.
+    # empty_default supplies a placeholder width; the planes hash nothing.
+    from score_spark.operators.similarity import lsh_candidates, near_dup_pairs_lsh
+
+    emb = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert lsh_candidates(emb, emb).count() == 0
+    assert near_dup_pairs_lsh(emb, threshold=0.9).count() == 0
+    # malformed (non-empty but null/zero-width) still raises
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([(1, None)], "vec_id bigint, embedding array<double>")
+    from score_spark.operators.similarity import embedding_dim
+
+    with _pytest.raises(ValueError):
+        embedding_dim(bad, "embedding", empty_default=2)

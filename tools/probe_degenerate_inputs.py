@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Degenerate-input sweep: every queries() entry over ZERO-ROW tables.
+
+At 100 TB scale empty inputs are routine — an empty partition, a filter
+that matches nothing, a day with no events. Every gated query must run
+(not crash) over a dataset where every table has its production schema
+and zero rows, and agree with its DuckDB oracle when one exists (both
+sides usually empty; aggregates may legitimately emit a single global
+row — the oracle decides). Exits nonzero on any crash or divergence.
+
+Usage: python tools/probe_degenerate_inputs.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pyarrow.parquet as pq
+
+from score_spark.io import TABLES
+from tools.driver_sim import canon
+
+SRC = os.environ.get("SPARK_GRAFT_SCHEMA_SRC", "/root/testdata/sf0.001")
+
+
+def main() -> int:
+    base = tempfile.mkdtemp(prefix="degenerate_")
+    # xcheck-channel oracles resolve their materialization path at IMPORT
+    # time from this env (sf-tagged); without it DuckDB would read STALE
+    # sf0.01 channels from earlier gate runs (first run of this probe did
+    # exactly that — p01/d04/h01 false mismatches)
+    os.environ["SCORE_SPARK_ORACLE_SF_DIR"] = base
+    import __spark_entry__ as entry_mod
+    from score_spark.session import get_session
+
+    spark = get_session(
+        app_name="probe-degenerate",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
+        shuffle_partitions=8,
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        schema = pq.read_schema(f"{SRC}/{t}.parquet")
+        pq.write_table(schema.empty_table(), f"{base}/{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{base}/{t}.parquet')")
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    # ENGINE divergence on empty input, verified with minimal repros
+    # (r11): Spark returns ZERO rows for rollup/cube/GROUPING SETS over an
+    # empty relation (the Expand feeds no input rows to the keyed
+    # aggregate), while DuckDB follows the SQL standard's empty grouping
+    # set and emits the grand-total row — even though Spark's own PLAIN
+    # global aggregate on the same empty frame returns one row. The gate
+    # never produces empty tables, so the oracle pair is sound there; on
+    # empty input the pair is expected to differ exactly this way.
+    known_divergent = {"q17_rollup_cube", "q24_grouping_sets"}
+    failures = 0
+    for name, fn in queries.items():
+        try:
+            spark_pdf = canon(fn(spark, base).toPandas())
+        except Exception as ex:
+            failures += 1
+            print(f"[degenerate] {name:30s} CRASH: {type(ex).__name__}: {str(ex)[:140]}", flush=True)
+            continue
+        if name in oracles:
+            try:
+                duck_pdf = canon(con.execute(oracles[name]).fetchdf())
+            except Exception as ex:
+                failures += 1
+                print(f"[degenerate] {name:30s} ORACLE-CRASH: {type(ex).__name__}: {str(ex)[:120]}", flush=True)
+                continue
+            if not spark_pdf.equals(duck_pdf):
+                if name in known_divergent and len(spark_pdf) == 0:
+                    print(f"[degenerate] {name:30s} KNOWN-DIVERGENT (spark 0 rows, duck {len(duck_pdf)} grand-total rows)", flush=True)
+                    continue
+                failures += 1
+                print(f"[degenerate] {name:30s} MISMATCH spark={len(spark_pdf)} duck={len(duck_pdf)}", flush=True)
+                print("  spark:", spark_pdf.to_dict("records")[:4], flush=True)
+                print("  duck:", duck_pdf.to_dict("records")[:4], flush=True)
+                continue
+        print(f"[degenerate] {name:30s} OK ({len(spark_pdf)} rows)", flush=True)
+    print(f"[degenerate] {len(queries) - failures}/{len(queries)} OK", flush=True)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
