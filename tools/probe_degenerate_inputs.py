@@ -1,14 +1,17 @@
 #!/usr/bin/env python
-"""Degenerate-input sweep: every queries() entry over ZERO-ROW tables.
+"""Degenerate-input sweep: every queries() entry over ZERO-ROW tables
+(default) or a head-N slice of the real sf tables (``N`` as argv[1]).
 
 At 100 TB scale empty inputs are routine — an empty partition, a filter
-that matches nothing, a day with no events. Every gated query must run
-(not crash) over a dataset where every table has its production schema
-and zero rows, and agree with its DuckDB oracle when one exists (both
-sides usually empty; aggregates may legitimately emit a single global
-row — the oracle decides). Exits nonzero on any crash or divergence.
+that matches nothing, a day with no events — and tiny inputs exercise the
+tie-break/interpolation edges (one event per user, single-element
+percentiles, joins that match nothing). Every gated query must run (not
+crash) and agree with its DuckDB oracle when one exists. Exits nonzero on
+any crash or divergence.
 
-Usage: python tools/probe_degenerate_inputs.py
+Usage: python tools/probe_degenerate_inputs.py        # zero rows
+       python tools/probe_degenerate_inputs.py 1      # first row of each table
+       python tools/probe_degenerate_inputs.py 100    # first 100 rows
 """
 
 from __future__ import annotations
@@ -43,10 +46,14 @@ def main() -> int:
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
         shuffle_partitions=8,
     )
+    head_n = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     con = duckdb.connect()
     for t in TABLES:
-        schema = pq.read_schema(f"{SRC}/{t}.parquet")
-        pq.write_table(schema.empty_table(), f"{base}/{t}.parquet")
+        if head_n > 0:
+            table = pq.read_table(f"{SRC}/{t}.parquet").slice(0, head_n)
+        else:
+            table = pq.read_schema(f"{SRC}/{t}.parquet").empty_table()
+        pq.write_table(table, f"{base}/{t}.parquet")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{base}/{t}.parquet')")
 
     queries = entry_mod.queries()
