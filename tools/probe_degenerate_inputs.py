@@ -12,6 +12,12 @@ any crash or divergence.
 Usage: python tools/probe_degenerate_inputs.py        # zero rows
        python tools/probe_degenerate_inputs.py 1      # first row of each table
        python tools/probe_degenerate_inputs.py 100    # first 100 rows
+       python tools/probe_degenerate_inputs.py skew   # adversarial skew:
+           every event belongs to ONE user, half the documents share one
+           text, half the embeddings share one vector — identical parquet
+           to both engines, so any divergence is a real tie-break or
+           semantics finding, and the hot-key paths (sessionization,
+           as-of, dedup clustering) run against their worst case
 """
 
 from __future__ import annotations
@@ -46,11 +52,32 @@ def main() -> int:
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
         shuffle_partitions=8,
     )
-    head_n = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    mode = sys.argv[1] if len(sys.argv) > 1 else "0"
     con = duckdb.connect()
     for t in TABLES:
-        if head_n > 0:
-            table = pq.read_table(f"{SRC}/{t}.parquet").slice(0, head_n)
+        if mode == "skew":
+            table = pq.read_table(f"{SRC}/{t}.parquet")
+            import pyarrow as pa
+
+            if t == "events":
+                ones = pa.array([1] * len(table), table.schema.field("user_id").type)
+                table = table.set_column(table.schema.get_field_index("user_id"), "user_id", ones)
+            elif t == "documents" and len(table) > 1:
+                col = table.column("text").to_pylist()
+                first = col[0]
+                dup = [first if i % 2 == 0 else v for i, v in enumerate(col)]
+                table = table.set_column(
+                    table.schema.get_field_index("text"), "text",
+                    pa.array(dup, table.schema.field("text").type))
+            elif t == "embeddings" and len(table) > 1:
+                col = table.column("embedding").to_pylist()
+                first = col[0]
+                dup = [first if i % 2 == 0 else v for i, v in enumerate(col)]
+                table = table.set_column(
+                    table.schema.get_field_index("embedding"), "embedding",
+                    pa.array(dup, table.schema.field("embedding").type))
+        elif int(mode) > 0:
+            table = pq.read_table(f"{SRC}/{t}.parquet").slice(0, int(mode))
         else:
             table = pq.read_schema(f"{SRC}/{t}.parquet").empty_table()
         pq.write_table(table, f"{base}/{t}.parquet")
