@@ -18,6 +18,14 @@ Usage: python tools/probe_degenerate_inputs.py        # zero rows
            to both engines, so any divergence is a real tie-break or
            semantics finding, and the hot-key paths (sessionization,
            as-of, dedup clustering) run against their worst case
+       python tools/probe_degenerate_inputs.py unicode  # adversarial text:
+           emoji / RTL / zero-width / combining marks / very long lines
+           spliced into documents.text and events.props — the text
+           operators' regex/length/split semantics must agree between
+           engines on content the generated fixtures never produce
+       python tools/probe_degenerate_inputs.py extremes  # numeric edges:
+           NaN / +-Inf / -0.0 / 1e300 spliced into events.value — sum,
+           round, ordering and window paths must agree on IEEE edge cases
 """
 
 from __future__ import annotations
@@ -76,6 +84,49 @@ def main() -> int:
                 table = table.set_column(
                     table.schema.get_field_index("embedding"), "embedding",
                     pa.array(dup, table.schema.field("embedding").type))
+        elif mode == "unicode":
+            table = pq.read_table(f"{SRC}/{t}.parquet")
+            import pyarrow as pa
+
+            ADV = [
+                "emoji \U0001f600\U0001f680 mixed",
+                "rtl العربية text",
+                "zero​width‌join‍er",
+                "combining áé marks",
+                "cjk 漢字カタカナ",
+                "long " + "x" * 5000,
+                "nul-ish  controls",
+                "quotes '\" and \\\\ backslashes",
+            ]
+            if t == "documents" and len(table):
+                col = table.column("text").to_pylist()
+                spliced = [ADV[i % len(ADV)] + " " + (v or "") if i % 3 == 0 else v for i, v in enumerate(col)]
+                table = table.set_column(
+                    table.schema.get_field_index("text"), "text",
+                    pa.array(spliced, table.schema.field("text").type))
+            elif t == "events" and len(table):
+                col = table.column("props").to_pylist()
+                # props is JSON: keep it parseable but unicode-laden
+                import json as _json
+
+                spliced = [
+                    _json.dumps({"u": ADV[i % len(ADV)]}) if i % 4 == 0 else v
+                    for i, v in enumerate(col)
+                ]
+                table = table.set_column(
+                    table.schema.get_field_index("props"), "props",
+                    pa.array(spliced, table.schema.field("props").type))
+        elif mode == "extremes":
+            table = pq.read_table(f"{SRC}/{t}.parquet")
+            import pyarrow as pa
+
+            if t == "events" and len(table):
+                col = table.column("value").to_pylist()
+                EDGE = [float("nan"), float("inf"), float("-inf"), -0.0, 1e300, 5e-324]
+                spliced = [EDGE[i % len(EDGE)] if i % 5 == 0 else v for i, v in enumerate(col)]
+                table = table.set_column(
+                    table.schema.get_field_index("value"), "value",
+                    pa.array(spliced, table.schema.field("value").type))
         elif int(mode) > 0:
             table = pq.read_table(f"{SRC}/{t}.parquet").slice(0, int(mode))
         else:
