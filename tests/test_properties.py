@@ -1389,7 +1389,7 @@ def test_pruned_reread_equals_full_for_expression_grammar(spark, fuzz_paths, dat
     from tests.fixtures_nested import SAMPLE_SCHEMA
     from score_spark.schema_on_read.generator import SchemaOnRead
 
-    depth = data.draw(st.integers(1, 3), label="depth")
+    depth = data.draw(st.integers(1, 4), label="depth")
     out_cat = data.draw(st.sampled_from(["STRUCT", "ARRSTRUCT", "PRIM"]), label="out_cat")
     consumers = ["whole", "field"] + (["explode"] if out_cat == "ARRSTRUCT" else [])
     consume = data.draw(st.sampled_from(consumers), label="consumer")
