@@ -1425,3 +1425,108 @@ def test_pruned_reread_equals_full_for_expression_grammar(spark, fuzz_paths, dat
         "out_spec": repr(out_spec),
         "pruned_schema": pruned_schema.simpleString(),
     })
+
+
+# ------------------------------------------ real-map expression grammar
+
+# Same spec-tree method over the CRAZY fixture, with a REAL map column as
+# the MAP leaf (the sample grammar can only construct maps): compositions
+# of map_values/element_at/map_filter/transform_values over
+# map<string, array<struct>> plus HOF/branch/ctor productions on the
+# val-struct shape.
+
+_MGRAM = {
+    "MAP": (["mapofarray"], ["mfilter", "tvals_m"]),
+    "ARRSTRUCT": (["elem_k"], ["flat_vals", "concat_m", "hof_filter_m", "when_m"]),
+    "STRUCT": (["arr0"], ["coalesce_m", "withfield_m"]),
+    "PRIM": (["val3", "litl"], ["agg_m", "size_m"]),
+    "BOOL": (["has_key"], ["exists_m", "eq_m"]),
+}
+_MGRAM_ARITY = {
+    "mfilter": ("MAP",), "tvals_m": ("MAP",),
+    "flat_vals": ("MAP",), "concat_m": ("ARRSTRUCT", "ARRSTRUCT"),
+    "hof_filter_m": ("ARRSTRUCT",), "when_m": ("BOOL", "ARRSTRUCT", "ARRSTRUCT"),
+    "coalesce_m": ("STRUCT", "STRUCT"), "withfield_m": ("STRUCT", "PRIM"),
+    "arr0": ("ARRSTRUCT",),
+    "agg_m": ("ARRSTRUCT",), "size_m": ("ARRSTRUCT",),
+    "exists_m": ("ARRSTRUCT",), "eq_m": ("STRUCT",),
+}
+
+
+def _mdraw(data, depth, cat):
+    leaves, ops = _MGRAM[cat]
+    # arr0 is leaf-listed for STRUCT but takes a child; draw its child too
+    choices = list(leaves) + (list(ops) if depth > 0 else [])
+    pick = data.draw(st.sampled_from(choices), label=f"m{cat}@{depth}")
+    arity = _MGRAM_ARITY.get(pick, ())
+    return (pick,) + tuple(_mdraw(data, max(depth - 1, 0) if pick != "arr0" else 0, c) for c in arity)
+
+
+def _mbuild(spec):
+    op, args = spec[0], [_mbuild(s) for s in spec[1:]]
+    if op == "mapofarray":
+        return F.col("mapOfArray")
+    if op == "mfilter":
+        return F.map_filter(args[0], lambda k, v: F.size(v) >= 0)
+    if op == "tvals_m":
+        return F.transform_values(args[0], lambda k, v: F.filter(v, lambda e: e["val1"].isNotNull() | e["val1"].isNull()))
+    if op == "elem_k":
+        return F.element_at(F.col("mapOfArray"), F.lit("k1"))
+    if op == "flat_vals":
+        return F.flatten(F.map_values(args[0]))
+    if op == "concat_m":
+        return F.concat(*args)
+    if op == "hof_filter_m":
+        return F.filter(args[0], lambda e: e["val3"].isNotNull())
+    if op == "when_m":
+        return F.when(args[0], args[1]).otherwise(args[2])
+    if op == "arr0":
+        return F.get(args[0], 0)
+    if op == "coalesce_m":
+        return F.coalesce(*args)
+    if op == "withfield_m":
+        return args[0].withField("val3", args[1])
+    if op == "val3":
+        return F.get(F.element_at(F.col("mapOfArray"), F.lit("k1")), 0)["val3"]
+    if op == "litl":
+        return F.lit(3).cast("long")
+    if op == "agg_m":
+        return F.aggregate(args[0], F.lit(0).cast("long"), lambda a, e: a + F.coalesce(e["val3"], F.lit(0)))
+    if op == "size_m":
+        return F.size(args[0]).cast("long")
+    if op == "has_key":
+        return F.col("mapOfArray").isNotNull()
+    if op == "exists_m":
+        return F.exists(args[0], lambda e: e["val3"] > 0)
+    if op == "eq_m":
+        return args[0] == args[0]
+    raise AssertionError(op)
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_pruned_reread_equals_full_for_map_grammar(spark, crazy_fuzz_paths, data):
+    from tests.fixtures_nested import CRAZY_MAP_SCHEMA
+    from score_spark.schema_on_read.generator import SchemaOnRead
+
+    depth = data.draw(st.integers(1, 3), label="depth")
+    out_cat = data.draw(st.sampled_from(["MAP", "ARRSTRUCT", "STRUCT", "PRIM"]), label="out_cat")
+    with_filter = data.draw(st.booleans(), label="filter")
+    bool_spec = _mdraw(data, depth, "BOOL") if with_filter else None
+    out_spec = _mdraw(data, depth, out_cat)
+
+    def pipeline(df):
+        if bool_spec is not None:
+            df = df.filter(_mbuild(bool_spec))
+        return df.select(_mbuild(out_spec).alias("e"), "someStr")
+
+    path = crazy_fuzz_paths["parquet"]
+    full_df = pipeline(spark.read.schema(CRAZY_MAP_SCHEMA).parquet(path))
+    pruned_schema = SchemaOnRead.generate(full_df).for_paths(path)
+    pruned_df = pipeline(spark.read.schema(pruned_schema).parquet(path))
+    _assert_pruned_matches_full(pruned_df, full_df, {
+        "test": "map_grammar", "depth": depth, "out_cat": out_cat,
+        "filter_spec": repr(bool_spec), "out_spec": repr(out_spec),
+        "pruned_schema": pruned_schema.simpleString(),
+    })

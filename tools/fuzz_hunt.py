@@ -90,6 +90,8 @@ def main() -> int:
          {"fuzz_paths": fuzz_paths}, n_stream),
         ("expr_grammar", tp.test_pruned_reread_equals_full_for_expression_grammar,
          {"fuzz_paths": fuzz_paths}, n_grammar),
+        ("map_grammar", tp.test_pruned_reread_equals_full_for_map_grammar,
+         {"crazy_fuzz_paths": crazy_paths}, n_grammar),
     ]
     for name, test_fn, kw, n in jobs:
         if n <= 0:  # 0 = skip the invariant (hunt a single one cheaply)
