@@ -310,16 +310,22 @@ ORDER BY o_orderpriority
 
 
 def q16_cold_customer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti join + scalar-expression family in one query: customers that
-    never ordered, profiled by a CASE balance band and a COALESCE'd segment
-    (IF / COALESCE / CASE / IS NULL — reference tests :1277-1296). Left-anti
-    ships only keys; the oracle's NOT EXISTS is the same plan in DuckDB; the
-    scalar expressions are all built-ins → whole-stage codegen. Merged
-    q15+q16 (r5 registry consolidation). Parity: anti join (beyond-reference
-    gap) + scalar exprs.
+    """Anti join + scalar-expression family in one query: customers with no
+    RECENT orders (none on/after 1998-06-01), profiled by a CASE balance band
+    and a COALESCE'd segment (IF / COALESCE / CASE / IS NULL — reference tests
+    :1277-1296). Left-anti ships only keys; the oracle's NOT EXISTS is the
+    same plan in DuckDB; the scalar expressions are all built-ins →
+    whole-stage codegen. Merged q15+q16 (r5 registry consolidation). Parity:
+    anti join (beyond-reference gap) + scalar exprs.
+
+    The date window exists so the anti side is NON-EMPTY at every test SF
+    (3 / 8 / 142 cold customers at sf0.001 / sf0.01 / sf0.1) — the original
+    "never ordered" form compared empty-to-empty at the gate SF, so the
+    hash pinned nothing (VERDICT r11 finding #1). The filter is pushed into
+    the orders scan before the anti join, so only recent-order keys shuffle.
     """
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("1998-06-01"))
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select(
@@ -342,7 +348,9 @@ SELECT CASE WHEN c_acctbal < 0 THEN 'overdrawn'
        coalesce(c_mktsegment, 'UNKNOWN') AS segment,
        count(*) AS n_customers
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1998-06-01')
 GROUP BY 1, 2
 ORDER BY balance_band, segment
 """

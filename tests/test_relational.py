@@ -376,3 +376,65 @@ def test_text_ratio_helpers_null_safe_and_scaled(spark):
     duck = con.execute("SELECT round((57 / CAST(800 AS DOUBLE)) * 10000.0) / 10000.0").fetchone()[0]
     spark_v = spark.sql("SELECT round((57 / CAST(800 AS DOUBLE)) * 10000.0) / 10000.0 AS v").first().v
     assert duck == spark_v, (duck, spark_v)
+
+
+def test_q16_anti_join_non_vacuous(spark, sf_dir):
+    """VERDICT r11 #1: the q16 gate row compared empty-to-empty since r5
+    because the driver's data has no customer without orders. The query now
+    anti-joins against a recent-order window (>= 1998-06-01) so the anti side
+    is NON-EMPTY at every test SF (3 / 8 / 142 cold customers at
+    sf0.001/0.01/0.1) — this test fails if a fixture change ever hollows the
+    row out again."""
+    from score_spark.queries.relational import q16_cold_customer_profile
+
+    rows = q16_cold_customer_profile(spark, sf_dir).collect()
+    assert sum(r["n_customers"] for r in rows) > 0, (
+        "q16 anti side is empty at this SF — the gate row is vacuous again"
+    )
+
+
+def test_q16_planted_cold_customer(spark, tmp_path):
+    """Anti-join semantics pinned on a planted fixture: a customer whose only
+    order predates the window (cold), one with a recent order (excluded), and
+    one with no orders at all (cold) — plus the CASE band and NULL-segment
+    COALESCE paths. A wrong join type (inner/semi/left) or an unfiltered
+    orders side produces different counts."""
+    import datetime
+
+    import duckdb
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from score_spark.queries.relational import ORACLE_Q16, q16_cold_customer_profile
+    from tests.conftest import assert_matches_oracle
+
+    cust = pd.DataFrame(
+        {
+            "c_custkey": [1, 2, 3],
+            "c_acctbal": [-50.0, 500.0, 5000.0],
+            "c_mktsegment": [None, "AUTOMOBILE", "BUILDING"],
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_custkey": [1, 2],
+            "o_orderdate": [
+                datetime.datetime(1997, 3, 1),  # old → custkey 1 stays cold
+                datetime.datetime(1998, 7, 1),  # recent → custkey 2 excluded
+            ],
+        }
+    )
+    spark.createDataFrame(cust).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(orders).withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp_ntz")
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    df = q16_cold_customer_profile(spark, str(tmp_path))
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet/*.parquet')"
+        )
+    assert_matches_oracle(df, con, ORACLE_Q16)
+    got = {(r["balance_band"], r["segment"]): r["n_customers"] for r in df.collect()}
+    assert got == {("overdrawn", "UNKNOWN"): 1, ("healthy", "BUILDING"): 1}, got
