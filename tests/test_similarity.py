@@ -348,3 +348,49 @@ def test_lsh_operators_empty_corpus_returns_empty(spark):
 
     with _pytest.raises(ValueError):
         embedding_dim(bad, "embedding", empty_default=2)
+
+
+def test_lsh_candidates_empty_corpus_nonempty_queries(spark, clustered):
+    """ADVICE r11 (medium): an EMPTY corpus with NON-EMPTY queries derived
+    the plane width from the 2-wide fallback, then hashed real-width query
+    vectors through 2-wide hyperplanes — an opaque executor-side numpy
+    shape mismatch. The width must come from whichever side has rows."""
+    from score_spark.operators.similarity import ann_lsh_topk, lsh_candidates
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    queries = clustered.filter(F.col("vec_id") < 3)
+    assert lsh_candidates(empty, queries).count() == 0
+    assert ann_lsh_topk(empty, queries, k=3).count() == 0
+    # and the symmetric case still flows (non-empty corpus, empty queries)
+    assert lsh_candidates(clustered, empty).count() == 0
+
+
+def test_n_planes_default_derives_from_corpus(spark, clustered):
+    """VERDICT r11 #5: the sizing rule must be reachable WITHOUT caller
+    intervention — n_planes=None (now the default) derives k from a cached
+    corpus count via recommended_lsh_planes, landing the k=21-class plan
+    at a 200k corpus; explicit k passes through untouched."""
+    from score_spark.operators.similarity import (
+        _resolve_n_planes,
+        corpus_count,
+        lsh_pair_candidates,
+        near_dup_pairs_lsh,
+    )
+
+    big = spark.range(200_000).withColumnRenamed("id", "vec_id")
+    assert 20 <= _resolve_n_planes(big, 4, None) <= 23  # the k=21-class plan
+    assert _resolve_n_planes(big, 4, 16) == 16  # explicit k untouched
+    # the count job is cached: second resolve touches no new Spark job
+    n1 = corpus_count(big)
+    assert corpus_count(big) == n1 == 200_000
+    # default path end-to-end on a small corpus: tiny n -> small k -> wide
+    # buckets, so planted near-dups (cluster 0's 20 vectors) still surface
+    pairs = near_dup_pairs_lsh(clustered, threshold=0.95)
+    got = {(r.v1, r.v2) for r in pairs.collect()}
+    assert (0, 1) in got or any(v1 < 20 and v2 < 20 for v1, v2 in got)
+    # and the derived-k candidate generator is self-consistent with the
+    # explicit-k call at the derived value
+    k = _resolve_n_planes(clustered, 4, None)
+    auto = {(r.v1, r.v2) for r in lsh_pair_candidates(clustered).collect()}
+    manual = {(r.v1, r.v2) for r in lsh_pair_candidates(clustered, n_planes=k).collect()}
+    assert auto == manual
