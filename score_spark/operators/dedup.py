@@ -363,33 +363,87 @@ def minhash_lsh_pairs(
 # ----------------------------------------------------------------- SimHash
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash of the token multiset: per bit, sign of sum(+1/-1) over
-    token hashes. One explode + one groupBy(id) — the aggregate is 64 narrow
-    conditional sums, which Spark executes as a single hash-agg pass.
+def recommended_simhash_bits(n_docs: int, max_hamming: int = 3) -> int:
+    """Signature width sized to the corpus — the r11 probe's d04 width
+    prescription as code (mirrors ``similarity.recommended_lsh_planes``).
+
+    ``hamming_pairs`` compares Theta(n^2 / 2^w) candidate pairs per chunk
+    (w = chunk width): random signatures collide per pair with constant
+    probability 2^-w, so at FIXED width the comparison volume grows
+    quadratically even though the output stays linear — the r11
+    second-decade probe measured ~36x CPU on 10x docs at the fixed 64-bit
+    signature's 16-bit chunks (~7.6 docs per bucket at 500k docs,
+    BASELINE.md "SimHash chunk-join growth"). Holding ~constant docs per
+    bucket needs 2^w ~ n^2, i.e. **w ~ 2 * log2(n) bits per chunk**, and
+    pigeonhole recall at distance d needs d + 1 chunks, so the total is
+
+        bits = (max_hamming + 1) * clamp(ceil(2 * log2(n)), 8, 63)
+
+    (floor 8: tiny corpora still get non-degenerate buckets; cap 63: one
+    64-bit word per chunk is plenty past n ~ 3e9 docs per chunk-budget).
+    Feed the result to ``simhash(df, n_bits=...)`` /
+    ``simhash_candidate_pairs(df, n_bits=...)``."""
+    import math
+
+    n_chunks = max_hamming + 1
+    chunk_w = min(max(8, math.ceil(2 * math.log2(max(n_docs, 2)))), 63, _MAX_SIMHASH_BITS // n_chunks)
+    return n_chunks * max(1, chunk_w)
+
+
+_MAX_SIMHASH_BITS = 504  # 8 words x 63 usable bits; bounds the agg width
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 63
+) -> DataFrame:
+    """SimHash of the token multiset: per bit, sign of sum(+1/-1) over token
+    hashes. One explode + one groupBy(id) — the aggregate is ``n_bits``
+    narrow conditional sums, which Spark executes as a single hash-agg pass.
+
+    ``n_bits <= 63`` (default 63) emits a plain ``long`` column; wider
+    signatures — sized by :func:`recommended_simhash_bits` to keep the
+    chunk-join candidate volume linear in the corpus — emit ``array<long>``
+    of ceil(n_bits / 63) words, 63 usable bits per word (bit 63 = sign bit,
+    skipped to stay in long range). Word w draws its bits from an
+    independent hash ``xxhash64(tok, w)``; word 0 is ``xxhash64(tok)``, so
+    the first word of a wide signature IS the classic 63-bit signature.
 
     NULL-text docs emit NO signature row (explode of split(NULL) yields
     nothing): content similarity of unknown content is undefined, so such
     docs never enter the Hamming candidate space — by contract, not by
     accident (review r9)."""
+    if not 1 <= n_bits <= _MAX_SIMHASH_BITS:
+        raise ValueError(f"n_bits must be in [1, {_MAX_SIMHASH_BITS}], got {n_bits}")
+    n_words = -(-n_bits // 63)
     toks = fan_out(df, min_bytes_per_task=EXPLODE_BYTES_PER_TASK).select(  # token explode
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
-    # hash ONCE in a projection: the 63 per-bit aggregate updates each embed
-    # the hash expression otherwise, and aggregate-update codegen does not
-    # reliably common-subexpression-eliminate across aggregate functions —
-    # that is 63 xxhash64 evaluations per token instead of 1
-    hashed = toks.select(id_col, F.xxhash64("tok").alias("_th"))
-    # 63 aggregate updates + the recombination, each authored as ONE parsed
-    # SQL expression — composing them as Column objects was ~650 Py4J
+    # hash ONCE per word in a projection: the per-bit aggregate updates each
+    # embed the hash expression otherwise, and aggregate-update codegen does
+    # not reliably common-subexpression-eliminate across aggregate functions
+    # — that is n_bits xxhash64 evaluations per token instead of n_words
+    hash_cols = [F.expr("xxhash64(tok)").alias("_h0")] + [
+        F.expr(f"xxhash64(tok, {w})").alias(f"_h{w}") for w in range(1, n_words)
+    ]
+    hashed = toks.select(id_col, *hash_cols)
+    # per-bit aggregate updates + the recombination, each authored as ONE
+    # parsed SQL expression — composing them as Column objects was ~650 Py4J
     # round-trips (~1.5 s of pure construction latency per call)
     bit_sums = [
-        F.expr(f"sum(IF((_th & {1 << b}) != 0, 1, -1)) AS b{b}")
-        for b in range(63)  # bit 63 = sign bit; skip to stay in long range
+        F.expr(f"sum(IF((_h{w} & {1 << b}) != 0, 1, -1)) AS w{w}b{b}")
+        for w in range(n_words)
+        for b in range(min(63, n_bits - 63 * w))
     ]
     agg = hashed.groupBy(id_col).agg(*bit_sums)
-    sim = " + ".join(f"IF(b{b} > 0, {1 << b}L, 0L)" for b in range(63))
-    return agg.select(id_col, F.expr(f"{sim} AS simhash"))
+    words = [
+        " + ".join(f"IF(w{w}b{b} > 0, {1 << b}L, 0L)" for b in range(min(63, n_bits - 63 * w)))
+        for w in range(n_words)
+    ]
+    if n_words == 1:
+        return agg.select(id_col, F.expr(f"{words[0]} AS simhash"))
+    return agg.select(
+        id_col, F.expr("array({}) AS simhash".format(", ".join(f"({w})" for w in words)))
+    )
 
 
 def hamming_pairs(
@@ -410,10 +464,15 @@ def hamming_pairs(
     linear (probe: pairs exactly the planted rate and full recall at 10x
     and 100x, but CPU ~36x on 10x docs as the 500k-doc corpus put ~7.6
     docs per 16-bit bucket). Same class as lsh_pair_candidates' finding:
-    hold the budget by widening the signature with the corpus (128-bit
-    simhash -> 32-bit chunks at the same max_hamming), i.e. w ~ 2 log2(n).
-    The comparison is a cheap JVM popcount and only ids/signatures move
-    through the join either way."""
+    hold the budget by widening the signature with the corpus (152-bit
+    simhash -> 38-bit chunks at the same max_hamming), i.e. w ~ 2 log2(n)
+    — :func:`recommended_simhash_bits` is that law as code, and wide
+    ``array<long>`` signatures from ``simhash(df, n_bits=...)`` dispatch
+    to the multi-word chunk join below automatically. The comparison is a
+    cheap JVM popcount and only ids/signatures move through the join
+    either way."""
+    if isinstance(sigs.schema[sig_col].dataType, T.ArrayType):
+        return _hamming_pairs_wide(sigs, max_hamming, id_col, sig_col)
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     n_chunks = max_hamming + 1
@@ -461,9 +520,90 @@ def hamming_pairs(
     )
 
 
-def simhash_candidate_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """SimHash the documents, then emit all pairs within max_hamming bits."""
-    return hamming_pairs(simhash(df), max_hamming=max_hamming)
+def _hamming_pairs_wide(
+    sigs: DataFrame, max_hamming: int, id_col: str, sig_col: str
+) -> DataFrame:
+    """hamming_pairs over multi-word ``array<long>`` signatures (63 usable
+    bits per word, from ``simhash(df, n_bits > 63)``).
+
+    Pigeonhole over the FULL 63 * n_words bit space: chunk c covers global
+    bits [c*B/(d+1), (c+1)*B/(d+1)) — a balanced partition, so a pair within
+    distance d shares at least one bit-identical chunk. A chunk that spans a
+    word boundary is keyed by ``xxhash64`` of its per-word segments
+    (deterministic in the chunk content, so identical chunks always share a
+    bucket — full recall; a 2^-64 hash collision only adds a candidate that
+    the exact popcount filter below removes). Trailing bits of the last word
+    are zero for every signature, so including them in the last chunk can
+    never split a pair. Only ids + signatures move through the join; the
+    distance is a per-word JVM popcount summed via zip_with/aggregate."""
+    first = sigs.select(F.size(F.col(sig_col)).alias("n")).first()
+    if first is None:  # empty input: empty output through the same schema
+        id_t = sigs.schema[id_col].dataType.simpleString()
+        return sigs.sparkSession.createDataFrame(
+            [], f"d1 {id_t}, d2 {id_t}, hamming int"
+        )
+    n_words = int(first["n"])
+    n_bits = 63 * n_words
+    if not 0 <= max_hamming < n_bits:
+        raise ValueError(f"max_hamming must be in [0, {n_bits - 1}], got {max_hamming}")
+    n_chunks = max_hamming + 1
+
+    def chunk_key(c: int) -> str:
+        start, end = c * n_bits // n_chunks, (c + 1) * n_bits // n_chunks
+        pieces, s = [], start
+        while s < end:
+            w, off = s // 63, s % 63
+            take = min(end - s, 63 - off)
+            piece = f"shiftrightunsigned(`{sig_col}`[{w}], {off})"
+            pieces.append(f"({piece} & {(1 << take) - 1}L)")
+            s += take
+        return pieces[0] if len(pieces) == 1 else f"xxhash64({', '.join(pieces)})"
+
+    chunk_structs = ", ".join(
+        f"named_struct('chunk_id', {c}, 'chunk', {chunk_key(c)})" for c in range(n_chunks)
+    )
+    chunks = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.col(sig_col).alias("_sig"),
+        F.expr(f"explode(array({chunk_structs}))").alias("cc"),
+    ).select("_id", "_sig", "cc.chunk_id", "cc.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    hamming = F.expr(
+        "aggregate(zip_with(h1, h2, (x, y) -> CAST(bit_count(x ^ y) AS INT)), 0, (acc, v) -> acc + v)"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("d1"),
+            F.col("b._id").alias("d2"),
+            F.col("a._sig").alias("h1"),
+            F.col("b._sig").alias("h2"),
+        )
+        .distinct()
+        .select("d1", "d2", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_candidate_pairs(
+    df: DataFrame, max_hamming: int = 3, n_bits: int | None = 63
+) -> DataFrame:
+    """SimHash the documents, then emit all pairs within max_hamming bits.
+
+    ``n_bits=None`` sizes the signature to the corpus via
+    :func:`recommended_simhash_bits` (one cached count job) — the measured
+    Theta(n^2 / 2^w) chunk-join law applied automatically; the default stays
+    the classic 63-bit long signature."""
+    if n_bits is None:
+        from score_spark.operators.similarity import corpus_count
+
+        n_bits = recommended_simhash_bits(corpus_count(df), max_hamming)
+    return hamming_pairs(simhash(df, n_bits=n_bits), max_hamming=max_hamming)
 
 
 # ------------------------------------------------------------------ queries

@@ -273,3 +273,112 @@ def test_simhash_null_text_emits_no_signature(spark):
     )
     ids = {r.doc_id for r in simhash(df).collect()}
     assert ids == {2}, ids
+
+
+def test_recommended_simhash_bits_law():
+    """VERDICT r11 #4: d04's width prescription as code — chunk width
+    w ~ 2*log2(n), (max_hamming + 1) chunks, mirroring
+    recommended_lsh_planes. Must reproduce the measured operating point:
+    the 500k-doc probe showed ~7.6 docs per fixed 16-bit bucket (~36x CPU
+    on 10x docs); 2*log2(5e5) ~ 38-bit chunks hold ~constant occupancy."""
+    from score_spark.operators.dedup import recommended_simhash_bits
+
+    assert recommended_simhash_bits(500_000, max_hamming=3) == 4 * 38
+    # floor: tiny corpora still get non-degenerate 8-bit buckets
+    assert recommended_simhash_bits(10, max_hamming=3) == 4 * 8
+    # cap: one 64-bit word per chunk is the ceiling
+    assert recommended_simhash_bits(10**12, max_hamming=3) == 4 * 63
+    # monotone in corpus size
+    assert recommended_simhash_bits(5_000_000) >= recommended_simhash_bits(500_000)
+    # total width never exceeds the 8-word aggregate bound
+    assert recommended_simhash_bits(10**12, max_hamming=63) <= 504
+    # floor regime (4 x 8 = 32 bits) still fits a single long signature
+    assert recommended_simhash_bits(10, max_hamming=3) <= 63
+
+
+def test_simhash_wide_word0_is_classic_signature(spark):
+    """Word 0 of a wide signature draws from the same xxhash64(tok) bits as
+    the classic 63-bit signature — the wide path is a strict extension."""
+    from score_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta iota")],
+        "doc_id bigint, text string",
+    )
+    classic = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    wide = {r.doc_id: r.simhash for r in simhash(df, n_bits=152).collect()}
+    assert all(len(v) == 3 for v in wide.values())  # ceil(152/63) words
+    assert {k: v[0] for k, v in wide.items()} == classic
+    # last word uses only 152 - 126 = 26 bits
+    assert all(0 <= v[2] < (1 << 26) for v in wide.values())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simhash(df, n_bits=505)
+
+
+def test_hamming_pairs_wide_full_recall_planted(spark):
+    """Pigeonhole recall over multi-word signatures: plant pairs at exact
+    distances around the bound by flipping bits of random 3-word (189-bit)
+    signatures — every pair within max_hamming must surface with its exact
+    distance, every pair beyond it must not."""
+    import random
+
+    from score_spark.operators.dedup import _hamming_pairs_wide
+
+    rng = random.Random(12)
+
+    def flip(sig, positions):
+        out = list(sig)
+        for p in positions:
+            out[p // 63] ^= 1 << (p % 63)
+        return out
+
+    base = [rng.randrange(1 << 63) & ((1 << 63) - 1) for _ in range(3)]
+    rows = [(0, base)]
+    # ids 1..6 at distances 1..6 from base, far from each other's flips
+    for d in range(1, 7):
+        rows.append((d, flip(base, rng.sample(range(189), d))))
+    # a far outlier
+    rows.append((99, [rng.randrange(1 << 63) for _ in range(3)]))
+    df = spark.createDataFrame(rows, "doc_id bigint, simhash array<bigint>")
+    import itertools
+
+    for max_h in (1, 3, 5):
+        got = {
+            (r.d1, r.d2): r.hamming
+            for r in _hamming_pairs_wide(df, max_h, "doc_id", "simhash").collect()
+        }
+        want = {}
+        for (i, a), (j, b) in itertools.combinations(rows, 2):
+            dist = sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+            if dist <= max_h:
+                want[(i, j)] = dist
+        assert got == want, f"max_hamming={max_h}: {got} != {want}"
+
+
+def test_simhash_candidate_pairs_wide_end_to_end(planted, spark):
+    """The adaptive path end-to-end: n_bits=None derives the width from the
+    corpus count; exact-duplicate texts are still distance 0 and unrelated
+    texts stay far, at ANY signature width (per-bit hashes are independent,
+    so wide signatures separate unrelated docs at least as well)."""
+    from score_spark.operators.dedup import (
+        recommended_simhash_bits,
+        simhash_candidate_pairs,
+    )
+
+    n_docs = planted.count()
+    bits = recommended_simhash_bits(n_docs, max_hamming=3)
+    pairs = {
+        (r.d1, r.d2): r.hamming
+        for r in simhash_candidate_pairs(planted, max_hamming=3, n_bits=None).collect()
+    }
+    wide = {
+        (r.d1, r.d2): r.hamming
+        for r in simhash_candidate_pairs(planted, max_hamming=3, n_bits=max(bits, 152)).collect()
+    }
+    # docs 0 and 1 are byte-identical -> distance 0 at every width
+    assert pairs[(0, 1)] == 0
+    assert wide[(0, 1)] == 0
+    # unrelated docs never collide within 3 bits at >= 32-bit widths
+    assert all({a, b} <= {0, 1, 2} for (a, b) in wide)
