@@ -966,7 +966,16 @@ class SchemaOnRead:
         for i in range(0, len(ch) - 1, 2):
             nm = ch[i].get("value")
             got = self._walk_expr(ch[i + 1], mode)
-            if not isinstance(nm, str) or not got:
+            if not got:
+                continue
+            if not isinstance(nm, str):
+                # unmappable field name (non-string literal) but the value
+                # resolved to real source paths: the synth can't route to it,
+                # so a later whole-value require would fan over mapped
+                # children only and silently under-keep this source — keep
+                # it fully instead, matching the over-keep contract
+                # everywhere else (ADVICE r11)
+                self._walk_expr(ch[i + 1], "require")
                 continue
             nodes = [h.materialize() for h in got]
             synth.children[nm.lower()] = nodes[0] if len(nodes) == 1 else FanNode(members=nodes)
@@ -989,7 +998,14 @@ class SchemaOnRead:
         for i, c in enumerate(expr["_children"]):
             got = self._walk_expr(c, mode)
             nm = names[i] if i < len(names) else None
-            if not isinstance(nm, str) or not got:
+            if not got:
+                continue
+            if not isinstance(nm, str):
+                # names list shorter than children / non-string name: the
+                # synth can't route to this array, so keep its source fully
+                # rather than dropping it from later whole-value requires
+                # (ADVICE r11 — the silent-under-keep class)
+                self._walk_expr(c, "require")
                 continue
             nodes = [h.materialize() for h in got]
             synth.children[nm.lower()] = nodes[0] if len(nodes) == 1 else FanNode(members=nodes)
@@ -1043,11 +1059,27 @@ class SchemaOnRead:
                 self._walk_expr(c, "require")
         last: list[Handle] = []
         for lam in lambdas:
+            # scope the lambda-var bindings to THIS body walk (ADVICE r11):
+            # a global setdefault+extend relied on NamedLambdaVariable
+            # exprIds being plan-unique and grew duplicate handle lists on
+            # every re-walk of a shared subtree (CTE defs visited per
+            # CTERelationRef). Handles point at trie nodes directly, so
+            # restoring the map after the walk loses nothing.
+            saved: dict[tuple, list[Handle] | None] = {}
             for var in lam["_children"][1:]:
                 veid = expr_id(var)
                 if veid is not None and bind:
-                    st.exprid_map.setdefault(veid, []).extend(bind)
-            got = self._walk_expr(lam["_children"][0], mode)
+                    if veid not in saved:
+                        saved[veid] = st.exprid_map.get(veid)
+                    st.exprid_map[veid] = list(saved[veid] or []) + bind
+            try:
+                got = self._walk_expr(lam["_children"][0], mode)
+            finally:
+                for veid, prev in saved.items():
+                    if prev is None:
+                        st.exprid_map.pop(veid, None)
+                    else:
+                        st.exprid_map[veid] = prev
             if got:
                 last = got
         if cls_name(expr) in _HOF_RESULT_IS_BODY:

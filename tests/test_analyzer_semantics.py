@@ -535,3 +535,121 @@ def test_chained_sql_laterals_still_narrow(spark, subq_path):
     assert set(pruned.fieldNames()) == {"s1", "s2", "x"}, pruned.simpleString()
     assert set(pruned["s2"].dataType.fieldNames()) == {"a"}, pruned.simpleString()
     assert set(pruned["s1"].dataType.fieldNames()) == {"b"}, pruned.simpleString()
+
+
+def _synth_attr(eid: int) -> dict:
+    return {
+        "class": "AttributeReference",
+        "exprId": {"jvmId": "t", "id": eid},
+        "num-children": 0,
+        "_children": [],
+    }
+
+
+def _synth_lit(v) -> dict:
+    return {"class": "Literal", "value": v, "num-children": 0, "_children": []}
+
+
+def test_struct_ctor_unmappable_name_over_keeps():
+    """ADVICE r11: a CreateNamedStruct value whose field name cannot be
+    mapped (non-string literal) resolved to real source handles but was
+    silently dropped from the synth — a later whole-value require fanned
+    over mapped children only and under-kept that source. Unmappable-name
+    values must be fully required instead (the over-keep contract).
+    Unreachable from analyzed Spark plans, hence the synthetic node."""
+    from score_spark.schema_on_read.trie import Handle, TrieNode
+
+    gen = SchemaOnRead()
+    node = TrieNode()
+    gen._state.exprid_map[("t", 1)] = [Handle(node)]
+    expr = {
+        "class": "CreateNamedStruct",
+        "num-children": 2,
+        "_children": [_synth_lit(7), _synth_attr(1)],
+    }
+    gen._walk_struct_ctor(expr, "touch")
+    assert node.required
+    # control: a proper string name stays routable and prunable
+    gen2 = SchemaOnRead()
+    n2 = TrieNode()
+    gen2._state.exprid_map[("t", 1)] = [Handle(n2)]
+    ok = {
+        "class": "CreateNamedStruct",
+        "num-children": 2,
+        "_children": [_synth_lit("f"), _synth_attr(1)],
+    }
+    (h,) = gen2._walk_struct_ctor(ok, "touch")
+    assert not n2.required
+    assert h.materialize().children["f"] is n2
+
+
+def test_arrays_zip_unmapped_name_over_keeps():
+    """Same class for ArraysZip: names list shorter than children must
+    require the unmapped child's handles, not drop them."""
+    from score_spark.schema_on_read.trie import Handle, TrieNode
+
+    gen = SchemaOnRead()
+    node = TrieNode()
+    gen._state.exprid_map[("t", 1)] = [Handle(node)]
+    expr = {
+        "class": "ArraysZip",
+        "names": [],
+        "num-children": 1,
+        "_children": [_synth_attr(1)],
+    }
+    gen._walk_arrays_zip(expr, "touch")
+    assert node.required
+
+
+def test_hof_lambda_bindings_scoped_to_body_walk():
+    """ADVICE r11: lambda-variable exprId -> collection-handle bindings were
+    registered globally and never unbound — re-walked shared subtrees (CTE
+    defs visited per CTERelationRef) grew duplicate handle lists, and
+    correctness leaned on NamedLambdaVariable exprIds being plan-unique.
+    Bindings are now scoped to the body walk: visible inside, gone after,
+    and repeated walks leave the map byte-identical."""
+    from score_spark.schema_on_read.trie import Handle, TrieNode
+
+    gen = SchemaOnRead()
+    st = gen._state
+    coll = TrieNode()
+    st.exprid_map[("t", 1)] = [Handle(coll)]
+    var = {
+        "class": "NamedLambdaVariable",
+        "exprId": {"jvmId": "t", "id": 9},
+        "num-children": 0,
+        "_children": [],
+    }
+    body = {
+        "class": "GetStructField",
+        "name": "c1",
+        "num-children": 1,
+        "_children": [dict(var, _children=[])],
+    }
+    lam = {"class": "LambdaFunction", "num-children": 2, "_children": [body, var]}
+    expr = {
+        "class": "ArrayTransform",
+        "num-children": 2,
+        "_children": [_synth_attr(1), lam],
+    }
+    for _ in range(3):  # re-walk of a shared subtree must not accumulate
+        got = gen._walk_hof(expr, [lam], "touch")
+        assert got, "body must resolve through the scoped binding"
+        assert ("t", 9) not in st.exprid_map, "binding leaked past the body walk"
+        assert len(st.exprid_map[("t", 1)]) == 1
+    assert "c1" in coll.children  # the body's field access reached the trie
+
+
+def test_hof_shared_subtree_union_round_trips(spark, arr_path):
+    """Behavioral twin of the scoping test: a self-union re-walks the same
+    HOF subtree (same exprIds in both branches); pruning must stay exact."""
+    schema = _full_schema(spark, _SCHEMA3, _ROWS3)
+
+    def build(df):
+        d = df.select(F.explode(F.transform("arr", lambda x: x["c1"])).alias("v"))
+        return d.union(d)
+
+    pruned = _roundtrip(spark, arr_path, schema, build)
+    assert set(pruned["arr"].dataType.elementType.fieldNames()) == {"c1"}, (
+        pruned.simpleString()
+    )
