@@ -46,3 +46,17 @@ def test_gated_query_nonzero_rows_at_gate_sf(name, spark):
         "on empty output. Redefine the query so the interesting path is "
         "exercised at the gate SF, or allowlist it with a justification."
     )
+
+
+def test_hash_pins_audit_covers_registry_exactly():
+    """VERDICT r11 #3: every gate row carries a committed one-sentence claim
+    of what its value hash pins. A new gated query without an audit
+    sentence — or a stale sentence for a removed query — fails here."""
+    from score_spark.queries.signal import HASH_PINS
+
+    assert set(HASH_PINS) == set(QUERIES), (
+        sorted(set(QUERIES) - set(HASH_PINS)),
+        sorted(set(HASH_PINS) - set(QUERIES)),
+    )
+    for name, sentence in HASH_PINS.items():
+        assert len(sentence) >= 60, f"{name}: audit sentence too thin to pin anything"

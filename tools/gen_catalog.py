@@ -21,6 +21,7 @@ def first_para(doc: str | None) -> str:
 
 def main() -> None:
     from score_spark.queries import _NO_MEMO, ORACLE, QUERIES
+    from score_spark.queries.signal import HASH_PINS
 
     try:
         from bench import _BASELINE_SKIP
@@ -71,6 +72,9 @@ def main() -> None:
                 flags.append("rows-only")
             tag = f" `[{'; '.join(flags)}]`" if flags else ""
             print(f"- **{name}**{tag} — {first_para(fn.__doc__)}")
+            pins = HASH_PINS.get(name)
+            if pins:
+                print(f"  - *Hash pins:* {pins}")
 
 
 if __name__ == "__main__":
