@@ -102,7 +102,12 @@ def main() -> int:
     # diverges HERE rather than only in the driver's environment
     con.execute("SET TimeZone='America/Chicago'")
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+        # driver testdata is one file per table; replicated scale fixtures
+        # (tools/gen_sf_replica.py) are Spark-written DIRECTORIES — glob
+        # them so the sim runs at sf1+ too (VERDICT r11 #6)
+        src = f"{sf}/{t}.parquet"
+        pat = f"{src}/*.parquet" if os.path.isdir(src) else src
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
 
     qs, osql = E.queries(), E.oracle_sql()
     unknown = only - set(qs)
