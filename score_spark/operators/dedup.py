@@ -446,8 +446,53 @@ def simhash(
     )
 
 
+def _scalar_chunk_exprs(sig_col: str, n_chunks: int) -> list[str]:
+    """Balanced PARTITION of the 64 bits: chunk i covers [i*64//n,
+    (i+1)*64//n) — every chunk non-empty, every shift < 64. The old uniform
+    ceil-width layout shifted chunk starts past bit 63 for max_hamming >= 8,
+    and Spark's shiftrightunsigned (Java >>>) masks the shift amount to 6
+    bits, so the high chunks silently ALIASED the low ones and a pair at
+    exactly the bound could be missed (review r7, confirmed by execution:
+    sigs 0x0 vs 0x0101010101010101 at distance 8 returned no pair).
+    Module-level so probes can measure bucket occupancy with the EXACT
+    production keys (tools/probe_d04_sizing_e2e.py)."""
+
+    def chunk_expr(c: int) -> str:
+        start = c * 64 // n_chunks
+        width = (c + 1) * 64 // n_chunks - start
+        shifted = f"shiftrightunsigned(`{sig_col}`, {start})"
+        # width == 64 (max_hamming = 0: exact-duplicate blocking) masks
+        # nothing — and (1 << 64) - 1 would overflow a bigint literal
+        return shifted if width >= 64 else f"{shifted} & {(1 << width) - 1}L"
+
+    return [chunk_expr(c) for c in range(n_chunks)]
+
+
+def _wide_chunk_exprs(sig_col: str, n_bits: int, n_chunks: int) -> list[str]:
+    """Chunk-key SQL for multi-word signatures: chunk c covers global bits
+    [c*n_bits/n, (c+1)*n_bits/n); a chunk spanning word boundaries is keyed
+    by xxhash64 of its per-word segments (see _hamming_pairs_wide)."""
+
+    def chunk_key(c: int) -> str:
+        start, end = c * n_bits // n_chunks, (c + 1) * n_bits // n_chunks
+        pieces, s = [], start
+        while s < end:
+            w, off = s // 63, s % 63
+            take = min(end - s, 63 - off)
+            piece = f"shiftrightunsigned(`{sig_col}`[{w}], {off})"
+            pieces.append(f"({piece} & {(1 << take) - 1}L)")
+            s += take
+        return pieces[0] if len(pieces) == 1 else f"xxhash64({', '.join(pieces)})"
+
+    return [chunk_key(c) for c in range(n_chunks)]
+
+
 def hamming_pairs(
-    sigs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", sig_col: str = "simhash"
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    n_bits: int | None = None,
 ) -> DataFrame:
     """ALL pairs within max_hamming bits, via chunk blocking with a correct
     pigeonhole bound: the 64-bit signature splits into (max_hamming + 1)
@@ -472,27 +517,13 @@ def hamming_pairs(
     cheap JVM popcount and only ids/signatures move through the join
     either way."""
     if isinstance(sigs.schema[sig_col].dataType, T.ArrayType):
-        return _hamming_pairs_wide(sigs, max_hamming, id_col, sig_col)
+        return _hamming_pairs_wide(sigs, max_hamming, id_col, sig_col, n_bits)
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     n_chunks = max_hamming + 1
-    # balanced PARTITION of the 64 bits: chunk i covers [i*64//n, (i+1)*64//n)
-    # — every chunk non-empty, every shift < 64. The old uniform ceil-width
-    # layout shifted chunk starts past bit 63 for max_hamming >= 8, and
-    # Spark's shiftrightunsigned (Java >>>) masks the shift amount to 6
-    # bits, so the high chunks silently ALIASED the low ones and a pair at
-    # exactly the bound could be missed (review r7, confirmed by execution:
-    # sigs 0x0 vs 0x0101010101010101 at distance 8 returned no pair).
-    def chunk_expr(c: int) -> str:
-        start = c * 64 // n_chunks
-        width = (c + 1) * 64 // n_chunks - start
-        shifted = f"shiftrightunsigned(`{sig_col}`, {start})"
-        # width == 64 (max_hamming = 0: exact-duplicate blocking) masks
-        # nothing — and (1 << 64) - 1 would overflow a bigint literal
-        return shifted if width >= 64 else f"{shifted} & {(1 << width) - 1}L"
-
     chunk_structs = ", ".join(
-        f"named_struct('chunk_id', {c}, 'chunk', {chunk_expr(c)})" for c in range(n_chunks)
+        f"named_struct('chunk_id', {c}, 'chunk', {e})"
+        for c, e in enumerate(_scalar_chunk_exprs(sig_col, n_chunks))
     )
     chunks = sigs.select(
         F.col(id_col).alias("_id"),
@@ -521,21 +552,32 @@ def hamming_pairs(
 
 
 def _hamming_pairs_wide(
-    sigs: DataFrame, max_hamming: int, id_col: str, sig_col: str
+    sigs: DataFrame, max_hamming: int, id_col: str, sig_col: str, n_bits: int | None = None
 ) -> DataFrame:
     """hamming_pairs over multi-word ``array<long>`` signatures (63 usable
     bits per word, from ``simhash(df, n_bits > 63)``).
 
-    Pigeonhole over the FULL 63 * n_words bit space: chunk c covers global
+    Pigeonhole over the REAL ``n_bits`` bit space: chunk c covers global
     bits [c*B/(d+1), (c+1)*B/(d+1)) — a balanced partition, so a pair within
     distance d shares at least one bit-identical chunk. A chunk that spans a
     word boundary is keyed by ``xxhash64`` of its per-word segments
     (deterministic in the chunk content, so identical chunks always share a
     bucket — full recall; a 2^-64 hash collision only adds a candidate that
-    the exact popcount filter below removes). Trailing bits of the last word
-    are zero for every signature, so including them in the last chunk can
-    never split a pair. Only ids + signatures move through the join; the
-    distance is a per-word JVM popcount summed via zip_with/aggregate."""
+    the exact popcount filter below removes).
+
+    ``n_bits`` MUST equal the width the signatures were built with (pass it
+    through, or use ``simhash_candidate_pairs`` which does). It matters two
+    ways: a value LARGER than the real width dilutes the partition with
+    constant-zero pad bits that concentrate in the LAST chunk — for a
+    152-bit signature in 3 words, padding to 189 would leave chunk 3 with
+    only 11 real bits, an effective 2^11-bucket hot chunk (worse than the
+    fixed 16-bit width this path exists to escape); a value SMALLER than
+    the real width breaks the pigeonhole guarantee (differing bits above
+    n_bits are never chunked, so a pair can miss every bucket). Defaulting
+    to 63 * n_words (all representable bits) is the always-safe-for-recall
+    fallback for externally built signatures. The final distance is exact
+    either way: a per-word JVM popcount over FULL words, summed via
+    zip_with/aggregate. Only ids + signatures move through the join."""
     first = sigs.select(F.size(F.col(sig_col)).alias("n")).first()
     if first is None:  # empty input: empty output through the same schema
         id_t = sigs.schema[id_col].dataType.simpleString()
@@ -543,24 +585,19 @@ def _hamming_pairs_wide(
             [], f"d1 {id_t}, d2 {id_t}, hamming int"
         )
     n_words = int(first["n"])
-    n_bits = 63 * n_words
+    if n_bits is None:
+        n_bits = 63 * n_words
+    if not 63 * (n_words - 1) < n_bits <= 63 * n_words:
+        raise ValueError(
+            f"n_bits={n_bits} inconsistent with {n_words}-word signatures "
+            f"(must be in ({63 * (n_words - 1)}, {63 * n_words}])"
+        )
     if not 0 <= max_hamming < n_bits:
         raise ValueError(f"max_hamming must be in [0, {n_bits - 1}], got {max_hamming}")
     n_chunks = max_hamming + 1
-
-    def chunk_key(c: int) -> str:
-        start, end = c * n_bits // n_chunks, (c + 1) * n_bits // n_chunks
-        pieces, s = [], start
-        while s < end:
-            w, off = s // 63, s % 63
-            take = min(end - s, 63 - off)
-            piece = f"shiftrightunsigned(`{sig_col}`[{w}], {off})"
-            pieces.append(f"({piece} & {(1 << take) - 1}L)")
-            s += take
-        return pieces[0] if len(pieces) == 1 else f"xxhash64({', '.join(pieces)})"
-
     chunk_structs = ", ".join(
-        f"named_struct('chunk_id', {c}, 'chunk', {chunk_key(c)})" for c in range(n_chunks)
+        f"named_struct('chunk_id', {c}, 'chunk', {e})"
+        for c, e in enumerate(_wide_chunk_exprs(sig_col, n_bits, n_chunks))
     )
     chunks = sigs.select(
         F.col(id_col).alias("_id"),
@@ -603,7 +640,7 @@ def simhash_candidate_pairs(
         from score_spark.operators.similarity import corpus_count
 
         n_bits = recommended_simhash_bits(corpus_count(df), max_hamming)
-    return hamming_pairs(simhash(df, n_bits=n_bits), max_hamming=max_hamming)
+    return hamming_pairs(simhash(df, n_bits=n_bits), max_hamming=max_hamming, n_bits=n_bits)
 
 
 # ------------------------------------------------------------------ queries

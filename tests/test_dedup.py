@@ -382,3 +382,50 @@ def test_simhash_candidate_pairs_wide_end_to_end(planted, spark):
     assert wide[(0, 1)] == 0
     # unrelated docs never collide within 3 bits at >= 32-bit widths
     assert all({a, b} <= {0, 1, 2} for (a, b) in wide)
+
+
+def test_hamming_pairs_wide_explicit_n_bits_152(spark):
+    """The chunk partition must cover the REAL signature width: for a
+    152-bit signature in 3 words, padding the partition to 189 bits would
+    leave the last chunk with 11 real bits + 37 constant zeros — an
+    effective 2^11-bucket hot chunk. With n_bits passed through, chunks are
+    4 x 38 real bits (some spanning word boundaries) and recall at the
+    bound is exact."""
+    import itertools
+    import random
+
+    from score_spark.operators.dedup import _hamming_pairs_wide
+
+    rng = random.Random(5)
+
+    def rand_sig():
+        return [rng.randrange(1 << 63), rng.randrange(1 << 63), rng.randrange(1 << 26)]
+
+    def flip(sig, positions):
+        out = list(sig)
+        for p in positions:
+            out[p // 63] ^= 1 << (p % 63)
+        return out
+
+    base = rand_sig()
+    rows = [(0, base)]
+    for d in range(1, 6):
+        rows.append((d, flip(base, rng.sample(range(152), d))))
+    rows.append((99, rand_sig()))
+    df = spark.createDataFrame(rows, "doc_id bigint, simhash array<bigint>")
+    got = {
+        (r.d1, r.d2): r.hamming
+        for r in _hamming_pairs_wide(df, 3, "doc_id", "simhash", n_bits=152).collect()
+    }
+    want = {}
+    for (i, a), (j, b) in itertools.combinations(rows, 2):
+        dist = sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+        if dist <= 3:
+            want[(i, j)] = dist
+    assert got == want, f"{got} != {want}"
+    # n_bits inconsistent with the word count fails loudly
+    import pytest as _pytest
+
+    for bad in (126, 60, 200):
+        with _pytest.raises(ValueError):
+            _hamming_pairs_wide(df, 3, "doc_id", "simhash", n_bits=bad)
