@@ -23,7 +23,10 @@ emb = gen_embeddings(spark, n).localCheckpoint(eager=True)
 k_rec = recommended_lsh_planes(n)
 print(f"recommended k for n={n}: {k_rec}", file=sys.stderr)
 out = {}
-for k in (16, k_rec):
+# None = the r12 DEFAULT path (no caller intervention): n_planes derives
+# from the cached corpus count inside lsh_pair_candidates — must land the
+# same k_rec-class plan and identical output to the explicit k_rec arm
+for k in (16, k_rec, None):
     best = None
     for _ in range(2):
         before = sids()
@@ -39,7 +42,8 @@ for k in (16, k_rec):
                "max_shuffle_mb": round(max((s.get("shuffleWriteBytes",0) for s in new), default=0)/2**20, 1)}
         if best is None or rec["wall"] < best["wall"]: best = rec
         spark.catalog.clearCache(); spark._jvm.System.gc()
-    out[f"k={k}"] = best
-    print(f"k={k}: {best}", file=sys.stderr)
+    label = "default(auto)" if k is None else f"k={k}"
+    out[label] = best
+    print(f"{label}: {best}", file=sys.stderr)
 print(json.dumps(out))
 spark.stop()
