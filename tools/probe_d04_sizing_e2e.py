@@ -26,7 +26,10 @@ NOTE the two widths are different FUNCTIONS of the corpus (64-bit vs
 near-threshold pairs; the planted distance-0 set is the width-invariant
 recall yardstick.
 
-Usage: python tools/probe_d04_sizing_e2e.py [n_docs] [runs]
+Usage: python tools/probe_d04_sizing_e2e.py [n_docs] [runs] [analytic_fixed]
+       "analytic_fixed" skips the fixed-width JOIN (at 5M docs it would
+       popcount ~1.4e9 candidate pairs — the blow-up itself) and reports
+       its compare volume analytically; the sized arm still runs fully.
 """
 
 from __future__ import annotations
@@ -75,6 +78,7 @@ def compare_volume(spark, sigs, exprs) -> int:
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    analytic_fixed = len(sys.argv) > 3 and sys.argv[3] == "analytic_fixed"
     from score_spark.operators.dedup import (
         _scalar_chunk_exprs,
         _wide_chunk_exprs,
@@ -105,6 +109,16 @@ def main() -> None:
             else _wide_chunk_exprs("simhash", bits, 4)
         )
         vol = compare_volume(spark, sigs, exprs)
+        if analytic_fixed and bits <= 63:
+            report["arms"][name] = {
+                "n_bits": bits,
+                "chunk_bits": 16,
+                "compare_volume_pairs": vol,
+                "join_skipped": "analytic_fixed: the blow-up itself",
+            }
+            print(f"[d04-sizing] {name}: {report['arms'][name]}", file=sys.stderr)
+            sigs.unpersist()
+            continue
         walls, cpus_ms = [], []
         for _ in range(runs):
             c0 = _exec_cpu_ms(spark)
@@ -138,7 +152,8 @@ def main() -> None:
     report["volume_reduction_x"] = round(
         a["compare_volume_pairs"] / max(1, b["compare_volume_pairs"]), 1
     )
-    report["wall_speedup_x"] = round(a["best_wall"] / b["best_wall"], 2)
+    if "best_wall" in a and "best_wall" in b:
+        report["wall_speedup_x"] = round(a["best_wall"] / b["best_wall"], 2)
     print(json.dumps(report, indent=2))
     spark.stop()
 
