@@ -157,6 +157,24 @@ def main() -> int:
                     print(merged[merged._merge != "both"].head(6).to_string())
                 except Exception as ex:
                     print(f"    (diff unavailable: {type(ex).__name__}: {ex})")
+                if len(a) == len(e):
+                    # ulp-class vs real divergence at a glance (the sf1 q05/
+                    # q19 lesson): per-column max |delta| over the aligned
+                    # canonical frames. A mismatch whose every delta is one
+                    # unit of the column's rounding granularity is a
+                    # summation-order boundary flip, not a logic bug.
+                    deltas = {}
+                    for c in a.columns:
+                        try:
+                            d = float(
+                                (pd.to_numeric(a[c]) - pd.to_numeric(e[c])).abs().max()
+                            )
+                        except (ValueError, TypeError):
+                            continue
+                        if d > 0:
+                            deltas[c] = round(d, 9)
+                    if deltas:
+                        print(f"    max numeric deltas (aligned): {deltas}")
     n_checked = len([n for n in qs if not only or n in only])
     print(f"hash-match: {n_checked - len(bad) - len(no_oracle)}/{n_checked} (rows-only: {len(no_oracle)}); mismatches: {bad}")
     return 1 if bad else 0
