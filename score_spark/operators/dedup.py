@@ -385,7 +385,16 @@ def recommended_simhash_bits(n_docs: int, max_hamming: int = 3) -> int:
     ``simhash_candidate_pairs(df, n_bits=...)``."""
     import math
 
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
     n_chunks = max_hamming + 1
+    if n_chunks > _MAX_SIMHASH_BITS:
+        # each pigeonhole chunk needs >= 1 bit within the signature cap —
+        # beyond this the returned width would exceed what simhash() accepts
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {n_chunks} chunks, more than the "
+            f"{_MAX_SIMHASH_BITS}-bit signature cap can hold"
+        )
     chunk_w = min(max(8, math.ceil(2 * math.log2(max(n_docs, 2)))), 63, _MAX_SIMHASH_BITS // n_chunks)
     return n_chunks * max(1, chunk_w)
 

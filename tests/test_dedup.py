@@ -294,6 +294,17 @@ def test_recommended_simhash_bits_law():
     assert recommended_simhash_bits(10**12, max_hamming=63) <= 504
     # floor regime (4 x 8 = 32 bits) still fits a single long signature
     assert recommended_simhash_bits(10, max_hamming=3) <= 63
+    # the returned width is ALWAYS one simhash() accepts: past the
+    # one-bit-per-chunk point the helper must refuse loudly, not hand back
+    # a width the aggregate builder rejects with a confusing bound error
+    import pytest as _pytest
+
+    for mh in (62, 63, 100, 503):
+        assert 1 <= recommended_simhash_bits(10**9, max_hamming=mh) <= 504
+    with _pytest.raises(ValueError, match="chunks"):
+        recommended_simhash_bits(10**9, max_hamming=504)
+    with _pytest.raises(ValueError, match=">= 0"):
+        recommended_simhash_bits(1000, max_hamming=-1)
 
 
 def test_simhash_wide_word0_is_classic_signature(spark):

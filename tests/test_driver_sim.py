@@ -180,3 +180,75 @@ def test_bench_gate_single_run_step_regression_fails_first_run():
     assert bench._gate_level(1.3, 1.35) is None
     # missing baseline (duckdb error path): no crash, no verdict on ratio
     assert bench._gate_level(None, None) is None
+
+
+# ---------------------------------------------------- ulp-class mismatches
+
+
+def test_classify_mismatch_ulp_boundary_flip():
+    """The sf1 q05/q19 shape, automated: a 2dp sum column off by exactly one
+    granule (0.01) on 2 of 25 rows, every other column identical -> ulp-class
+    with the delta reported."""
+    import pandas as pd
+    from driver_sim import classify_mismatch
+
+    a = pd.DataFrame(
+        {
+            "nation": [f"N{i:02d}" for i in range(25)],
+            "revenue": [round(4.6e8 + i * 1000 + 0.93, 2) for i in range(25)],
+        }
+    )
+    e = a.copy()
+    e.loc[3, "revenue"] += 0.01
+    e.loc[17, "revenue"] -= 0.01
+    deltas, is_ulp = classify_mismatch(a, e)
+    assert is_ulp
+    # float64 noise at 4.6e8 magnitude: the delta lands within an ulp of the
+    # granule, not exactly on it
+    assert set(deltas) == {"revenue"} and abs(deltas["revenue"] - 0.01) < 1e-6
+
+
+def test_classify_mismatch_real_divergences_stay_real():
+    """Integer counts off by one, decimal columns off by >1 granule, a
+    rounding-MODE bug flipping half the rows, and a string diff must all
+    stay non-ulp (the guard exists so 'ulp-class' can never absorb a logic
+    bug)."""
+    import pandas as pd
+    from driver_sim import classify_mismatch
+
+    base = pd.DataFrame(
+        {
+            "k": [f"K{i}" for i in range(20)],
+            "n": list(range(20)),
+            "amt": [round(i + 0.25, 2) for i in range(20)],
+        }
+    )
+    off_count = base.copy()
+    off_count.loc[5, "n"] += 1  # integer-granule column: any delta is real
+    assert classify_mismatch(base, off_count)[1] is False
+
+    off_two = base.copy()
+    off_two.loc[5, "amt"] += 0.02  # two granules
+    assert classify_mismatch(base, off_two)[1] is False
+
+    mode_bug = base.copy()
+    mode_bug.loc[::2, "amt"] += 0.01  # half the rows: rounding-mode class
+    assert classify_mismatch(base, mode_bug)[1] is False
+
+    str_diff = base.copy()
+    str_diff.loc[5, "k"] = "ZZ"
+    assert classify_mismatch(base, str_diff)[1] is False
+
+    assert classify_mismatch(base, base.iloc[:-1])[1] is False  # shape skew
+
+
+def test_granularity_inference():
+    """2dp sums at 5e8 magnitude infer 0.01 despite float64 noise; integers
+    infer 1.0; unrounded doubles infer nothing."""
+    import pandas as pd
+    from driver_sim import _granularity
+
+    assert _granularity(pd.Series([4.6e8 + 0.93, 5.49e8 + 0.44])) == 0.01
+    assert _granularity(pd.Series([1.0, 7.0, 1500.0])) == 1.0
+    assert _granularity(pd.Series([0.4321, 0.5])) == 0.0001
+    assert _granularity(pd.Series([1 / 3])) is None

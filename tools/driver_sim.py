@@ -23,6 +23,58 @@ import pandas as pd
 from score_spark.io import TABLES
 
 
+def _granularity(vals: pd.Series) -> float | None:
+    """Smallest power-of-ten granule (1 .. 1e-6) that every value is an
+    integer multiple of, within float64 noise — 2dp-rounded sums report
+    0.01, counts report 1.0. None if nothing fits (unrounded doubles)."""
+    v = pd.to_numeric(vals, errors="coerce").dropna()
+    if v.empty:
+        return None
+    for nd in range(0, 7):
+        g = 10.0**-nd
+        scaled = v / g
+        # eps scales with the value: at 5e8/0.01 the scaled magnitude is
+        # ~5e10 and float64 ulp noise alone is ~1e-5
+        if ((scaled - scaled.round()).abs() <= scaled.abs() * 1e-12 + 1e-9).all():
+            return g
+    return None
+
+
+def classify_mismatch(a: pd.DataFrame, e: pd.DataFrame) -> tuple[dict, bool]:
+    """(per-column max |delta|, is_ulp_class) over two CANONICAL frames.
+
+    ulp-class = the automated form of the sf1 q05/q19 diagnosis (a true sum
+    landing ON the .xx5 rounding boundary, flipped by cross-engine
+    summation order): same shape, every non-numeric column exactly equal,
+    every integer-granule column exactly equal, and every decimal column
+    off by AT MOST ONE GRANULE on AT MOST 25% of rows. A rounding-MODE bug
+    (floor vs half-even) flips ~half the rows and stays a real mismatch;
+    misaligned rows blow the deltas up and stay a real mismatch."""
+    deltas: dict[str, float] = {}
+    if len(a) != len(e) or list(a.columns) != list(e.columns):
+        return deltas, False
+    ulp = len(a) > 0
+    for c in a.columns:
+        try:
+            d = (pd.to_numeric(a[c]) - pd.to_numeric(e[c])).abs()
+        except (ValueError, TypeError):
+            if not a[c].astype(str).equals(e[c].astype(str)):
+                ulp = False
+            continue
+        dmax = float(d.max()) if len(d) else 0.0
+        if dmax > 0:
+            deltas[c] = round(dmax, 9)
+            g = _granularity(pd.concat([a[c], e[c]]))
+            if (
+                g is None
+                or g >= 1.0  # integer-granule column: any delta is real
+                or dmax > g * 1.000001  # more than one rounding granule off
+                or (d > g * 1e-6).mean() > 0.25  # too many rows flipped
+            ):
+                ulp = False
+    return deltas, ulp
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -119,7 +171,7 @@ def main() -> int:
     entry_rows = E.entry(spark).count()
     print(f"entry(): {entry_rows} rows")
 
-    bad, no_oracle = [], []
+    bad, no_oracle, ulp_class = [], [], []
     for name in sorted(qs):
         if only and name not in only:
             continue
@@ -157,26 +209,21 @@ def main() -> int:
                     print(merged[merged._merge != "both"].head(6).to_string())
                 except Exception as ex:
                     print(f"    (diff unavailable: {type(ex).__name__}: {ex})")
-                if len(a) == len(e):
-                    # ulp-class vs real divergence at a glance (the sf1 q05/
-                    # q19 lesson): per-column max |delta| over the aligned
-                    # canonical frames. A mismatch whose every delta is one
-                    # unit of the column's rounding granularity is a
-                    # summation-order boundary flip, not a logic bug.
-                    deltas = {}
-                    for c in a.columns:
-                        try:
-                            d = float(
-                                (pd.to_numeric(a[c]) - pd.to_numeric(e[c])).abs().max()
-                            )
-                        except (ValueError, TypeError):
-                            continue
-                        if d > 0:
-                            deltas[c] = round(d, 9)
-                    if deltas:
-                        print(f"    max numeric deltas (aligned): {deltas}")
+                deltas, is_ulp = classify_mismatch(a, e)
+                if deltas:
+                    print(f"    max numeric deltas (aligned): {deltas}")
+                if is_ulp:
+                    ulp_class.append(name)
+                    print(
+                        "    ulp-class: every delta <= one rounding granule on "
+                        "<= 25% of rows (summation-order boundary flip)"
+                    )
     n_checked = len([n for n in qs if not only or n in only])
-    print(f"hash-match: {n_checked - len(bad) - len(no_oracle)}/{n_checked} (rows-only: {len(no_oracle)}); mismatches: {bad}")
+    suffix = f" (ulp-class: {ulp_class})" if ulp_class else ""
+    print(
+        f"hash-match: {n_checked - len(bad) - len(no_oracle)}/{n_checked} "
+        f"(rows-only: {len(no_oracle)}); mismatches: {bad}{suffix}"
+    )
     return 1 if bad else 0
 
 
