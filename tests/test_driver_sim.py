@@ -252,3 +252,30 @@ def test_granularity_inference():
     assert _granularity(pd.Series([1.0, 7.0, 1500.0])) == 1.0
     assert _granularity(pd.Series([0.4321, 0.5])) == 0.0001
     assert _granularity(pd.Series([1 / 3])) is None
+
+
+def test_classify_mismatch_tolerates_float_noise_on_the_granule():
+    """The live sf1 q19 shape: a one-granule (0.01) flip on a 1.4e8-scale sum
+    round-trips through float64 as 0.01000002 — the noise allowance must
+    scale with the VALUE's magnitude (ulp ~3e-8 there), not the granule, or
+    the classifier rejects its own motivating case."""
+    import pandas as pd
+    from driver_sim import classify_mismatch
+
+    a = pd.DataFrame(
+        {
+            "p_brand": [f"Brand#{i}" for i in range(25)],
+            "promo_revenue": [round(1.4e8 + i * 1e5 + 0.49, 2) for i in range(25)],
+            "total_revenue": [round(8.2e8 + i * 1e5 + 0.14, 2) for i in range(25)],
+        }
+    )
+    e = a.copy()
+    e.loc[5, "promo_revenue"] = round(e.loc[5, "promo_revenue"] - 0.01, 2)
+    e.loc[22, "total_revenue"] = round(e.loc[22, "total_revenue"] + 0.01, 2)
+    deltas, is_ulp = classify_mismatch(a, e)
+    assert is_ulp
+    assert set(deltas) == {"promo_revenue", "total_revenue"}
+    # two granules stays real even with the magnitude-scaled allowance
+    e2 = a.copy()
+    e2.loc[5, "promo_revenue"] += 0.02
+    assert classify_mismatch(a, e2)[1] is False

@@ -65,10 +65,17 @@ def classify_mismatch(a: pd.DataFrame, e: pd.DataFrame) -> tuple[dict, bool]:
         if dmax > 0:
             deltas[c] = round(dmax, 9)
             g = _granularity(pd.concat([a[c], e[c]]))
+            # "one granule" needs a noise allowance scaled to the VALUES'
+            # magnitude, not the granule: a 0.01 flip on a 1.4e8 sum
+            # round-trips through float64 as 0.01000002 (ulp ~3e-8), which
+            # g * 1.000001 rejected (sf1 q19). Cap the allowance below
+            # half a granule so one granule can never blur into two.
+            vmax = float(pd.to_numeric(pd.concat([a[c], e[c]])).abs().max())
+            noise = min(0.4 * (g or 1.0), vmax * 1e-12 + 1e-9)
             if (
                 g is None
                 or g >= 1.0  # integer-granule column: any delta is real
-                or dmax > g * 1.000001  # more than one rounding granule off
+                or dmax > g + noise  # more than one rounding granule off
                 or (d > g * 1e-6).mean() > 0.25  # too many rows flipped
             ):
                 ulp = False
