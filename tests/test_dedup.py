@@ -434,12 +434,16 @@ def test_hamming_pairs_wide_explicit_n_bits_152(spark):
         if dist <= 3:
             want[(i, j)] = dist
     assert got == want, f"{got} != {want}"
-    # n_bits inconsistent with the word count fails loudly
+    # n_bits inconsistent with the real signature width fails loudly — at
+    # EXECUTION, via a JVM assert fused into the chunk projection (review
+    # r12: the eager .first() probe that used to catch this construction-
+    # time forced the whole signature aggregation once just to read an
+    # array length; a declared width must not cost a job)
     import pytest as _pytest
 
     for bad in (126, 60, 200):
-        with _pytest.raises(ValueError):
-            _hamming_pairs_wide(df, 3, "doc_id", "simhash", n_bits=bad)
+        with _pytest.raises(Exception, match="inconsistent with signature width"):
+            _hamming_pairs_wide(df, 3, "doc_id", "simhash", n_bits=bad).collect()
 
 
 from hypothesis import HealthCheck, given, settings
@@ -505,3 +509,72 @@ def test_hamming_pairs_wide_matches_bruteforce_property(spark, data):
         if dist <= max_h:
             want[(i, j)] = dist
     assert got == want, (n_words, n_bits, max_h, got, want)
+
+
+def test_hamming_pairs_sized_scalar_width_matches_brute_force(spark):
+    """review r12: n_bits was silently IGNORED on the scalar path — a sized
+    32-bit signature was partitioned over 64 bits, handing every chunk above
+    bit 31 a constant-zero key (one all-corpus bucket per dead chunk). The
+    sized partition must agree exactly with brute force."""
+    import random
+
+    from score_spark.operators.dedup import hamming_pairs
+
+    rng = random.Random(7)
+    sigs = [(i, rng.getrandbits(32)) for i in range(60)]
+    sigs += [(1000 + i, sigs[i][1] ^ (1 << (i % 32))) for i in range(10)]  # planted near
+    df = spark.createDataFrame(sigs, "doc_id long, simhash long")
+    got = {
+        (r.d1, r.d2): r.hamming
+        for r in hamming_pairs(df, max_hamming=3, n_bits=32).collect()
+    }
+    brute = {}
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            h = bin(sigs[i][1] ^ sigs[j][1]).count("1")
+            if h <= 3:
+                d1, d2 = sorted((sigs[i][0], sigs[j][0]))
+                brute[(d1, d2)] = h
+    assert got == brute
+
+
+def test_scalar_chunk_exprs_partition_real_width_only():
+    """Sized partitions must never shift past the declared width: 4 chunks
+    over 32 bits start at 0/8/16/24, not 0/16/32/48."""
+    from score_spark.operators.dedup import _scalar_chunk_exprs
+
+    exprs = _scalar_chunk_exprs("s", 4, 32)
+    assert "shiftrightunsigned(`s`, 24)" in exprs[-1]
+    for e in exprs:
+        for tok in e.split("shiftrightunsigned(`s`, ")[1:]:
+            assert int(tok.split(")")[0]) < 32
+    # default stays the legacy full-64-bit layout (d04 gate keys unchanged)
+    legacy = _scalar_chunk_exprs("s", 4)
+    assert "shiftrightunsigned(`s`, 48)" in legacy[-1]
+
+
+def test_hamming_pairs_threshold_spanning_width_is_all_pairs(spark):
+    """max_hamming >= n_bits: blocking cannot prune (a pair may differ in
+    every real bit), so the operator falls back to the full-64-bit partition
+    whose constant top bits give every pair a shared catch-all bucket —
+    explicitly all-pairs, exactly what the legacy layout silently provided
+    for max_hamming=63 over 63-bit signatures."""
+    from score_spark.operators.dedup import hamming_pairs
+
+    sigs = [(0, 0), (1, (1 << 32) - 1), (2, 0b1010)]  # pair (0,1) differs in ALL 32 bits
+    df = spark.createDataFrame(sigs, "doc_id long, simhash long")
+    got = {(r.d1, r.d2): r.hamming for r in hamming_pairs(df, max_hamming=32, n_bits=32).collect()}
+    assert got == {(0, 1): 32, (0, 2): 2, (1, 2): 30}
+
+
+def test_hamming_pairs_wide_empty_with_declared_width(spark):
+    """With n_bits declared the wide path derives the word count WITHOUT the
+    .first() probe job (review r12: the probe forced the whole signature
+    aggregation once, doubling build cost) — the empty-input case must now
+    flow through the join with the same output schema."""
+    from score_spark.operators.dedup import hamming_pairs
+
+    df = spark.createDataFrame([], "doc_id long, simhash array<long>")
+    out = hamming_pairs(df, max_hamming=3, n_bits=126)
+    assert [f.name for f in out.schema.fields] == ["d1", "d2", "hamming"]
+    assert out.count() == 0

@@ -279,3 +279,27 @@ def test_classify_mismatch_tolerates_float_noise_on_the_granule():
     e2 = a.copy()
     e2.loc[5, "promo_revenue"] += 0.02
     assert classify_mismatch(a, e2)[1] is False
+
+
+def test_classify_mismatch_null_divergence_stays_real():
+    """review r12: (a - e) is NaN where one side is NULL and .max() SKIPS
+    NaN — without an explicit NaN-mask comparison a wrong-NULL logic bug
+    records no delta and would be certified ulp-class. Matched NaN positions
+    are equality and stay eligible."""
+    import numpy as np
+    import pandas as pd
+    from driver_sim import classify_mismatch
+
+    a = pd.DataFrame({"k": list("abcdefgh"), "v": [round(i + 0.25, 2) for i in range(8)]})
+    e = a.copy()
+    e.loc[2, "v"] = np.nan  # oracle NULL where spark has a value
+    deltas, is_ulp = classify_mismatch(a, e)
+    assert is_ulp is False
+
+    # both sides NULL in the same place: equality — a one-granule flip
+    # elsewhere still classifies
+    a2, e2 = a.copy(), a.copy()
+    a2.loc[2, "v"] = np.nan
+    e2.loc[2, "v"] = np.nan
+    e2.loc[5, "v"] = round(e2.loc[5, "v"] + 0.01, 2)
+    assert classify_mismatch(a2, e2)[1] is True

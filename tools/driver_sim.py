@@ -56,11 +56,18 @@ def classify_mismatch(a: pd.DataFrame, e: pd.DataFrame) -> tuple[dict, bool]:
     ulp = len(a) > 0
     for c in a.columns:
         try:
-            d = (pd.to_numeric(a[c]) - pd.to_numeric(e[c])).abs()
+            av, ev = pd.to_numeric(a[c]), pd.to_numeric(e[c])
         except (ValueError, TypeError):
             if not a[c].astype(str).equals(e[c].astype(str)):
                 ulp = False
             continue
+        if not av.isna().equals(ev.isna()):
+            # NULL on one side, a value on the other: (a-e) is NaN there and
+            # .max() skips NaN, so without this check a wrong-NULL logic bug
+            # would sail through as "no delta" and be certified ulp-class
+            # (review r12). Matched NaN positions are equality.
+            ulp = False
+        d = (av - ev).abs()
         dmax = float(d.max()) if len(d) else 0.0
         if dmax > 0:
             deltas[c] = round(dmax, 9)

@@ -45,7 +45,6 @@ import pyspark.sql.functions as F  # noqa: N812
 
 
 def _exec_cpu_ms(spark) -> int:
-    status = spark.sparkContext.statusTracker()
     # sum executorRunTime over all completed stages via the REST-free API is
     # awkward; use the all-stages REST endpoint instead
     import urllib.request
