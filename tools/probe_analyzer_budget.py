@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Analyzer-budget probe: the r11 ADVICE-r10 measurement as a committed
+instrument (BASELINE.md "Analyzer budget on subquery-heavy plans").
+
+Measures SchemaOnRead.generate() on the shapes that bound the <100 ms
+budget (BASELINE.md "Performance baseline" gate #2):
+
+  1. plain single-relation projection over 16-column lineitem,
+  2. the subquery-heavy worst case: 4 subquery expressions (scalar /
+     IN / EXISTS / NOT EXISTS) over the same 16-column relation —
+     the shape that blew the budget at 116 ms before the r11 batched
+     (jvmId, id) pairing fix brought it to 72 ms,
+  3. the warm path: repeat generate() of an identical plan (memoized
+     per structurally-equal plan; budget <= a few ms).
+
+Uncached legs build a FRESH DataFrame per run (new exprIds -> new plan
+hash, so the generate cache cannot serve it). Median of 7 per leg.
+
+Usage: python tools/probe_analyzer_budget.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from score_spark.schema_on_read import SchemaOnRead
+from score_spark.session import get_session
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_session(app_name="analyzer-budget", master="local[4]", shuffle_partitions=4)
+    li = os.path.join(sf, "lineitem.parquet")
+
+    def plain():
+        return spark.read.parquet(li).select("l_orderkey", "l_quantity")
+
+    def subquery_heavy():
+        spark.read.parquet(li).createOrReplaceTempView(f"li_{time.monotonic_ns()}")
+        v = spark.sql("SHOW TABLES").collect()  # noqa: F841 - keep catalog warm
+        spark.read.parquet(li).createOrReplaceTempView("li_b")
+        return spark.sql(
+            f"""
+            SELECT l_orderkey,
+                   (SELECT max(l_tax) FROM parquet.`{li}`) AS mx,
+                   l_quantity IN (SELECT l_quantity FROM li_b WHERE l_discount > 0.05) AS q_in,
+                   EXISTS (SELECT 1 FROM li_b b WHERE b.l_orderkey = t.l_orderkey) AS has_twin
+            FROM parquet.`{li}` t
+            WHERE NOT EXISTS (SELECT 1 FROM li_b b
+                              WHERE b.l_orderkey = t.l_orderkey AND b.l_returnflag = 'R')
+            """
+        )
+
+    def med_uncached(build, n=7):
+        times = []
+        for _ in range(n):
+            df = build()  # fresh plan -> fresh exprIds -> cache miss
+            df.schema  # force Spark's OWN catalyst analysis outside the clock:
+            # the budget bounds the schema-on-read overhead ON TOP of a query
+            # the engine was going to analyze anyway
+            t0 = time.monotonic()
+            sor = SchemaOnRead.generate(df)
+            times.append(time.monotonic() - t0)
+            assert sor.relations, "analysis must have registered relations"
+        return statistics.median(times)
+
+    p = med_uncached(plain)
+    s = med_uncached(subquery_heavy)
+    warm_df = plain()
+    SchemaOnRead.generate(warm_df)
+    w = statistics.median(
+        [
+            (lambda t0=time.monotonic(): (SchemaOnRead.generate(warm_df), time.monotonic() - t0)[1])()
+            for _ in range(7)
+        ]
+    )
+    print(
+        f"plain_uncached_ms={p * 1e3:.1f} subquery_heavy_uncached_ms={s * 1e3:.1f} "
+        f"warm_ms={w * 1e3:.2f} budget_ms=100 "
+        f"verdict={'PASS' if s < 0.100 else 'FAIL'}"
+    )
+    return 0 if s < 0.100 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
