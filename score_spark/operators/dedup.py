@@ -1018,21 +1018,45 @@ ORDER BY c.d1, c.d2
 def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures materialized via xcheck; Spark finds Hamming<=3
     pairs by pigeonhole chunk blocking, DuckDB by brute force over the SAME
-    signatures — chunk blocking guarantees full recall at max_hamming=3 with
-    4 chunks, so the two must agree exactly (blocking correctness is itself
-    under test, not just the Hamming arithmetic)."""
+    signatures — chunk blocking guarantees full recall at max_hamming=3, so
+    the two must agree exactly (blocking correctness is itself under test,
+    not just the Hamming arithmetic).
+
+    TWO blocking paths under the one oracle row (r12 leg-2): the classic
+    63-bit scalar signature AND a fixed 126-bit two-word wide signature —
+    the multi-word chunk join (word-boundary-spanning xxhash64 chunk keys,
+    zip_with popcount distance) that the corpus-sized scale path dispatches
+    to. A fixed width rather than recommended_simhash_bits(n) keeps the
+    xcheck parquet schema (and the oracle SQL's two-word arithmetic) stable
+    at every SF, including one-row degenerate sweeps where the sizing rule
+    would drop back to a scalar signature."""
     d = load_table(spark, sf_dir, "documents")
     sigs = write_xcheck(simhash(d), "d04_simhash", sf_dir)
-    return hamming_pairs(sigs, max_hamming=3).orderBy("d1", "d2")
+    wide = write_xcheck(simhash(d, n_bits=126), "d04_simhash_wide", sf_dir)
+    classic = hamming_pairs(sigs, max_hamming=3).withColumn("path", F.lit("classic64"))
+    wide_p = hamming_pairs(wide, max_hamming=3, n_bits=126).withColumn("path", F.lit("wide126"))
+    return classic.unionByName(wide_p).orderBy("path", "d1", "d2")
 
 
 ORACLE_D04 = f"""
-WITH sig AS (SELECT * FROM read_parquet('{xcheck_path("d04_simhash")}/*.parquet'))
-SELECT a.doc_id AS d1, b.doc_id AS d2,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-ORDER BY d1, d2
+WITH sig AS (SELECT * FROM read_parquet('{xcheck_path("d04_simhash")}/*.parquet')),
+wsig AS (SELECT * FROM read_parquet('{xcheck_path("d04_simhash_wide")}/*.parquet'))
+SELECT d1, d2, hamming, path FROM (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming,
+         'classic64' AS path
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+  UNION ALL
+  SELECT a.doc_id, b.doc_id,
+         CAST(bit_count(xor(a.simhash[1], b.simhash[1]))
+            + bit_count(xor(a.simhash[2], b.simhash[2])) AS INT),
+         'wide126'
+  FROM wsig a JOIN wsig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash[1], b.simhash[1]))
+      + bit_count(xor(a.simhash[2], b.simhash[2])) <= 3
+)
+ORDER BY path, d1, d2
 """
 
 
