@@ -997,25 +997,51 @@ def s05_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     check verified nothing (VERDICT r5 #2). Wider bands (8x8) + threshold
     0.3 keep every stage non-vacuously exercised (123 result pairs at
     sf0.01, 2227 at sf0.1); a real dedup run would restore narrow bands and
-    a high threshold."""
+    a high threshold.
+
+    TWO legs under the one oracle row (r12 leg-2, mirroring d04): the tuned
+    8x8 bands above, and the DEFAULT auto-sized path (n_planes=None ->
+    corpus_count -> recommended_lsh_planes, k=14 at the sf0.01 corpus) —
+    so the sizing machinery a scale user hits by default executes under
+    the gate every round (non-vacuous: 340 candidates / 15 pairs at
+    sf0.01) and its rerank is value-checked against DuckDB on its own
+    xcheck'd candidate set."""
     emb = load_table(spark, sf_dir, "embeddings")
     cand = write_xcheck(
         lsh_pair_candidates(emb, n_tables=8, n_planes=8), "s05_candidates", sf_dir
     )
-    return near_dup_pairs_lsh(emb, threshold=0.3, cand=cand).orderBy("v1", "v2")
+    cand_auto = write_xcheck(
+        lsh_pair_candidates(emb, n_tables=8, n_planes=None), "s05_candidates_auto", sf_dir
+    )
+    tuned = near_dup_pairs_lsh(emb, threshold=0.3, cand=cand).withColumn(
+        "band_config", F.lit("tuned8x8")
+    )
+    auto = near_dup_pairs_lsh(emb, threshold=0.3, cand=cand_auto).withColumn(
+        "band_config", F.lit("auto")
+    )
+    return tuned.unionByName(auto).orderBy("band_config", "v1", "v2")
 
 
 ORACLE_S05 = f"""
-WITH cand AS (SELECT * FROM read_parquet('{xcheck_path("s05_candidates")}/*.parquet')),
-emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)
-SELECT c.v1, c.v2,
-       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
-FROM cand c
-JOIN emb a ON a.vec_id = c.v1
-JOIN emb b ON b.vec_id = c.v2
-WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.3
-  AND NOT isnan(list_cosine_similarity(a.embedding, b.embedding))
-ORDER BY c.v1, c.v2
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+rerank AS (
+  SELECT c.v1, c.v2, c.band_config,
+         round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim,
+         list_cosine_similarity(a.embedding, b.embedding) AS sim_raw
+  FROM (
+    SELECT v1, v2, 'tuned8x8' AS band_config
+    FROM read_parquet('{xcheck_path("s05_candidates")}/*.parquet')
+    UNION ALL
+    SELECT v1, v2, 'auto'
+    FROM read_parquet('{xcheck_path("s05_candidates_auto")}/*.parquet')
+  ) c
+  JOIN emb a ON a.vec_id = c.v1
+  JOIN emb b ON b.vec_id = c.v2
+)
+SELECT v1, v2, sim, band_config
+FROM rerank
+WHERE sim >= 0.3 AND NOT isnan(sim_raw)
+ORDER BY band_config, v1, v2
 """
 
 

@@ -49,7 +49,7 @@ HASH_PINS: dict[str, str] = {
     "s02_embedding_near_dups": "Pair count plus 4dp min/max sims over ALL above-threshold pairs — one wrong blocked-GEMM entry or a NaN leak moves count or extremes.",
     "s03_ann_lsh": "Exact rerank over the xcheck'd LSH candidate set: ids, 4dp sims, and ranks pin both bucket-candidate membership and the scorer.",
     "s04_ann_ivf": "Exact rerank over the xcheck'd IVF candidate set — centroid assignment/probing membership and the scorer are both pinned.",
-    "s05_near_dup_lsh": "Every (v1, v2) banded-LSH candidate with 4dp sim >= threshold — rounding mode and the NaN/zero-norm exclusion included; candidates are shared via xcheck so both engines rerank the same set.",
+    "s05_near_dup_lsh": "Every (v1, v2) banded-LSH candidate with 4dp sim >= threshold — rounding mode and the NaN/zero-norm exclusion included; candidates are shared via xcheck so both engines rerank the same set. Since r12 the row carries TWO band configs: the tuned 8x8 gate bands AND the default auto-sized path (corpus_count -> recommended_lsh_planes), so the sizing machinery executes under the gate non-vacuously.",
     # as-of join
     "a01_purchase_attribution": "Per purchase event the as-of matched prior click id and the gap in seconds — a backward-search off-by-one or salt-boundary error mismatches specific events.",
     # multimodal
