@@ -1023,7 +1023,7 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     not just the Hamming arithmetic).
 
     TWO blocking paths under the one oracle row (r12 leg-2): the classic
-    63-bit scalar signature AND a fixed 126-bit two-word wide signature —
+    63-bit scalar signature AND a fixed 124-bit two-word wide signature —
     the multi-word chunk join (word-boundary-spanning xxhash64 chunk keys,
     zip_with popcount distance) that the corpus-sized scale path dispatches
     to. A fixed width rather than recommended_simhash_bits(n) keeps the
@@ -1032,9 +1032,9 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     would drop back to a scalar signature."""
     d = load_table(spark, sf_dir, "documents")
     sigs = write_xcheck(simhash(d), "d04_simhash", sf_dir)
-    wide = write_xcheck(simhash(d, n_bits=126), "d04_simhash_wide", sf_dir)
+    wide = write_xcheck(simhash(d, n_bits=124), "d04_simhash_wide", sf_dir)
     classic = hamming_pairs(sigs, max_hamming=3).withColumn("path", F.lit("classic64"))
-    wide_p = hamming_pairs(wide, max_hamming=3, n_bits=126).withColumn("path", F.lit("wide126"))
+    wide_p = hamming_pairs(wide, max_hamming=3, n_bits=124).withColumn("path", F.lit("wide124"))
     return classic.unionByName(wide_p).orderBy("path", "d1", "d2")
 
 
@@ -1051,7 +1051,7 @@ SELECT d1, d2, hamming, path FROM (
   SELECT a.doc_id, b.doc_id,
          CAST(bit_count(xor(a.simhash[1], b.simhash[1]))
             + bit_count(xor(a.simhash[2], b.simhash[2])) AS INT),
-         'wide126'
+         'wide124'
   FROM wsig a JOIN wsig b ON a.doc_id < b.doc_id
   WHERE bit_count(xor(a.simhash[1], b.simhash[1]))
       + bit_count(xor(a.simhash[2], b.simhash[2])) <= 3

@@ -1026,7 +1026,6 @@ ORACLE_S05 = f"""
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
 rerank AS (
   SELECT c.v1, c.v2, c.band_config,
-         round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim,
          list_cosine_similarity(a.embedding, b.embedding) AS sim_raw
   FROM (
     SELECT v1, v2, 'tuned8x8' AS band_config
@@ -1038,9 +1037,9 @@ rerank AS (
   JOIN emb a ON a.vec_id = c.v1
   JOIN emb b ON b.vec_id = c.v2
 )
-SELECT v1, v2, sim, band_config
+SELECT v1, v2, round(sim_raw, 4) AS sim, band_config
 FROM rerank
-WHERE sim >= 0.3 AND NOT isnan(sim_raw)
+WHERE round(sim_raw, 4) >= 0.3 AND NOT isnan(sim_raw)
 ORDER BY band_config, v1, v2
 """
 
