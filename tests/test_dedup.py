@@ -578,3 +578,55 @@ def test_hamming_pairs_wide_empty_with_declared_width(spark):
     out = hamming_pairs(df, max_hamming=3, n_bits=126)
     assert [f.name for f in out.schema.fields] == ["d1", "d2", "hamming"]
     assert out.count() == 0
+
+
+def test_hamming_pairs_scalar_declared_width_asserts(spark):
+    """ADVICE r12: a scalar signature with real bits AT/ABOVE the declared
+    n_bits means the declaration lied — recall survives (pigeonhole over
+    the declared bits + exact popcount), but the undeclared high bits skew
+    bucket balance toward the hot-bucket degeneracy the parameter exists to
+    prevent. The check is fused into the chunk projection (like the wide
+    path's size() assert) and must fail LOUDLY, not silently degrade."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from score_spark.operators.dedup import hamming_pairs
+
+    df = spark.createDataFrame(
+        [(0, 1 << 40), (1, (1 << 40) | 1)], "doc_id long, simhash long"
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError), match="n_bits=32"):
+        hamming_pairs(df, max_hamming=3, n_bits=32).collect()
+    # a NEGATIVE long (bit 63 set) also trips a 63-bit declaration:
+    # shiftrightunsigned is a logical shift, so the sign bit is a real bit
+    neg = spark.createDataFrame([(0, -1), (1, -2)], "doc_id long, simhash long")
+    with pytest.raises((SparkRuntimeException, Py4JJavaError), match="n_bits=63"):
+        hamming_pairs(neg, max_hamming=3, n_bits=63).collect()
+    # fitting signatures flow through unchanged
+    ok = spark.createDataFrame([(0, 5), (1, 4)], "doc_id long, simhash long")
+    got = {(r.d1, r.d2): r.hamming for r in hamming_pairs(ok, max_hamming=3, n_bits=32).collect()}
+    assert got == {(0, 1): 1}
+
+
+def test_d04_auto_width_spans_word():
+    """VERDICT r12 #5: the d04 gate row's wide leg derives its width from
+    the corpus count — this pins that at every SF the driver runs (500 docs
+    at sf0.001/sf0.01, 5000 at sf0.1, ~50000 at the sf1 replica) the derived
+    balanced 4-chunk layout has at least one chunk SPANNING the 63-bit word
+    boundary, i.e. the multi-piece xxhash64 chunk-key branch stays live
+    under the DuckDB brute-force oracle. If the fixture corpus sizes ever
+    move into a non-spanning band (e.g. 84 bits, whose chunk boundary lands
+    exactly on 63), this fails the suite rather than silently demoting the
+    gate row to single-piece keys."""
+    from score_spark.operators.dedup import (
+        _wide_chunk_exprs,
+        recommended_simhash_bits,
+    )
+
+    for n_docs, want_bits in ((500, 72), (5000, 100), (50000, 128)):
+        bits = max(64, recommended_simhash_bits(n_docs, max_hamming=3))
+        assert bits == want_bits, (n_docs, bits)
+        exprs = _wide_chunk_exprs("simhash", bits, 4)
+        assert any("xxhash64(" in e for e in exprs), (n_docs, bits, exprs)
+    # the degenerate-sweep floor also spans (chunk [48,64) crosses bit 63)
+    assert any("xxhash64(" in e for e in _wide_chunk_exprs("simhash", 64, 4))

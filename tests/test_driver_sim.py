@@ -303,3 +303,32 @@ def test_classify_mismatch_null_divergence_stays_real():
     e2.loc[2, "v"] = np.nan
     e2.loc[5, "v"] = round(e2.loc[5, "v"] + 0.01, 2)
     assert classify_mismatch(a2, e2)[1] is True
+
+
+def test_classify_mismatch_aligns_on_identity_columns():
+    """ADVICE r12: when the differing float column sorts alphabetically
+    BEFORE the identity columns, canon()'s all-column row sort reorders the
+    frames on a one-granule flip and a positional diff blows the deltas up,
+    mislabeling a true ulp flip as a real mismatch. classify_mismatch must
+    re-align on the non-numeric columns first."""
+    import pandas as pd
+    from driver_sim import canon, classify_mismatch
+
+    a = pd.DataFrame(
+        {
+            "amount": [round(100.0 + i * 7 + 0.25, 2) for i in range(10)] + [121.25, 121.26],
+            "zone": [f"Z{i:02d}" for i in range(10)] + ["ZB", "ZA"],
+        }
+    )
+    e = a.copy()
+    # flip ZA's amount DOWN one granule onto ZB's value: canon's
+    # (amount, zone) sort then orders (121.25, ZA) before (121.25, ZB) in e
+    # but (121.25, ZB) before (121.26, ZA) in a — positionally the zones
+    # disagree and the old positional diff labeled the flip a real mismatch
+    e.loc[11, "amount"] = 121.25
+    ca, ce = canon(a), canon(e)
+    # the canon sort really does misalign positionally (the ADVICE scenario)
+    assert list(ca["zone"]) != list(ce["zone"])
+    deltas, is_ulp = classify_mismatch(ca, ce)
+    assert is_ulp, deltas
+    assert set(deltas) == {"amount"} and abs(deltas["amount"] - 0.01) < 1e-6

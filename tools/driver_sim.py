@@ -26,7 +26,16 @@ from score_spark.io import TABLES
 def _granularity(vals: pd.Series) -> float | None:
     """Smallest power-of-ten granule (1 .. 1e-6) that every value is an
     integer multiple of, within float64 noise — 2dp-rounded sums report
-    0.01, counts report 1.0. None if nothing fits (unrounded doubles)."""
+    0.01, counts report 1.0. None if nothing fits (unrounded doubles).
+
+    Known conservative edge (ADVICE r12, accepted): when every sampled
+    value of a genuinely-decimal column happens to be whole (all amounts
+    end in .00), this returns 1.0 and the "integer-granule: any delta is
+    real" rule blocks ulp-classification of a true 0.01 boundary flip on
+    that column — a false NEGATIVE in an informational annotation (the
+    mismatch stays flagged as real). Inferring granularity from declared
+    dtype would need schema plumbing the sim doesn't carry; erring toward
+    "real mismatch" is the safe direction."""
     v = pd.to_numeric(vals, errors="coerce").dropna()
     if v.empty:
         return None
@@ -49,10 +58,32 @@ def classify_mismatch(a: pd.DataFrame, e: pd.DataFrame) -> tuple[dict, bool]:
     every integer-granule column exactly equal, and every decimal column
     off by AT MOST ONE GRANULE on AT MOST 25% of rows. A rounding-MODE bug
     (floor vs half-even) flips ~half the rows and stays a real mismatch;
-    misaligned rows blow the deltas up and stay a real mismatch."""
+    misaligned rows blow the deltas up and stay a real mismatch.
+
+    Alignment (ADVICE r12): canon() sorts rows by ALL columns, so when the
+    differing float column sorts alphabetically BEFORE the identity
+    columns, a one-granule flip reorders rows and a positional diff
+    misattributes whole-row deltas. Both frames are therefore re-sorted by
+    the NON-NUMERIC columns first (stable sort, so rows that tie on every
+    identity column keep their canon order). Duplicate identity keys whose
+    group members differ only in flipped numerics can still misalign
+    within the group — that residual stays conservative (labels a true
+    ulp flip as a real mismatch, never the reverse)."""
     deltas: dict[str, float] = {}
     if len(a) != len(e) or list(a.columns) != list(e.columns):
         return deltas, False
+
+    def _is_numeric(col: str) -> bool:
+        try:
+            pd.to_numeric(a[col]), pd.to_numeric(e[col])
+        except (ValueError, TypeError):
+            return False
+        return True
+
+    keys = [c for c in a.columns if not _is_numeric(c)]
+    if keys:
+        a = a.sort_values(keys, kind="mergesort").reset_index(drop=True)
+        e = e.sort_values(keys, kind="mergesort").reset_index(drop=True)
     ulp = len(a) > 0
     for c in a.columns:
         try:
