@@ -17,9 +17,24 @@ import sys
 import time
 
 
+# 1-min loadavg above which a run is auto-marked invalid in
+# BENCH_HISTORY.jsonl (VERDICT r12 #1): same-code ratios swung 1.16-1.86 in
+# one day on this host, and runs started right after an 18-min pytest pass
+# (load ~7, draining slowly) were the documented contamination source. Idle
+# starts measure < ~1; 4.0 is far above idle and far below the post-pytest
+# regime, so the flag fires exactly on the runs a human used to hand-mark.
+LOAD_INVALID_THRESHOLD = 4.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # stamped BEFORE the session spins up: the bench itself drives load to
+    # ~cpus, so only the start value measures EXTERNAL contamination
+    try:
+        load1_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1_start = None
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
@@ -144,6 +159,29 @@ def main() -> None:
             oracle_channel[name] = round(best_osec, 3)
         times[name] = round(best, 3)
 
+    # per-leg attribution for the two-leg gate rows (VERDICT r12 #4): d04
+    # and s05 each time TWO blocking paths inside one union row, so a
+    # regression in one leg averages away. Each leg is timed ONCE (single
+    # run — this is attribution, not the gate; the row's best-of-N number
+    # above stays the gated measurement) with construction jobs (counts,
+    # dim probes) outside the clock, xcheck writes absent.
+    leg_times: dict = {}
+    try:
+        from score_spark.operators.dedup import d04_legs
+        from score_spark.operators.similarity import s05_legs
+
+        for qname, legs_fn in (("d04_simhash", d04_legs), ("s05_near_dup_lsh", s05_legs)):
+            legs = legs_fn(spark, sf_dir)  # construction (and its jobs) untimed
+            per: dict[str, float] = {}
+            for leg, ldf in legs.items():
+                t0 = time.monotonic()
+                ldf.write.format("noop").mode("overwrite").save()
+                per[leg] = round(time.monotonic() - t0, 3)
+            leg_times[qname] = per
+            spark.catalog.clearCache()
+    except Exception as e:  # attribution must never sink the bench line
+        leg_times = {"error": str(e)[:200]}
+
     # the reference's headline metric: input-bytes reduction from the pruned
     # read schema (BASELINE.md gate: ratio <= 0.5). Full report -> BYTES.json.
     bytes_summary = None
@@ -186,15 +224,25 @@ def main() -> None:
     # round-over-round grade reads the median of the last 3 gated-SF runs
     # (including this one), not the single-run number.
     ratio_now = (baseline_summary or {}).get("spark_vs_duckdb_ratio")
+    load_invalid = load1_start is not None and load1_start > LOAD_INVALID_THRESHOLD
     trailing_median = None
     if sf == 0.1 and ratio_now is not None:
-        window = ([r for r in _history_ratios() if r is not None] + [ratio_now])[-3:]
-        trailing_median = round(statistics.median(window), 3)
+        # a load-contaminated current run contributes NOTHING to the
+        # smoothed trajectory — its line lands in the history marked
+        # invalid, and its ratio must not enter the window either
+        window = [r for r in _history_ratios() if r is not None]
+        if not load_invalid:
+            window = window + [ratio_now]
+        window = window[-3:]
+        trailing_median = round(statistics.median(window), 3) if window else None
     result = {
         "metric": "total_query_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "leg_times": leg_times,
+        "load1_start": load1_start,
+        "cpus_host": os.cpu_count(),
         "oracle_channel_sec": oracle_channel,
         "floor_sec": floor_sec,
         "floor_multi_stage_sec": floor_multi_sec,
@@ -238,6 +286,11 @@ def _compact_line(result: dict) -> str:
                 "spark_vs_duckdb_ratio"
             ),
             "trailing_median_ratio_3": result.get("trailing_median_ratio_3"),
+            # per-leg seconds for the two-leg gate rows (VERDICT r12 #4) —
+            # ~130 bytes, so a leg regression is attributable from
+            # BENCH_rN.json alone without opening BENCH_LOCAL.json
+            "legs": result.get("leg_times"),
+            "load1_start": result.get("load1_start"),
             "detail": "BENCH_LOCAL.json",
         },
         separators=(",", ":"),
@@ -282,22 +335,40 @@ def _history_ratios(path: str | None = None) -> list:
     return ratios
 
 
-def _append_history(result: dict) -> None:
-    """Pin the bench margin in an artifact, not prose (VERDICT r6 #6): every
-    run appends one line to BENCH_HISTORY.jsonl, and the trailing window is
-    checked against the 2x gate (warn at 1.8) so 'passes with margin over N
-    runs' is a file the judge can read, not a README claim."""
-    ratio = (result.get("duckdb_baseline") or {}).get("spark_vs_duckdb_ratio")
+def _history_line(result: dict) -> dict:
+    """The BENCH_HISTORY.jsonl line for one run — pure so the load
+    auto-invalidation rule is testable without touching the real file.
+    Stamps start-of-run 1-min loadavg + host cpu count (VERDICT r12 #1) and
+    marks the line invalid when the run STARTED contaminated — the
+    mechanism the trailing-median gate already honors for hand-marked
+    lines, now automatic."""
     line = {
-        "ratio": ratio,
+        "ratio": (result.get("duckdb_baseline") or {}).get("spark_vs_duckdb_ratio"),
         # carried per-line so the history file itself shows the smoothed
         # trajectory, not just the raw single-run drift (review r10)
         "trailing_median_ratio_3": result.get("trailing_median_ratio_3"),
         "total_sec": result.get("value"),
         "sf": result.get("sf"),
         "n_queries": (result.get("duckdb_baseline") or {}).get("n_queries"),
+        "load1_start": result.get("load1_start"),
+        "cpus_host": result.get("cpus_host"),
         "ts": __import__("datetime").datetime.now().isoformat(timespec="seconds"),
     }
+    load1 = result.get("load1_start")
+    if load1 is not None and load1 > LOAD_INVALID_THRESHOLD:
+        line["invalid"] = (
+            f"load1_start {load1} > {LOAD_INVALID_THRESHOLD} (auto: started under load)"
+        )
+    return line
+
+
+def _append_history(result: dict) -> None:
+    """Pin the bench margin in an artifact, not prose (VERDICT r6 #6): every
+    run appends one line to BENCH_HISTORY.jsonl, and the trailing window is
+    checked against the 2x gate (warn at 1.8) so 'passes with margin over N
+    runs' is a file the judge can read, not a README claim."""
+    ratio = (result.get("duckdb_baseline") or {}).get("spark_vs_duckdb_ratio")
+    line = _history_line(result)
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
     try:
         with open(path, "a") as f:
@@ -308,6 +379,16 @@ def _append_history(result: dict) -> None:
         # drift +-10%, so a single 2.05 run is a WARN, not a FAIL — three
         # in a row is a FAIL.
         if result.get("sf") != 0.1:
+            return
+        if "invalid" in line:
+            # a run that STARTED under external load measures the host, not
+            # the code — its line is in the history (marked), but neither
+            # its single-run ratio nor the median window gates on it
+            print(
+                f"BENCH GATE SKIPPED: run auto-invalidated ({line['invalid']}); "
+                f"ratio {ratio} not gated",
+                file=sys.stderr,
+            )
             return
         window = [r for r in _history_ratios() if r is not None][-3:]
         med = statistics.median(window) if window else None

@@ -1070,6 +1070,25 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classic.unionByName(wide_p).orderBy("path", "d1", "d2")
 
 
+def d04_legs(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Per-leg pipelines for bench attribution (VERDICT r12 #4): the gate
+    row unions two blocking paths, so a regression in ONE leg averages away
+    in the row's single number. bench.py times each of these once (noop
+    sink) and publishes the seconds beside the row. xcheck writes are
+    deliberately absent — they are oracle-channel cost, billed separately
+    in the gate row — so a leg's number is pure pipeline execution."""
+    from score_spark.operators.similarity import corpus_count
+
+    d = load_table(spark, sf_dir, "documents")
+    auto_bits = max(64, recommended_simhash_bits(corpus_count(d), max_hamming=3))
+    return {
+        "classic64": hamming_pairs(simhash(d), max_hamming=3),
+        "wideauto": hamming_pairs(
+            simhash(d, n_bits=auto_bits), max_hamming=3, n_bits=auto_bits
+        ),
+    }
+
+
 ORACLE_D04 = f"""
 WITH sig AS (SELECT * FROM read_parquet('{xcheck_path("d04_simhash")}/*.parquet')),
 wsig AS (SELECT * FROM read_parquet('{xcheck_path("d04_simhash_wide")}/*.parquet'))

@@ -1022,6 +1022,23 @@ def s05_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tuned.unionByName(auto).orderBy("band_config", "v1", "v2")
 
 
+def s05_legs(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Per-leg pipelines for bench attribution (VERDICT r12 #4), mirroring
+    dedup.d04_legs: the s05 gate row unions the tuned 8x8 and auto-sized
+    band configs, so bench.py times each leg separately (noop sink, xcheck
+    writes absent — those are oracle-channel cost) and publishes the
+    seconds beside the row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return {
+        "tuned8x8": near_dup_pairs_lsh(
+            emb, threshold=0.3, cand=lsh_pair_candidates(emb, n_tables=8, n_planes=8)
+        ),
+        "auto": near_dup_pairs_lsh(
+            emb, threshold=0.3, cand=lsh_pair_candidates(emb, n_tables=8, n_planes=None)
+        ),
+    }
+
+
 ORACLE_S05 = f"""
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
 rerank AS (

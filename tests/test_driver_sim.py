@@ -149,6 +149,11 @@ def test_bench_compact_stdout_line_fits_driver_tail_buffer():
         "sf": 0.1,
         "duckdb_baseline": {"spark_vs_duckdb_ratio": 1.29},
         "trailing_median_ratio_3": 1.41,
+        "leg_times": {
+            "d04_simhash": {"classic64": 12.345, "wideauto": 12.345},
+            "s05_near_dup_lsh": {"tuned8x8": 12.345, "auto": 12.345},
+        },
+        "load1_start": 12.34,
     }
     line = bench._compact_line(result)
     assert len(line) < 1900, f"compact line {len(line)} bytes risks tail truncation"
@@ -332,3 +337,43 @@ def test_classify_mismatch_aligns_on_identity_columns():
     deltas, is_ulp = classify_mismatch(ca, ce)
     assert is_ulp, deltas
     assert set(deltas) == {"amount"} and abs(deltas["amount"] - 0.01) < 1e-6
+
+
+def test_bench_history_load_auto_invalidation(tmp_path):
+    """VERDICT r12 #1: same-code ratios swung 1.16-1.86 in one day on this
+    host, and the contaminated runs were exactly those started right after
+    a long pytest pass (load ~7 draining). The history line must stamp the
+    start-of-run loadavg + cpu count, auto-mark above-threshold runs
+    invalid, and the trailing-median reader must then skip them — no human
+    hand-marking in the loop."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    base = {
+        "value": 30.0,
+        "sf": 0.1,
+        "duckdb_baseline": {"spark_vs_duckdb_ratio": 1.5, "n_queries": 39},
+        "cpus_host": 32,
+    }
+    idle = bench._history_line({**base, "load1_start": 0.4})
+    assert "invalid" not in idle
+    assert idle["load1_start"] == 0.4 and idle["cpus_host"] == 32
+
+    hot = bench._history_line({**base, "load1_start": 7.2})
+    assert "load1_start 7.2" in hot["invalid"]
+
+    unknown = bench._history_line({**base, "load1_start": None})
+    assert "invalid" not in unknown  # no loadavg reading: don't invent one
+
+    # the reader skips the auto-marked line exactly like hand-marked ones
+    import json
+
+    p = tmp_path / "hist.jsonl"
+    p.write_text(
+        json.dumps({**idle, "ratio": 1.5}) + "\n"
+        + json.dumps({**hot, "ratio": 3.2}) + "\n"
+        + json.dumps({**idle, "ratio": 1.4}) + "\n"
+    )
+    assert bench._history_ratios(str(p)) == [1.5, 1.4]
