@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -209,6 +210,11 @@ def _norm_path(p: str) -> str:
 # with sameResult() so hash collisions can't cross-wire two queries
 _GENERATE_CACHE: dict[int, tuple[Any, "SchemaOnRead"]] = {}
 
+# single long-lived worker for the whole-plan toJSON overlap in generate():
+# one thread so there is exactly ONE extra py4j connection for the process,
+# created lazily on first use and reused (see the generate() comment)
+_PLAN_JSON_POOL = ThreadPoolExecutor(max_workers=1, thread_name_prefix="sor-plan-json")
+
 
 class SchemaOnRead:
     """Public API — mirrors SchemaOnReadGenerator.java:30-85:
@@ -252,9 +258,31 @@ class SchemaOnRead:
 
         self = cls()
         try:
-            relations = _collect_jvm_relations(jplan)
-            self._subq_rels = _collect_jvm_subquery_relations(jplan)
-            flat = json.loads(jplan.toJSON())
+            # the three JVM pre-passes are independent pure reads of the
+            # analyzed plan, and the whole-plan toJSON (reflection
+            # serialization, ~49 ms on the subquery-heavy budget shape —
+            # BASELINE.md "Analyzer budget" r13) dominates the cold path.
+            # Run it on its OWN py4j thread so it overlaps the relation
+            # collectors (~27 ms combined on the same shape) instead of
+            # serializing after them: cold subquery-heavy drops ~25%.
+            # PySpark's pinned-thread mode gives each Python thread its own
+            # JVM thread; all three calls only read materialized state
+            # (df.schema already forced analysis), so there is no shared
+            # mutable JVM state. The worker is a LONG-LIVED single-thread
+            # executor, not a thread per call: pinned mode opens a fresh
+            # py4j connection + JVM thread for every new Python thread
+            # (measured +12 ms on the PLAIN cold leg with per-call
+            # threads), and the pool amortizes that to once per process.
+            # Any serializer failure is re-raised by .result() and lands in
+            # the same best-effort fallback as before.
+            fut = _PLAN_JSON_POOL.submit(jplan.toJSON)
+            try:
+                relations = _collect_jvm_relations(jplan)
+                self._subq_rels = _collect_jvm_subquery_relations(jplan)
+            except BaseException:
+                fut.result()  # never leave the serializer running unobserved
+                raise
+            flat = json.loads(fut.result())
             root = build_tree(flat)
             self._analyze(root, relations)
             if h is not None:
@@ -1217,8 +1245,9 @@ def _jvm_relation_info(jnode) -> dict[str, Any] | None:
     rel = jnode.relation()
     if not rel.getClass().getName().endswith("HadoopFsRelation"):
         return None
-    files = tuple(sorted(rel.location().inputFiles()))
-    roots = tuple(str(p) for p in _scala_seq(rel.location().rootPaths()))
+    loc = rel.location()  # fetched once: each py4j round trip is ~0.3 ms
+    files = tuple(sorted(loc.inputFiles()))
+    roots = tuple(str(p) for p in _scala_seq(loc.rootPaths()))
     schema = T.StructType.fromJson(json.loads(rel.schema().json()))
     return {"ref": files, "root_paths": roots, "schema": schema}
 
