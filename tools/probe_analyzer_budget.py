@@ -34,6 +34,12 @@ from score_spark.session import get_session
 
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # captured BEFORE the session spins up — the probe itself drives load,
+    # so only the start value measures EXTERNAL contamination
+    try:
+        load1_start = f"{os.getloadavg()[0]:.2f}"
+    except OSError:
+        load1_start = "n/a"
     spark = get_session(app_name="analyzer-budget", master="local[4]", shuffle_partitions=4)
     li = os.path.join(sf, "lineitem.parquet")
 
@@ -85,9 +91,13 @@ def main() -> int:
     # generate() memo — a broken cache makes warm jump to the full uncached
     # cost and this instrument must go red, not green)
     ok = s < 0.100 and p < 0.100 and w < 0.010
+    # stamped so a FAIL under external load is distinguishable from a code
+    # regression at a glance (same rationale as bench.py's history stamp —
+    # VERDICT r12 #1; same-code probe medians measured 84.5 ms idle vs
+    # 115 ms at load ~1.8 on this host)
     print(
         f"plain_uncached_ms={p * 1e3:.1f} subquery_heavy_uncached_ms={s * 1e3:.1f} "
-        f"warm_ms={w * 1e3:.2f} budgets_ms=100/100/10 "
+        f"warm_ms={w * 1e3:.2f} budgets_ms=100/100/10 load1_start={load1_start} "
         f"verdict={'PASS' if ok else 'FAIL'}"
     )
     return 0 if ok else 1
