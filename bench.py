@@ -26,6 +26,15 @@ import time
 LOAD_INVALID_THRESHOLD = 4.0
 
 
+def _load_invalid(load1: float | None) -> bool:
+    """ONE definition of 'this run started contaminated' (r13 self-review:
+    main()'s median-window exclusion and _history_line()'s invalid stamp
+    previously compared against the threshold independently — a future
+    edit to one would silently desynchronize the published trailing median
+    from what the next run's gate reconstructs from the file)."""
+    return load1 is not None and load1 > LOAD_INVALID_THRESHOLD
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -170,7 +179,19 @@ def main() -> None:
         from score_spark.operators.dedup import d04_legs
         from score_spark.operators.similarity import s05_legs
 
-        for qname, legs_fn in (("d04_simhash", d04_legs), ("s05_near_dup_lsh", s05_legs)):
+        leg_fns = (("d04_simhash", d04_legs), ("s05_near_dup_lsh", s05_legs))
+    except Exception as e:  # attribution must never sink the bench line
+        leg_fns = ()
+        leg_times["error"] = str(e)[:200]
+    for qname, legs_fn in leg_fns:
+        # untimed INTER-ROW cleanup FIRST (r13 self-review): the main
+        # loop's own comment documents 5-7 s GC spikes when a heavy
+        # query's garbage lands in the next timing — each leg here is
+        # timed exactly ONCE, so a spike from d04's chunk join would land
+        # directly in an s05 leg number and read as a leg regression
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        try:
             legs = legs_fn(spark, sf_dir)  # construction (and its jobs) untimed
             per: dict[str, float] = {}
             for leg, ldf in legs.items():
@@ -178,9 +199,8 @@ def main() -> None:
                 ldf.write.format("noop").mode("overwrite").save()
                 per[leg] = round(time.monotonic() - t0, 3)
             leg_times[qname] = per
-            spark.catalog.clearCache()
-    except Exception as e:  # attribution must never sink the bench line
-        leg_times = {"error": str(e)[:200]}
+        except Exception as e:  # per-row: a failed s05 must not discard d04's numbers
+            leg_times[qname] = {"error": str(e)[:200]}
 
     # the reference's headline metric: input-bytes reduction from the pruned
     # read schema (BASELINE.md gate: ratio <= 0.5). Full report -> BYTES.json.
@@ -224,7 +244,7 @@ def main() -> None:
     # round-over-round grade reads the median of the last 3 gated-SF runs
     # (including this one), not the single-run number.
     ratio_now = (baseline_summary or {}).get("spark_vs_duckdb_ratio")
-    load_invalid = load1_start is not None and load1_start > LOAD_INVALID_THRESHOLD
+    load_invalid = _load_invalid(load1_start)
     trailing_median = None
     if sf == 0.1 and ratio_now is not None:
         # a load-contaminated current run contributes NOTHING to the
@@ -355,7 +375,7 @@ def _history_line(result: dict) -> dict:
         "ts": __import__("datetime").datetime.now().isoformat(timespec="seconds"),
     }
     load1 = result.get("load1_start")
-    if load1 is not None and load1 > LOAD_INVALID_THRESHOLD:
+    if _load_invalid(load1):
         line["invalid"] = (
             f"load1_start {load1} > {LOAD_INVALID_THRESHOLD} (auto: started under load)"
         )

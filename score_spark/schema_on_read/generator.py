@@ -30,8 +30,10 @@ linking across branches, Expand (rollup/cube) projections.
 from __future__ import annotations
 
 import json
+import os
 import time
 from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import wait as futures_wait
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -212,8 +214,21 @@ _GENERATE_CACHE: dict[int, tuple[Any, "SchemaOnRead"]] = {}
 
 # single long-lived worker for the whole-plan toJSON overlap in generate():
 # one thread so there is exactly ONE extra py4j connection for the process,
-# created lazily on first use and reused (see the generate() comment)
-_PLAN_JSON_POOL = ThreadPoolExecutor(max_workers=1, thread_name_prefix="sor-plan-json")
+# created lazily and reused (see the generate() comment). Created PER
+# PROCESS (r13 self-review): a fork after first use would leave the child
+# with a registered-but-dead worker thread, and the child's next submit()
+# would queue work no thread ever runs — fut.result() hangs forever.
+_PLAN_JSON_POOL: ThreadPoolExecutor | None = None
+_PLAN_JSON_POOL_PID: int | None = None
+
+
+def _plan_json_pool() -> ThreadPoolExecutor:
+    global _PLAN_JSON_POOL, _PLAN_JSON_POOL_PID
+    pid = os.getpid()
+    if _PLAN_JSON_POOL is None or _PLAN_JSON_POOL_PID != pid:
+        _PLAN_JSON_POOL = ThreadPoolExecutor(max_workers=1, thread_name_prefix="sor-plan-json")
+        _PLAN_JSON_POOL_PID = pid
+    return _PLAN_JSON_POOL
 
 
 class SchemaOnRead:
@@ -275,12 +290,17 @@ class SchemaOnRead:
             # threads), and the pool amortizes that to once per process.
             # Any serializer failure is re-raised by .result() and lands in
             # the same best-effort fallback as before.
-            fut = _PLAN_JSON_POOL.submit(jplan.toJSON)
+            fut = _plan_json_pool().submit(jplan.toJSON)
             try:
                 relations = _collect_jvm_relations(jplan)
                 self._subq_rels = _collect_jvm_subquery_relations(jplan)
             except BaseException:
-                fut.result()  # never leave the serializer running unobserved
+                # drain WITHOUT .result(): result() would re-raise the
+                # serializer's own error here and MASK the original
+                # exception (r13 self-review: a KeyboardInterrupt during
+                # the collectors got converted into the serializer's
+                # Py4JError and swallowed by the fallback handler)
+                futures_wait([fut])
                 raise
             flat = json.loads(fut.result())
             root = build_tree(flat)
@@ -293,8 +313,6 @@ class SchemaOnRead:
             # best-effort: fall back to full schemas (README.md:9). Tests set
             # SCORE_SPARK_SOR_RAISE=1 so walker bugs can't hide behind the
             # fallback.
-            import os
-
             if os.environ.get("SCORE_SPARK_SOR_RAISE"):
                 raise
             self._failed = True
