@@ -26,6 +26,28 @@ import time
 LOAD_INVALID_THRESHOLD = 4.0
 
 
+def _cpu_stat() -> tuple[int, int] | None:
+    """(steal_jiffies, total_jiffies) from /proc/stat's aggregate cpu line;
+    None off-Linux. Steal is time the HYPERVISOR ran someone else while
+    this VM wanted the CPU — the host-variance component loadavg cannot
+    see (r13: two same-code benches both started at load 0.0 and measured
+    ratios 1.53 and 1.80; per-run steal%% makes that attributable)."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return vals[7], sum(vals)
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def _steal_pct(start: tuple[int, int] | None, end: tuple[int, int] | None) -> float | None:
+    """Percent of this run's elapsed CPU jiffies stolen by the hypervisor."""
+    if start is None or end is None:
+        return None
+    dt = end[1] - start[1]
+    return round(100.0 * (end[0] - start[0]) / dt, 2) if dt > 0 else None
+
+
 def _load_invalid(load1: float | None) -> bool:
     """ONE definition of 'this run started contaminated' (r13 self-review:
     main()'s median-window exclusion and _history_line()'s invalid stamp
@@ -44,6 +66,7 @@ def main() -> None:
         load1_start = round(os.getloadavg()[0], 2)
     except OSError:
         load1_start = None
+    cpu_stat_start = _cpu_stat()
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
@@ -262,6 +285,7 @@ def main() -> None:
         "queries": times,
         "leg_times": leg_times,
         "load1_start": load1_start,
+        "steal_pct": _steal_pct(cpu_stat_start, _cpu_stat()),
         "cpus_host": os.cpu_count(),
         "oracle_channel_sec": oracle_channel,
         "floor_sec": floor_sec,
@@ -371,6 +395,9 @@ def _history_line(result: dict) -> dict:
         "sf": result.get("sf"),
         "n_queries": (result.get("duckdb_baseline") or {}).get("n_queries"),
         "load1_start": result.get("load1_start"),
+        # recorded, not (yet) auto-invalidating: the steal regime on this
+        # fleet is unknown — collect the evidence first, threshold later
+        "steal_pct": result.get("steal_pct"),
         "cpus_host": result.get("cpus_host"),
         "ts": __import__("datetime").datetime.now().isoformat(timespec="seconds"),
     }

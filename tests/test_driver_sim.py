@@ -377,3 +377,23 @@ def test_bench_history_load_auto_invalidation(tmp_path):
         + json.dumps({**idle, "ratio": 1.4}) + "\n"
     )
     assert bench._history_ratios(str(p)) == [1.5, 1.4]
+
+
+def test_bench_steal_pct():
+    """r13: per-run hypervisor steal%% in the history line — two same-code
+    idle benches (load 0.0 both) measured ratios 1.53 and 1.80; loadavg
+    cannot see VM steal, /proc/stat can. Pure math here; the live read is
+    exercised by any bench run."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    assert bench._steal_pct((100, 10_000), (150, 20_000)) == 0.5
+    assert bench._steal_pct(None, (1, 2)) is None
+    assert bench._steal_pct((1, 2), None) is None
+    assert bench._steal_pct((1, 100), (1, 100)) is None  # no elapsed jiffies
+    live = bench._cpu_stat()
+    assert live is None or (live[0] >= 0 and live[1] > 0)
+    line = bench._history_line({"steal_pct": 3.14, "sf": 0.1})
+    assert line["steal_pct"] == 3.14 and "invalid" not in line
