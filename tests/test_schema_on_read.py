@@ -1677,3 +1677,20 @@ def test_inline_field_access_through_routing_heads_is_precise(spark, fx, tmp_pat
         fx["sample_parquet"],
     )
     assert pruned["someComplexArray"].dataType.elementType.fieldNames() == ["col2"]
+
+
+def test_plan_json_pool_is_per_process(monkeypatch):
+    """r13 self-review: the toJSON overlap pool must be recreated after a
+    fork — a child inheriting the parent's executor has a registered-but-
+    dead worker thread, and its next submit() would hang fut.result()
+    forever. Simulated here by faking a pid change."""
+    from score_spark.schema_on_read import generator as G
+
+    p1 = G._plan_json_pool()
+    assert G._plan_json_pool() is p1  # same process: reused
+    monkeypatch.setattr(G.os, "getpid", lambda: -1)
+    p2 = G._plan_json_pool()
+    assert p2 is not p1  # "forked": fresh pool with a live worker
+    assert p2.submit(lambda: 42).result() == 42
+    monkeypatch.undo()
+    G._plan_json_pool()  # real pid again: recreated once more, still live
