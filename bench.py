@@ -48,13 +48,31 @@ def _steal_pct(start: tuple[int, int] | None, end: tuple[int, int] | None) -> fl
     return round(100.0 * (end[0] - start[0]) / dt, 2) if dt > 0 else None
 
 
-def _load_invalid(load1: float | None) -> bool:
-    """ONE definition of 'this run started contaminated' (r13 self-review:
-    main()'s median-window exclusion and _history_line()'s invalid stamp
-    previously compared against the threshold independently — a future
-    edit to one would silently desynchronize the published trailing median
-    from what the next run's gate reconstructs from the file)."""
-    return load1 is not None and load1 > LOAD_INVALID_THRESHOLD
+# Percent of the run's CPU jiffies stolen by the hypervisor above which the
+# run measured the NEIGHBOR, not the code. Chosen from the r13 stamped
+# distribution (BASELINE.md "Bench-gate host-drift protection"): idle-start
+# runs cluster at steal <= 1% (0.13/0.19/0.46/0.96), the one outlier hit
+# 2.64% and printed the session's worst ratio (1.91 vs the 1.52-1.79 band).
+# Steal bursts stall all 32 threads at every stage barrier, so a few
+# percent average steal amplifies to tens of percent of wall-clock. The
+# rule is direction-symmetric: a lucky-FAST high-steal run is excluded too.
+STEAL_INVALID_THRESHOLD = 2.0
+
+
+def _run_invalid(load1: float | None, steal_pct: float | None) -> str | None:
+    """ONE definition of 'this run is contaminated' (r13 self-review: the
+    median-window exclusion and the history-line stamp must never
+    desynchronize), returning the reason or None. Load is measured at run
+    START (external queue pressure the run inherits); steal is measured
+    OVER the run (hypervisor contention loadavg cannot see)."""
+    if load1 is not None and load1 > LOAD_INVALID_THRESHOLD:
+        return f"load1_start {load1} > {LOAD_INVALID_THRESHOLD} (auto: started under load)"
+    if steal_pct is not None and steal_pct > STEAL_INVALID_THRESHOLD:
+        return (
+            f"steal_pct {steal_pct} > {STEAL_INVALID_THRESHOLD} "
+            f"(auto: hypervisor contention during the run)"
+        )
+    return None
 
 
 def main() -> None:
@@ -267,14 +285,16 @@ def main() -> None:
     # round-over-round grade reads the median of the last 3 gated-SF runs
     # (including this one), not the single-run number.
     ratio_now = (baseline_summary or {}).get("spark_vs_duckdb_ratio")
-    load_invalid = _load_invalid(load1_start)
+    steal_now = _steal_pct(cpu_stat_start, _cpu_stat())
+    run_invalid = _run_invalid(load1_start, steal_now)
     trailing_median = None
     if sf == 0.1 and ratio_now is not None:
-        # a load-contaminated current run contributes NOTHING to the
-        # smoothed trajectory — its line lands in the history marked
-        # invalid, and its ratio must not enter the window either
+        # a contaminated current run (external load at start, or hypervisor
+        # steal during the run) contributes NOTHING to the smoothed
+        # trajectory — its line lands in the history marked invalid, and
+        # its ratio must not enter the window either
         window = [r for r in _history_ratios() if r is not None]
-        if not load_invalid:
+        if run_invalid is None:
             window = window + [ratio_now]
         window = window[-3:]
         trailing_median = round(statistics.median(window), 3) if window else None
@@ -285,7 +305,7 @@ def main() -> None:
         "queries": times,
         "leg_times": leg_times,
         "load1_start": load1_start,
-        "steal_pct": _steal_pct(cpu_stat_start, _cpu_stat()),
+        "steal_pct": steal_now,
         "cpus_host": os.cpu_count(),
         "oracle_channel_sec": oracle_channel,
         "floor_sec": floor_sec,
@@ -395,17 +415,13 @@ def _history_line(result: dict) -> dict:
         "sf": result.get("sf"),
         "n_queries": (result.get("duckdb_baseline") or {}).get("n_queries"),
         "load1_start": result.get("load1_start"),
-        # recorded, not (yet) auto-invalidating: the steal regime on this
-        # fleet is unknown — collect the evidence first, threshold later
         "steal_pct": result.get("steal_pct"),
         "cpus_host": result.get("cpus_host"),
         "ts": __import__("datetime").datetime.now().isoformat(timespec="seconds"),
     }
-    load1 = result.get("load1_start")
-    if _load_invalid(load1):
-        line["invalid"] = (
-            f"load1_start {load1} > {LOAD_INVALID_THRESHOLD} (auto: started under load)"
-        )
+    reason = _run_invalid(result.get("load1_start"), result.get("steal_pct"))
+    if reason is not None:
+        line["invalid"] = reason
     return line
 
 
