@@ -504,6 +504,15 @@ _BASELINE_SKIP = {
 }
 
 
+def _duckdb_view_pattern(sf_dir: str, table: str) -> str:
+    """read_parquet target for one table: driver testdata is one file per
+    table; replicated scale fixtures (tools/gen_sf_replica.py) are
+    Spark-written DIRECTORIES — glob those so the baseline runs at sf1+
+    too (same rule driver_sim applies, VERDICT r11 #6)."""
+    src = f"{sf_dir}/{table}.parquet"
+    return f"{src}/*.parquet" if os.path.isdir(src) else src
+
+
 def _duckdb_baseline(
     sf_dir: str,
     spark_times: dict[str, float],
@@ -518,9 +527,8 @@ def _duckdb_baseline(
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        pat = _duckdb_view_pattern(sf_dir, t)
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     # default must MATCH the Spark side's (best-of-5): a lower N here keeps
     # duckdb times higher than its warm floor, silently flattering the ratio
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))

@@ -407,3 +407,22 @@ def test_bench_steal_pct():
     # load trips first when both are hot (reason precedence is load)
     both = bench._history_line({"load1_start": 9.0, "steal_pct": 5.0, "sf": 0.1})
     assert "load1_start 9.0" in both["invalid"]
+
+
+def test_bench_duckdb_view_pattern_globs_directory_tables(tmp_path):
+    """The baseline must register replicated scale fixtures (Spark-written
+    DIRECTORY tables, tools/gen_sf_replica.py) the same way driver_sim
+    does — a bare directory path makes DuckDB's read_parquet fail, which
+    previously limited bench.py to the flat-file driver testdata and kept
+    the end-to-end ratio unmeasurable at sf1."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    (tmp_path / "lineitem.parquet").mkdir()  # Spark-written directory table
+    (tmp_path / "region.parquet").write_bytes(b"")  # flat-file table
+    assert bench._duckdb_view_pattern(str(tmp_path), "lineitem") == (
+        f"{tmp_path}/lineitem.parquet/*.parquet"
+    )
+    assert bench._duckdb_view_pattern(str(tmp_path), "region") == f"{tmp_path}/region.parquet"
