@@ -337,28 +337,33 @@ def main() -> None:
 
 def _compact_line(result: dict) -> str:
     """The stdout projection of the full bench report. Compact separators +
-    required-fields-only keeps it ~1.6 kB for the 50-query registry — under
+    required-fields-only keeps it ~1.7 kB for the 50-query registry — under
     the driver's tail buffer — so BENCH_rN.json's `parsed` stops being null."""
-    return json.dumps(
-        {
-            "metric": result["metric"],
-            "value": result["value"],
-            "unit": result["unit"],
-            "queries": result["queries"],
-            "sf": result["sf"],
-            "spark_vs_duckdb_ratio": (result.get("duckdb_baseline") or {}).get(
-                "spark_vs_duckdb_ratio"
-            ),
-            "trailing_median_ratio_3": result.get("trailing_median_ratio_3"),
-            # per-leg seconds for the two-leg gate rows (VERDICT r12 #4) —
-            # ~130 bytes, so a leg regression is attributable from
-            # BENCH_rN.json alone without opening BENCH_LOCAL.json
-            "legs": result.get("leg_times"),
-            "load1_start": result.get("load1_start"),
-            "detail": "BENCH_LOCAL.json",
-        },
-        separators=(",", ":"),
-    )
+    line = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "queries": result["queries"],
+        "sf": result["sf"],
+        "spark_vs_duckdb_ratio": (result.get("duckdb_baseline") or {}).get(
+            "spark_vs_duckdb_ratio"
+        ),
+        "trailing_median_ratio_3": result.get("trailing_median_ratio_3"),
+        # per-leg seconds for the two-leg gate rows (VERDICT r12 #4) —
+        # ~130 bytes, so a leg regression is attributable from
+        # BENCH_rN.json alone without opening BENCH_LOCAL.json
+        "legs": result.get("leg_times"),
+        "load1_start": result.get("load1_start"),
+        "steal_pct": result.get("steal_pct"),
+        "detail": "BENCH_LOCAL.json",
+    }
+    # the round driver keeps ONLY this line (BENCH_rN.json); without the
+    # invalid marker a steal-contaminated round-end run is indistinguishable
+    # from a clean sample there, even though the committed history flags it
+    reason = _run_invalid(result.get("load1_start"), result.get("steal_pct"))
+    if reason is not None:
+        line["invalid"] = reason
+    return json.dumps(line, separators=(",", ":"))
 
 
 def _gate_level(ratio, med) -> str | None:

@@ -154,6 +154,10 @@ def test_bench_compact_stdout_line_fits_driver_tail_buffer():
             "s05_near_dup_lsh": {"tuned8x8": 12.345, "auto": 12.345},
         },
         "load1_start": 12.34,
+        # worst case for length: a contaminated run carries the full
+        # invalid-reason string in the stdout line too (the driver keeps
+        # ONLY this line, so the marker must survive into BENCH_rN.json)
+        "steal_pct": 4.77,
     }
     line = bench._compact_line(result)
     assert len(line) < 1900, f"compact line {len(line)} bytes risks tail truncation"
@@ -162,6 +166,12 @@ def test_bench_compact_stdout_line_fits_driver_tail_buffer():
         assert field in parsed
     assert len(parsed["queries"]) == len(QUERIES)
     assert parsed["spark_vs_duckdb_ratio"] == 1.29
+    assert parsed["steal_pct"] == 4.77 and "load1_start 12.34" in parsed["invalid"]
+
+    steal_only = json.loads(bench._compact_line({**result, "load1_start": 0.1}))
+    assert "steal_pct 4.77" in steal_only["invalid"]
+    clean = bench._compact_line({**result, "load1_start": 0.1, "steal_pct": 0.4})
+    assert "invalid" not in json.loads(clean)
 
 
 def test_bench_gate_single_run_step_regression_fails_first_run():
