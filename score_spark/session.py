@@ -71,13 +71,21 @@ def get_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # coalesce post-shuffle partitions to the advisory byte size rather
-        # than padding them back out to defaultParallelism (the Spark docs'
-        # recommended setting): small intermediate shuffles collapse to few
-        # tasks instead of 32 near-empty ones — measured 0.1-0.25 s saved on
-        # every overhead-dominated query, no effect once partitions carry
-        # real data (the advisory size governs at scale)
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelismFirst stays at Spark's DEFAULT (true): r1-r12 overrode
+        # it to false so small intermediate shuffles collapse to few tasks,
+        # on an sf0.1 measurement ("0.1-0.25 s saved, no effect once
+        # partitions carry real data") that turned out to be wrong on both
+        # counts. The sf1 stage-timeline probe (SCALE.md "End-to-end
+        # wall-clock at sf1", tools/probe_sf1_top_rows.py) caught the
+        # override coalescing every post-shuffle stage carrying ~1-64 MB to
+        # 1-4 tasks — q04's semi join ran as ONE 3.2 s task on 32 idle
+        # cores — and a same-session ABAB at BOTH SFs measured the default
+        # 2-4.6x faster at sf1 (q04 2.9 -> 1.0 s, w01 3.0 -> 0.7 s,
+        # countDistinct pair 3.7 -> 0.8 s) and equal-or-faster at sf0.1
+        # (12-query sums 4.9/3.8 false vs 4.0/3.6 true). The default still
+        # collapses genuinely tiny shuffles (minPartitionSize floor), and on
+        # a real cluster it is the posture that keeps intermediate stages as
+        # wide as the executor fleet.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # runtime-size broadcast decisions (AQE) get a wider budget than the
         # static 10 MB default: unhinted plans (d02's shingle-freq/doc-size
