@@ -341,8 +341,12 @@ def minhash_lsh_pairs(
         F.expr(f"explode(array({band_structs}))").alias("bb"),
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a, b = banded.alias("a"), banded.alias("b")
-    agree = F.size(
-        F.filter(F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y), lambda m: m)
+    # static per-position comparison sum instead of size(filter(zip_with)):
+    # n_hashes is a compile-time constant and Spark evaluates HOF lambdas
+    # interpreted per candidate row, while the unrolled IF-sum is whole-stage
+    # codegen — same counts, same est_jaccard (opt r13, guide §1.2/§4.1)
+    agree = F.expr(
+        " + ".join(f"IF(a.sig[{i}] = b.sig[{i}], 1, 0)" for i in range(n_hashes))
     )
     return (
         a.join(
@@ -581,7 +585,14 @@ def hamming_pairs(
         )
     chunks = chunks.select("_id", "_sig", "cc.chunk_id", "cc.chunk")
     a, b = chunks.alias("a"), chunks.alias("b")
-    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("int")
+    # popcount + threshold BEFORE the dedup exchange (opt r13, guide §2.3):
+    # the join's output is dominated by random chunk collisions that fail
+    # the distance bound, and a pair's hamming is determined by its ids, so
+    # filtering first shrinks the distinct's shuffle from (all candidates x
+    # two ids + two signatures) to (surviving pairs x two ids + one int) —
+    # the popcount per duplicate candidate is registers-only codegen, the
+    # exchange it replaces is the dominant cost of this stage at scale.
+    hamming = F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig"))).cast("int")
     return (
         a.join(
             b,
@@ -592,12 +603,10 @@ def hamming_pairs(
         .select(
             F.col("a._id").alias("d1"),
             F.col("b._id").alias("d2"),
-            F.col("a._sig").alias("h1"),
-            F.col("b._sig").alias("h2"),
+            hamming.alias("hamming"),
         )
-        .distinct()
-        .select("d1", "d2", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -679,8 +688,18 @@ def _hamming_pairs_wide(
         .select("_id", "_sig", "cc.chunk_id", "cc.chunk")
     )
     a, b = chunks.alias("a"), chunks.alias("b")
+    # exact distance as a STATIC sum of per-word popcounts (word count is
+    # known from n_words) instead of aggregate(zip_with(...)): Spark
+    # evaluates HOF lambdas interpreted per row, the static sum is codegen
+    # — same arithmetic, same result (opt r13; mirrors the oracle-side
+    # finding that static terms beat list_transform 2.5x in DuckDB too).
+    # Filter + threshold run BEFORE the dedup exchange, and only (d1, d2,
+    # hamming) cross it instead of two multi-word signature arrays — see
+    # the scalar path's comment for the shuffle-bytes accounting.
     hamming = F.expr(
-        "aggregate(zip_with(h1, h2, (x, y) -> CAST(bit_count(x ^ y) AS INT)), 0, (acc, v) -> acc + v)"
+        " + ".join(
+            f"CAST(bit_count(a._sig[{w}] ^ b._sig[{w}]) AS INT)" for w in range(n_words)
+        )
     )
     return (
         a.join(
@@ -692,12 +711,10 @@ def _hamming_pairs_wide(
         .select(
             F.col("a._id").alias("d1"),
             F.col("b._id").alias("d2"),
-            F.col("a._sig").alias("h1"),
-            F.col("b._sig").alias("h2"),
+            hamming.alias("hamming"),
         )
-        .distinct()
-        .select("d1", "d2", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -1061,8 +1078,17 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     auto_bits = max(64, recommended_simhash_bits(corpus_count(d), max_hamming=3))
-    sigs = write_xcheck(simhash(d), "d04_simhash", sf_dir)
     wide = write_xcheck(simhash(d, n_bits=auto_bits), "d04_simhash_wide", sf_dir)
+    # word 0 of a wide signature IS the classic 63-bit signature (same
+    # xxhash64(tok) bits, same per-bit sums — simhash docstring invariant,
+    # pinned by test_simhash_wide_word0_is_classic_signature), so the
+    # classic leg SLICES the already-materialized wide table instead of
+    # paying a second full token-explode + n-bit aggregate pass over the
+    # corpus (opt r13, guide §1.2: remove a whole redundant pass). The
+    # xcheck file contents are value-identical to the old two-pass build.
+    sigs = write_xcheck(
+        wide.select("doc_id", F.col("simhash")[0].alias("simhash")), "d04_simhash", sf_dir
+    )
     classic = hamming_pairs(sigs, max_hamming=3).withColumn("path", F.lit("classic64"))
     wide_p = hamming_pairs(wide, max_hamming=3, n_bits=auto_bits).withColumn(
         "path", F.lit("wideauto")
