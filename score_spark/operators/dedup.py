@@ -852,7 +852,17 @@ def duplicate_clusters(
         schema = T.StructType(
             [T.StructField("node", id_type, False), T.StructField("label", id_type, False)]
         )
-        return pairs.sparkSession.createDataFrame(out, schema)
+        # pandas frame, not a plain list: with Arrow enabled the conversion
+        # happens driver-side and executor tasks are pure JVM — the list
+        # path ships pickled rows that every task deserializes through a
+        # Python worker round trip (measured 0.33 s vs 0.065 s for the
+        # 51-row result at 32 tasks; opt r13, guide §6 "Arrow for driver
+        # transfers")
+        import pandas as pd
+
+        return pairs.sparkSession.createDataFrame(
+            pd.DataFrame(out, columns=["node", "label"]), schema=schema
+        )
     parts = max(1, min(int(n_edges // 200_000) + 1, edges.sparkSession.sparkContext.defaultParallelism))
     edges = edges.coalesce(parts)
     labels = (
