@@ -407,21 +407,34 @@ def k01_bucketed_join(spark, sf_dir: str):
     )
     # xcheck_path now appends the sf tag itself (r9: every channel tagged)
     z_path = xcheck_path("k01_zorder", sf_dir)
-    # persist across write_zordered's three passes (quantile sketch, range
-    # sampling, bucketize+write); 0.01 sketch error only blurs bucket
-    # boundaries by a few of the 256 buckets — layout quality, not
-    # correctness, which the hash gate below pins exactly
-    raw_o = raw_o.persist()
-    try:
-        write_zordered(
-            raw_o, z_path, ("o_custkey", "o_totalprice"), bits_per_dim=8, relative_error=0.01
-        )
-    finally:
-        raw_o.unpersist()
-    o = spark.read.parquet(z_path)
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    write_bucketed(o, t_orders, ("o_custkey",), n_buckets=8, sort_by=("o_custkey",))
-    write_bucketed(c, t_cust, ("c_custkey",), n_buckets=8, sort_by=("c_custkey",))
+    # the customer bucketed write is independent of the z-order -> orders
+    # chain — submit it from a driver thread FIRST so its shuffle + write +
+    # commit overlap the chain's driver-blocking phases (approxQuantile,
+    # range sampling, commit protocol) instead of paying a fully serialized
+    # third write+commit latency (opt r13, guide §2.6 "Overlap independent
+    # jobs"; the stage probe measured ~1/3 of k01's wall as inter-stage
+    # gaps). Same writes, same tables, same result.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fc = pool.submit(
+            write_bucketed, c, t_cust, ("c_custkey",), 8, ("c_custkey",)
+        )
+        # persist across write_zordered's three passes (quantile sketch,
+        # range sampling, bucketize+write); 0.01 sketch error only blurs
+        # bucket boundaries by a few of the 256 buckets — layout quality,
+        # not correctness, which the hash gate below pins exactly
+        raw_o = raw_o.persist()
+        try:
+            write_zordered(
+                raw_o, z_path, ("o_custkey", "o_totalprice"), bits_per_dim=8, relative_error=0.01
+            )
+        finally:
+            raw_o.unpersist()
+        o = spark.read.parquet(z_path)
+        write_bucketed(o, t_orders, ("o_custkey",), n_buckets=8, sort_by=("o_custkey",))
+        fc.result()
     ob, cb = spark.table(t_orders), spark.table(t_cust)
     return (
         cb.join(ob, cb.c_custkey == ob.o_custkey)
