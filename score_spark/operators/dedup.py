@@ -219,25 +219,6 @@ def exact_jaccard_for_pairs(
         )
     g, sizes = shingle_df, sizes_df
     p = pairs
-    # candidate-id semi-join pre-filter (opt r13, guide §3.2/§8): only docs
-    # that appear in a pair can contribute to inter counts or sizes, so the
-    # shingle and size tables are restricted to pair ids BEFORE the joins —
-    # at scale this makes the rerank's explode/scan candidate-bounded
-    # instead of corpus-sized (the shuffle already was; the SCAN was not).
-    # Unhinted: AQE broadcasts the id set while it is small, and at sizes
-    # where it is not, the semi join is what a shuffle plan needs anyway.
-    # Results are identical by construction: inter only aggregates rows
-    # whose doc_id matches a pair side, and sizes are only read through
-    # left joins keyed by pair ids. Callers with an expensive un-persisted
-    # ``pairs`` frame should materialize it first (d03 passes the cached
-    # xcheck frame) — the id set re-reads ``pairs`` once per filtered table.
-    _ids = (
-        p.select(F.col("d1").alias("doc_id"))
-        .unionByName(p.select(F.col("d2").alias("doc_id")))
-        .distinct()
-    )
-    g = g.join(_ids, "doc_id", "left_semi")
-    sizes = sizes.join(_ids, "doc_id", "left_semi")
     inter = (
         # distinct FIRST: duplicate (d1, d2) rows in the candidate frame
         # would double-count every shared shingle through the joins and
