@@ -1007,12 +1007,22 @@ def s05_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01) and its rerank is value-checked against DuckDB on its own
     xcheck'd candidate set."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cand = write_xcheck(
-        lsh_pair_candidates(emb, n_tables=8, n_planes=8), "s05_candidates", sf_dir
-    )
-    cand_auto = write_xcheck(
-        lsh_pair_candidates(emb, n_tables=8, n_planes=None), "s05_candidates_auto", sf_dir
-    )
+    # the two legs' candidate pipelines are independent — persist both and
+    # run the two materialization counts from a small driver pool so their
+    # band joins overlap instead of paying two serialized job chains (opt
+    # r13, guide §2.6; same pattern as k01's writes). The xcheck WRITES
+    # stay sequential on this thread: write_xcheck bills the cache->parquet
+    # copy to the oracle channel by wall-clock, and overlapping two writes
+    # would double-bill the overlapped wall, flattering the query number.
+    from concurrent.futures import ThreadPoolExecutor
+
+    c1 = lsh_pair_candidates(emb, n_tables=8, n_planes=8).persist()
+    c2 = lsh_pair_candidates(emb, n_tables=8, n_planes=None).persist()
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(c1.count), pool.submit(c2.count)]:
+            f.result()
+    cand = write_xcheck(c1, "s05_candidates", sf_dir)
+    cand_auto = write_xcheck(c2, "s05_candidates_auto", sf_dir)
     tuned = near_dup_pairs_lsh(emb, threshold=0.3, cand=cand).withColumn(
         "band_config", F.lit("tuned8x8")
     )
