@@ -287,6 +287,11 @@ def main() -> None:
     ratio_now = (baseline_summary or {}).get("spark_vs_duckdb_ratio")
     steal_now = _steal_pct(cpu_stat_start, _cpu_stat())
     run_invalid = _run_invalid(load1_start, steal_now)
+    # the driver also runs the bench at REDUCED core counts to measure
+    # scaling; those runs time the same code on fewer cores and must not
+    # enter the full-core gate trajectory (found live: a local[8] probe
+    # appended ratio 1.34 and moved the median 1.22 -> 1.27)
+    full_core_run = int(cpus) == (os.cpu_count() or int(cpus))
     trailing_median = None
     if sf == 0.1 and ratio_now is not None:
         # a contaminated current run (external load at start, or hypervisor
@@ -294,7 +299,7 @@ def main() -> None:
         # trajectory — its line lands in the history marked invalid, and
         # its ratio must not enter the window either
         window = [r for r in _history_ratios() if r is not None]
-        if run_invalid is None:
+        if run_invalid is None and full_core_run:
             window = window + [ratio_now]
         window = window[-3:]
         trailing_median = round(statistics.median(window), 3) if window else None
@@ -307,6 +312,7 @@ def main() -> None:
         "load1_start": load1_start,
         "steal_pct": steal_now,
         "cpus_host": os.cpu_count(),
+        "cpus_run": int(cpus),
         "oracle_channel_sec": oracle_channel,
         "floor_sec": floor_sec,
         "floor_multi_stage_sec": floor_multi_sec,
@@ -398,6 +404,12 @@ def _history_ratios(path: str | None = None) -> list:
                     continue
                 if "invalid" in d or d.get("sf") != 0.1:
                     continue
+                # reduced-core scaling probes (driver's local[N<host] runs)
+                # time the same code on fewer cores — not gate-regime lines.
+                # Legacy lines carry no cpus_run; all were full-core runs.
+                cpus_run = d.get("cpus_run")
+                if cpus_run is not None and cpus_run != (d.get("cpus_host") or cpus_run):
+                    continue
                 ratios.append(d.get("ratio"))
     except OSError:
         pass
@@ -422,6 +434,7 @@ def _history_line(result: dict) -> dict:
         "load1_start": result.get("load1_start"),
         "steal_pct": result.get("steal_pct"),
         "cpus_host": result.get("cpus_host"),
+        "cpus_run": result.get("cpus_run"),
         "ts": __import__("datetime").datetime.now().isoformat(timespec="seconds"),
     }
     reason = _run_invalid(result.get("load1_start"), result.get("steal_pct"))
@@ -455,6 +468,16 @@ def _append_history(result: dict) -> None:
             print(
                 f"BENCH GATE SKIPPED: run auto-invalidated ({line['invalid']}); "
                 f"ratio {ratio} not gated",
+                file=sys.stderr,
+            )
+            return
+        cpus_run, cpus_host = line.get("cpus_run"), line.get("cpus_host")
+        if cpus_run is not None and cpus_run != (cpus_host or cpus_run):
+            # reduced-core scaling probe: its ratio measures core count, not
+            # the code, and the 2x gate governs the full-core regime only
+            print(
+                f"BENCH GATE SKIPPED: reduced-core run (local[{cpus_run}] on "
+                f"{cpus_host}-cpu host); ratio {ratio} not gated",
                 file=sys.stderr,
             )
             return

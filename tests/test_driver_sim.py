@@ -116,7 +116,12 @@ def test_bench_history_ratios_filtering(tmp_path):
         "\n"
         '{"ratio": 9.9, "sf": 0.01}\n'          # small-SF: excluded
         '{"ratio": 3.0, "sf": 0.1, "invalid": "ran under load"}\n'  # excluded
-        '{"ratio": 1.2, "sf": 0.1}\n'
+        # reduced-core scaling probe (driver's local[N<host] leg): excluded —
+        # its ratio measures the core count, not the code (found live r13:
+        # a local[8] probe at ratio 1.34 moved the gate median 1.22 -> 1.27)
+        '{"ratio": 1.34, "sf": 0.1, "cpus_host": 32, "cpus_run": 8}\n'
+        # full-core line WITH the stamp: included (cpus_run == cpus_host)
+        '{"ratio": 1.2, "sf": 0.1, "cpus_host": 32, "cpus_run": 32}\n'
         '{"ratio": 1.8, "sf": 0.1'              # partial line: skipped
     )
     assert bench._history_ratios(str(p)) == [1.5, 1.2]
