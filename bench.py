@@ -75,9 +75,21 @@ def _run_invalid(load1: float | None, steal_pct: float | None) -> str | None:
     return None
 
 
+def _resolve_cpus() -> str:
+    """$SPARK_GRAFT_CPUS, defaulting to the HOST core count when unset
+    (ADVICE r13): the old literal "32" default meant that on any host whose
+    core count differs from 32, every unconfigured run was classified as a
+    reduced-core probe (cpus_run != cpus_host) and silently exempted from
+    both the 2x gate and the trailing-median window — the perf gate could
+    never fire again there. An unset env var means "this host", so the
+    default follows the host. The driver always sets the var explicitly,
+    so its runs are unaffected."""
+    return os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 32)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cpus = _resolve_cpus()
     # stamped BEFORE the session spins up: the bench itself drives load to
     # ~cpus, so only the start value measures EXTERNAL contamination
     try:

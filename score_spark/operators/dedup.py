@@ -35,6 +35,38 @@ from score_spark.functions.text import shingles, tokens
 from score_spark.io import EXPLODE_BYTES_PER_TASK, fan_out, load_table
 from score_spark.xcheck import write_xcheck, xcheck_path
 
+
+def unpersist_on_gc(result: DataFrame, frames) -> DataFrame:
+    """Tie the lifetime of intermediate caches to the RETURNED frame: when
+    the consumer drops the result, every frame in ``frames`` is unpersisted.
+
+    This replaces the r13-era ``localCheckpoint(eager=True)`` +
+    immediate-unpersist pattern in the gate queries: the checkpoint existed
+    only so the caches could be freed before returning, but it cost one full
+    extra materialization job (compute + block store + re-read) and its AQE
+    chain gaps per query run — the self-inflicted job-chain serialization
+    VERDICT r13 #1 calls out. With the caches tied to the result instead,
+    the pipeline materializes exactly once, in the consumer's own action
+    (bench noop / driver collect), reading the shared caches directly.
+
+    CONTRACT: the caches stay alive exactly as long as the returned frame is
+    referenced. Consumers that re-execute the result get cache hits; once
+    the result is garbage-collected the cached blocks are released (pinned
+    by tests/test_cache_lifetimes.py). The callback holds the frames
+    strongly and never the result (no cycle, so plain refcount collection
+    fires it promptly)."""
+    import weakref
+
+    def _release(frames=tuple(frames)):
+        for f in frames:
+            try:
+                f.unpersist()
+            except Exception:
+                pass  # session already stopped
+    weakref.finalize(result, _release)
+    return result
+
+
 # ------------------------------------------------------------------ exact
 
 
@@ -178,16 +210,9 @@ def ngram_jaccard_pairs(
         # not keep the wrapper alive, so executing the derived frame after
         # dropping the wrapper recomputes the shingles (correct, just
         # unpersisted). Callers that branch the result should hold the
-        # wrapper or use eager=True.
-        import weakref
-
-        def _release(cached=sh0):
-            try:
-                cached.unpersist()
-            except Exception:
-                pass  # session already stopped
-
-        weakref.finalize(res, _release)
+        # wrapper (or keep it alive via an attribute on their derived
+        # frame, the d02 pattern) or use eager=True.
+        unpersist_on_gc(res, (sh0,))
     return res
 
 
@@ -796,32 +821,27 @@ def duplicate_clusters(
     iterative, so no single SQL oracle — the driver gate uses DuckDB's
     recursive CTE to reach the same fixpoint independently (ORACLE_D05).
 
-    Two execution tiers, chosen by a COUNTED edge total (same shape as the
-    IVF operator's model-collect: bounded rows reach the driver, never
-    data-scale frames): at or below ``driver_threshold`` edges the graph is
-    collected and solved with union-find — the pair graph is the near-dup
-    REPORT, usually orders of magnitude smaller than the corpus, and a
-    66-edge graph paying cluster-wide stage scheduling per propagation
-    round is pure waste; above it, distributed min-label propagation runs
-    with frames partitioned to the graph's size (a billion-edge graph
-    still gets thousands of partitions). Both tiers produce identical
-    labels (pinned in tests)."""
-    edges = (
-        pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
-        .unionByName(pairs.select(F.col(id2).alias("src"), F.col(id1).alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    # size the iteration to the GRAPH, not the session default: pair graphs
-    # are usually orders of magnitude smaller than the corpus, and each
-    # propagation round otherwise schedules full-width stages over a
-    # near-empty frame (measured: the loop's cost was ~all scheduling at
-    # sf0.1's 66 edges). ~200k edges per partition; coalesce is narrow
-    # (no shuffle) and runs on the already-checkpointed data, and a
-    # billion-edge graph still gets thousands of partitions.
-    n_edges = edges.count()
-    if n_edges <= driver_threshold:
-        # driver tier: union-find over the bounded, already-counted edge
+    Two execution tiers (same shape as the IVF operator's model-collect:
+    bounded rows reach the driver, never data-scale frames): the driver
+    tier fetches up to ``driver_threshold`` PAIR rows with ONE incremental
+    limit+collect job and solves union-find — the pair graph is the
+    near-dup REPORT, usually orders of magnitude smaller than the corpus,
+    and the r13 shape (bidirectional union → distinct → localCheckpoint →
+    count → collect) paid FOUR serialized job chains plus a distinct
+    shuffle to reach the same 66-edge union-find at gate scale (VERDICT
+    r13 #1: self-inflicted chain serialization). Union-find needs neither
+    direction-doubling nor dedup — duplicate and reversed edges are
+    no-ops. When the limit is exhausted (more pairs than the threshold),
+    distributed min-label propagation runs with frames partitioned to the
+    graph's size (a billion-edge graph still gets thousands of
+    partitions); the pair pipeline is persisted across the probe so the
+    probe's map-side work (and its shuffle files) is reused, not repeated.
+    Both tiers produce identical labels (pinned in tests)."""
+    e0 = pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst")).persist()
+    head = e0.limit(max(0, driver_threshold) + 1).collect()
+    if len(head) <= driver_threshold:
+        e0.unpersist()
+        # driver tier: union-find over the bounded, fully-fetched pair
         # list; path compression + union by attachment to the smaller root
         parent: dict = {}
 
@@ -833,8 +853,7 @@ def duplicate_clusters(
                 parent[x], x = r, parent[x]
             return r
 
-        rows = edges.collect()
-        for row in rows:
+        for row in head:
             ra, rb = find(row.src), find(row.dst)
             if ra != rb:
                 # attach the larger root under the smaller: labels must be
@@ -843,7 +862,7 @@ def duplicate_clusters(
                     parent[rb] = ra
                 else:
                     parent[ra] = rb
-        nodes = {r.src for r in rows} | {r.dst for r in rows}
+        nodes = {r.src for r in head} | {r.dst for r in head}
         out = [(n, find(n)) for n in sorted(nodes)]
         # schema derives from the id column's actual type — a hardcoded
         # 'node long' made this tier reject string ids the distributed tier
@@ -863,6 +882,25 @@ def duplicate_clusters(
         return pairs.sparkSession.createDataFrame(
             pd.DataFrame(out, columns=["node", "label"]), schema=schema
         )
+    # distributed tier: NOW build the bidirectional distinct edge table the
+    # propagation loop iterates over. e0 is persisted, so the probe's
+    # computed partitions (and the pair pipeline's shuffle files) feed both
+    # union sides from cache instead of re-running the miner; the checkpoint
+    # truncates lineage for the loop exactly as before.
+    edges = (
+        e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e0.unpersist()
+    # size the iteration to the GRAPH, not the session default: pair graphs
+    # are usually orders of magnitude smaller than the corpus, and each
+    # propagation round otherwise schedules full-width stages over a
+    # near-empty frame (measured: the loop's cost was ~all scheduling at
+    # sf0.1's 66 edges). ~200k edges per partition; coalesce is narrow
+    # (no shuffle) and runs on the already-checkpointed data, and a
+    # billion-edge graph still gets thousands of partitions.
+    n_edges = edges.count()
     parts = max(1, min(int(n_edges // 200_000) + 1, edges.sparkSession.sparkContext.defaultParallelism))
     edges = edges.coalesce(parts)
     labels = (
@@ -927,9 +965,18 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     exact = os.environ.get("SCORE_SPARK_D02_EXACT", "") not in ("", "0")
-    return ngram_jaccard_pairs(
-        d, n=3, threshold=0.03, max_doc_freq=50, eager=True, hash_ids=not exact
-    ).orderBy("d1", "d2")
+    # eager=False (opt r14, VERDICT r13 #1): the eager localCheckpoint paid a
+    # full extra materialization job (compute + block store + re-read) per
+    # run just to free the shingle cache before returning. The lazy wrapper's
+    # finalize frees the cache on GC instead; the wrapper must ride on the
+    # derived orderBy frame (ngram_jaccard_pairs contract) so the cache lives
+    # until the consumer drops the result.
+    res = ngram_jaccard_pairs(
+        d, n=3, threshold=0.03, max_doc_freq=50, eager=False, hash_ids=not exact
+    )
+    out = res.orderBy("d1", "d2")
+    out._score_spark_keepalive = res
+    return out
 
 
 ORACLE_D02 = f"""
@@ -960,7 +1007,16 @@ def d05_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle reaches the same fixpoint via DuckDB's recursive CTE transitive
     closure — two independent algorithms, identical components."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.03, max_doc_freq=50, eager=True)
+    # eager=False (opt r14, VERDICT r13 #1): the pair miner no longer
+    # pre-materializes through a localCheckpoint — duplicate_clusters'
+    # driver tier fetches the pairs in its ONE limit+collect job (the whole
+    # d05 chain is now a single job at gate scale, was four), and the
+    # distributed tier persists the pair pipeline across its probe. The
+    # lazy wrapper (`pairs`) stays referenced through the call, so the
+    # shingle cache backs both self-join sides; it is released when this
+    # function returns (the result below derives from the collected labels
+    # — or, distributed, from a checkpoint — never from the shingle cache).
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.03, max_doc_freq=50, eager=False)
     labels = duplicate_clusters(pairs)
     return (
         labels.groupBy(F.col("label").alias("cluster_id"))
@@ -1029,13 +1085,16 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = write_xcheck(minhash_lsh_pairs(d, n_hashes=16, bands=8, sigs=sigs), "d03_candidates", sf_dir)
     g = shingle_table(max_doc_freq=None, shingle_df=sh)
     sizes = sh.select("doc_id", F.size("_shs").alias("sz"))
-    res = exact_jaccard_for_pairs(
-        cand, d, n=3, shingle_df=g, sizes_df=sizes
-    ).localCheckpoint(eager=True)  # materialize, then free all three caches
-    sh.unpersist()
-    sigs.unpersist()
-    cand.unpersist()
-    return res.select("d1", "d2", "est_jaccard", "exact_jac").orderBy("d1", "d2")
+    res = exact_jaccard_for_pairs(cand, d, n=3, shingle_df=g, sizes_df=sizes)
+    # no localCheckpoint (opt r14, VERDICT r13 #1): the eager checkpoint
+    # materialized the whole rerank once (compute + block store) and the
+    # consumer's action then re-read it — a full extra serialized job chain
+    # per run, paid only so the three caches could be freed before
+    # returning. The rerank's lineage is shallow (joins over the cached
+    # candidate/shingle tables), so the consumer's own action computes it
+    # once from cache; the caches release when the result is dropped.
+    out = res.select("d1", "d2", "est_jaccard", "exact_jac").orderBy("d1", "d2")
+    return unpersist_on_gc(out, (sh, sigs, cand))
 
 
 ORACLE_D03 = f"""
@@ -1103,7 +1162,12 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide_p = hamming_pairs(wide, max_hamming=3, n_bits=auto_bits).withColumn(
         "path", F.lit("wideauto")
     )
-    return classic.unionByName(wide_p).orderBy("path", "d1", "d2")
+    # release the two xcheck signature caches when the consumer drops the
+    # result (persist-lifetime audit, VERDICT r13 #3) — previously they
+    # stayed live until the next call's unpersist-on-replace
+    return unpersist_on_gc(
+        classic.unionByName(wide_p).orderBy("path", "d1", "d2"), (wide, sigs)
+    )
 
 
 def d04_legs(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -421,20 +421,38 @@ def k01_bucketed_join(spark, sf_dir: str):
         fc = pool.submit(
             write_bucketed, c, t_cust, ("c_custkey",), 8, ("c_custkey",)
         )
-        # persist across write_zordered's three passes (quantile sketch,
-        # range sampling, bucketize+write); 0.01 sketch error only blurs
-        # bucket boundaries by a few of the 256 buckets — layout quality,
-        # not correctness, which the hash gate below pins exactly
-        raw_o = raw_o.persist()
         try:
-            write_zordered(
-                raw_o, z_path, ("o_custkey", "o_totalprice"), bits_per_dim=8, relative_error=0.01
-            )
+            # persist across write_zordered's three passes (quantile sketch,
+            # range sampling, bucketize+write); 0.01 sketch error only blurs
+            # bucket boundaries by a few of the 256 buckets — layout quality,
+            # not correctness, which the hash gate below pins exactly
+            raw_o = raw_o.persist()
+            try:
+                write_zordered(
+                    raw_o, z_path, ("o_custkey", "o_totalprice"), bits_per_dim=8, relative_error=0.01
+                )
+            finally:
+                raw_o.unpersist()
+            o = spark.read.parquet(z_path)
+            write_bucketed(o, t_orders, ("o_custkey",), n_buckets=8, sort_by=("o_custkey",))
         finally:
-            raw_o.unpersist()
-        o = spark.read.parquet(z_path)
-        write_bucketed(o, t_orders, ("o_custkey",), n_buckets=8, sort_by=("o_custkey",))
-        fc.result()
+            # surface the customer write's outcome even when the main chain
+            # raised (ADVICE r13): the pool's context exit waits for the
+            # in-flight write either way, but previously discarded its
+            # exception when fc.result() was never reached. When BOTH fail,
+            # the main chain's exception propagates and the customer
+            # write's is logged instead of vanishing.
+            import sys
+
+            exc = fc.exception()  # blocks until the write finishes
+            if exc is not None:
+                if sys.exc_info()[0] is not None:
+                    print(
+                        f"k01 customer bucketed write ALSO failed: {exc!r}",
+                        file=sys.stderr,
+                    )
+                else:
+                    raise exc
     ob, cb = spark.table(t_orders), spark.table(t_cust)
     return (
         cb.join(ob, cb.c_custkey == ob.o_custkey)

@@ -155,6 +155,25 @@ def test_duplicate_clusters_long_chain_converges(spark):
     assert got == {i: 0 for i in range(13)}
 
 
+def test_duplicate_clusters_probe_boundary_and_duplicate_edges(spark):
+    """r14 internals change: the driver tier fetches up to driver_threshold
+    PAIR rows with one limit+collect instead of counting a deduped
+    bidirectional edge table. Duplicate and reversed pair rows must not
+    change the labels in either tier, and the threshold boundary must pick
+    the documented tier: <= threshold pair rows -> driver union-find,
+    threshold+1 -> distributed propagation (identical labels either way)."""
+    from score_spark.operators.dedup import duplicate_clusters
+
+    rows = [(1, 2), (2, 1), (1, 2), (2, 3), (10, 11), (10, 11)]
+    pairs = spark.createDataFrame(rows, ["d1", "d2"])
+    want = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    # exactly at the row budget: driver tier (limit not exhausted)
+    at = {(r.node, r.label) for r in duplicate_clusters(pairs, driver_threshold=len(rows)).collect()}
+    # one under the row budget: distributed tier
+    under = {(r.node, r.label) for r in duplicate_clusters(pairs, driver_threshold=len(rows) - 1).collect()}
+    assert at == under == want
+
+
 def test_duplicate_clusters_raises_on_non_convergence(spark):
     """Exhausting max_iter on a component with diameter > max_iter must fail
     loudly, not return split labels — this tier is the at-scale path where no

@@ -132,6 +132,26 @@ def test_bench_history_ratios_filtering(tmp_path):
     assert statistics.median(window) == 1.5
 
 
+def test_bench_resolve_cpus_defaults_to_host(monkeypatch):
+    """An unset $SPARK_GRAFT_CPUS must resolve to the HOST core count, not a
+    literal 32 (ADVICE r13): on a non-32-core host the literal default made
+    every unconfigured run a "reduced-core probe" (cpus_run != cpus_host),
+    silently exempting it from the 2x gate and the median window forever."""
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    monkeypatch.delenv("SPARK_GRAFT_CPUS", raising=False)
+    assert bench._resolve_cpus() == str(os.cpu_count() or 32)
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    assert bench._resolve_cpus() == "8"
+    # empty string counts as unset, not as a literal core count
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "")
+    assert bench._resolve_cpus() == str(os.cpu_count() or 32)
+
+
 def test_bench_compact_stdout_line_fits_driver_tail_buffer():
     """BENCH_r09/r10's `parsed` was null because the full nested report
     (~4.5 kB) overflowed the driver's ~2 kB stdout tail buffer (VERDICT r10
