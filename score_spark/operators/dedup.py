@@ -101,6 +101,7 @@ def shingle_table(
     max_doc_freq: int | None = 50,
     shingle_df: DataFrame | None = None,
     hash_ids: bool = False,
+    drop_singletons: bool = False,
 ) -> DataFrame:
     """(doc_id, shingle) pairs, optionally dropping shingles that appear in
     more than max_doc_freq docs — the standard candidate-explosion guard.
@@ -118,7 +119,21 @@ def shingle_table(
     (~1e-8 at a million distinct shingles); a collision can only merge two
     shingles' doc lists, nudging an intersection count by 1 — immaterial for
     dedup and absent at driver-gate scale. Use the default string identity
-    when bit-exact shingle equality is required (the d03 rerank path)."""
+    when bit-exact shingle equality is required (the d03 rerank path).
+
+    ``drop_singletons=True`` additionally drops shingles appearing in
+    exactly ONE row — for consumers that use the table ONLY to generate
+    co-occurrence pairs (the d1 < d2 self-join), where a doc-freq-1 shingle
+    provably contributes nothing but still crosses the join exchange on
+    both sides (guide §2.3: shuffle fewer bytes). The predicate rides the
+    freq aggregate the cap already computes, so it is free when a cap is
+    set. NOT the default: a plain (doc_id, shingle) table's consumers may
+    legitimately need singleton rows (coverage stats, inverted indexes).
+    The gate corpus is nearly singleton-free (~0.08%% of occurrence rows at
+    sf0.1, 0 at the sf1 replica — synthetic text reuses a 27k-shingle
+    vocabulary), so the bench cannot see this; Zipfian natural-corpus
+    vocabularies are singleton-heavy, which is where the cut lands (opt
+    r14)."""
     if shingle_df is None:
         if df is None:
             raise ValueError("need df or shingle_df")
@@ -126,9 +141,14 @@ def shingle_table(
     g = shingle_df.select("doc_id", F.explode("_shs").alias("sh"))
     if hash_ids:
         g = g.select("doc_id", F.xxhash64("sh").alias("sh"))
-    if max_doc_freq is not None:
+    if max_doc_freq is not None or drop_singletons:
         freq = g.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
-        g = g.join(freq.filter(F.col("_df") <= max_doc_freq).select("sh"), "sh")
+        keep = freq
+        if max_doc_freq is not None:
+            keep = keep.filter(F.col("_df") <= max_doc_freq)
+        if drop_singletons:
+            keep = keep.filter(F.col("_df") >= 2)
+        g = g.join(keep.select("sh"), "sh")
     return g
 
 
@@ -177,8 +197,16 @@ def ngram_jaccard_pairs(
     # 64-bit shingle identity (default): every shuffle from here (freq agg,
     # cap join, intersection group) carries longs, not ~25-byte strings (see
     # shingle_table docstring for the collision analysis); hash_ids=False is
-    # the collision-diagnosis mode (d02_ngram_jaccard docstring)
-    g = shingle_table(max_doc_freq=max_doc_freq, shingle_df=sh0, hash_ids=hash_ids)
+    # the collision-diagnosis mode (d02_ngram_jaccard docstring).
+    # drop_singletons: `g` exists here ONLY to feed the d1 < d2 self-join —
+    # a doc-freq-1 shingle can never produce a pair, so dropping it is
+    # result-identical (proof: inter counts rows where two DIFFERENT docs
+    # share a shingle; sizes come from _shs, not g) and removes the
+    # singleton fraction of the vocabulary from both sides of the join
+    # exchange for free (the predicate rides the cap's freq aggregate).
+    g = shingle_table(
+        max_doc_freq=max_doc_freq, shingle_df=sh0, hash_ids=hash_ids, drop_singletons=True
+    )
     inter = (
         g.select("sh", F.col("doc_id").alias("d1"))
         .join(g.select("sh", F.col("doc_id").alias("d2")), "sh")

@@ -95,6 +95,18 @@ def get_session(
         # unbounded broadcast hints (VERDICT r2 "Next round" #5)
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # shuffle codec (guide §2.3), decision record in SCALE.md: the sf1
+        # probe (tools/probe_r14_sf1.py codec) measured zstd at 44% fewer
+        # shuffle bytes (177 -> 99 MB over the d02+d04 suite) but ~0.8 s
+        # MORE d02 wall locally — a local[N] "shuffle" never touches a NIC,
+        # so compression CPU is pure overhead here. Default stays lz4 for
+        # the latency-bound local regime; a network-bound cluster run
+        # should set SPARK_GRAFT_SHUFFLE_CODEC=zstd to trade that CPU for
+        # 1.8x fewer bytes on the wire.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_CODEC", "lz4"),
+        )
         # write timestamps as INT64 micros, not the deprecated INT96: INT96
         # row groups carry NO min/max statistics, which silently disables
         # row-group skipping for every time-range predicate over data this

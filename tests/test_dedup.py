@@ -155,6 +155,42 @@ def test_duplicate_clusters_long_chain_converges(spark):
     assert got == {i: 0 for i in range(13)}
 
 
+def test_shingle_table_drop_singletons_is_pair_neutral(spark):
+    """drop_singletons removes doc-freq-1 shingles from the pair-generation
+    table (they can never co-occur) but must leave ngram_jaccard_pairs'
+    OUTPUT identical — the r14 shuffle-bytes guard's equivalence proof as a
+    test, on a corpus where singletons actually exist."""
+    import pyspark.sql.functions as F
+
+    from score_spark.operators.dedup import ngram_jaccard_pairs, shingle_table
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over a lazy dog entirely"),
+            (2, "the quick brown fox jumps over a sleepy cat entirely"),
+            (3, "completely unrelated singleton text with unique words only"),
+        ],
+        ["doc_id", "text"],
+    )
+    g_all = shingle_table(docs, max_doc_freq=None)
+    g_nosingle = shingle_table(docs, max_doc_freq=None, drop_singletons=True)
+    freq = {
+        r.sh: r.n
+        for r in g_all.groupBy("sh").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert any(n == 1 for n in freq.values()), "fixture must contain singletons"
+    kept = {r.sh for r in g_nosingle.select("sh").distinct().collect()}
+    assert kept == {sh for sh, n in freq.items() if n >= 2}
+    # end-to-end: the pair output is identical because singletons never pair
+    pairs = sorted(
+        (r.d1, r.d2, r.jac)
+        for r in ngram_jaccard_pairs(docs, threshold=0.01, max_doc_freq=50).collect()
+    )
+    assert pairs and pairs[0][:2] == (1, 2)
+    # doc 3 (all-singleton shingles vs the others) must not appear
+    assert all(3 not in (d1, d2) for d1, d2, _ in pairs)
+
+
 def test_duplicate_clusters_probe_boundary_and_duplicate_edges(spark):
     """r14 internals change: the driver tier fetches up to driver_threshold
     PAIR rows with one limit+collect instead of counting a deduped
