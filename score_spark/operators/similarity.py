@@ -25,6 +25,8 @@ a K x dim literal expression tree costs.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
@@ -536,6 +538,86 @@ def lsh_pair_candidates(
     )
 
 
+def _rerank_gather_max_bytes() -> int:
+    """Gather-tier budget for ``near_dup_pairs_lsh``'s rerank (bytes of the
+    dense embedding matrix). Env-tunable; read at call time so a deployment
+    (or test) can size it to executor/worker memory. Default 64 MB: each
+    reused Python worker holds ONE copy of the broadcast matrix, so the
+    per-executor cost is ~budget x python workers — modest beside a single
+    shuffled candidate join at the same scale."""
+    return int(os.environ.get("SCORE_SPARK_RERANK_GATHER_MAX_BYTES", str(64 << 20)))
+
+
+def _rerank_gather_table(
+    emb: DataFrame, id_col: str, vec_col: str, dim: int, max_bytes: int
+):
+    """(ids_sorted, matrix) for the gather-tier rerank, or None when the
+    corpus exceeds ``max_bytes`` / has duplicate or null ids / ragged
+    vectors — every None falls back to the join tier, which handles all of
+    those shapes. Sized with ONE incremental ``limit(n+1)`` collect (the d05
+    driver-tier pattern): no count job, and at 100 TB the probe collects at
+    most n+1 rows before bailing out."""
+    if dim <= 0:
+        return None
+    max_rows = max_bytes // (dim * 8)
+    if max_rows < 1:
+        return None
+    try:
+        pdf = emb.select(id_col, vec_col).limit(int(max_rows) + 1).toPandas()
+        if len(pdf) == 0 or len(pdf) > max_rows:
+            return None
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        if np.unique(ids).size != ids.size:
+            return None
+        E = np.array(list(pdf[vec_col]), dtype=np.float64)
+        if E.ndim != 2 or E.shape[1] != dim:
+            return None
+    except (TypeError, ValueError):
+        return None
+    order = np.argsort(ids)
+    return ids[order], E[order]
+
+
+def _gather_pair_sim(spark, ids_sorted: np.ndarray, E_sorted: np.ndarray):
+    """Map-only pair cosine against a broadcast (ids, matrix) gather table:
+    searchsorted id lookup + the SAME float64 einsum/norm arithmetic as
+    ``cosine_pd`` — bit-identical sims, but the only columns crossing the
+    Python boundary are the two id longs (16 B/pair instead of two full
+    vectors, ~1 KB/pair at dim 64). Pairs whose ids miss the table (or are
+    null) yield NaN, which the caller's isnan guard drops — exactly the rows
+    an inner join to the corpus would have dropped."""
+    bc = spark.sparkContext.broadcast((ids_sorted, E_sorted))
+
+    @F.pandas_udf("double")
+    def pair_sim(v1: pd.Series, v2: pd.Series) -> pd.Series:
+        if len(v1) == 0:
+            return pd.Series([], dtype="float64")
+        g_ids, g_E = bc.value
+
+        def look(v: pd.Series):
+            x = v.to_numpy()
+            if x.dtype == np.int64:
+                notnull = np.ones(x.size, dtype=bool)
+            else:  # nullable ints arrive as object/float with NaN holes
+                notnull = ~pd.isna(x)
+                x = np.where(notnull, x, 0).astype(np.int64)
+            i = np.searchsorted(g_ids, x).clip(0, g_ids.size - 1)
+            return i, notnull & (g_ids[i] == x)
+
+        i1, ok1 = look(v1)
+        i2, ok2 = look(v2)
+        A, B = g_E[i1], g_E[i2]
+        s = np.einsum("ij,ij->i", A, B) / (
+            np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        )
+        s[~(ok1 & ok2)] = np.nan
+        return pd.Series(s)
+
+    # nondeterministic marker: see cosine_pd — stops Catalyst duplicating
+    # the eval into a pushed copy of the threshold filter
+    return pair_sim.asNondeterministic()
+
+
 def near_dup_pairs_lsh(
     emb: DataFrame,
     threshold: float = 0.4,
@@ -553,9 +635,13 @@ def near_dup_pairs_lsh(
     the budget as the corpus scales (see lsh_pair_candidates); recall
     depends on n_tables/n_planes vs the threshold (a sim-s pair is missed
     with prob (1-p^k)^L, p = 1 - acos(s)/pi — high-sim pairs share a full
-    band key in at least one table with high probability). Vectors rejoin
-    the deduped id pairs for the cosine — two hash joins keyed by scalar id,
-    exactly the score_candidates shape. Pass a precomputed ``cand`` (v1, v2)
+    band key in at least one table with high probability). The cosine rerank
+    runs in one of two tiers: when the corpus matrix fits the gather budget
+    (``SCORE_SPARK_RERANK_GATHER_MAX_BYTES``, default 64 MB) it is broadcast
+    once and the rerank is MAP-ONLY over the id pairs; otherwise vectors
+    rejoin the deduped id pairs — two hash joins keyed by scalar id, exactly
+    the score_candidates shape. Both tiers compute the identical float64
+    einsum. Pass a precomputed ``cand`` (v1, v2)
     frame to rerank an externally materialized candidate set instead.
 
     ``n_planes=None`` (the default) sizes k to the corpus via
@@ -563,19 +649,38 @@ def near_dup_pairs_lsh(
     path no longer requires the caller to know the candidate growth law."""
     if cand is None:
         cand = lsh_pair_candidates(emb, n_tables, n_planes, dim, id_col, vec_col)
-    e1 = emb.select(F.col(id_col).alias("v1"), F.col(vec_col).alias("_v1"))
-    e2 = emb.select(F.col(id_col).alias("v2"), F.col(vec_col).alias("_v2"))
-    sim = cosine_pd(F.col("_v1"), F.col("_v2"))
-    return (
-        cand.join(e1, "v1")
-        .join(e2, "v2")
-        .select("v1", "v2", F.round(sim, 4).alias("sim"))
-        # NaN guard: Spark orders NaN ABOVE every value, so a zero-norm
-        # vector's undefined cosine would pass `sim >= t` here while the
-        # exact numpy path (s02) drops it — undefined similarity is not a
-        # near-duplicate in either engine (review r9)
-        .filter((F.col("sim") >= threshold) & ~F.isnan("sim"))
+    # Gather tier (opt r14, guide §8 "move heavy bytes once"): the join tier
+    # below ships TWO full vectors through Arrow per candidate pair (~1 KB at
+    # dim 64; 7.4M pairs at the sf1 replica = ~7.5 GB per run, 66-113 core-s
+    # in the rerank stage). When the corpus matrix fits the gather budget,
+    # broadcast it ONCE and rerank map-only over the (v1, v2) longs —
+    # 16 B/pair through the boundary, zero rerank joins, bit-identical sims
+    # (same float64 einsum). Oversized/duplicate-id/ragged corpora fall back
+    # to the join tier, which remains the unbounded 100 TB path.
+    gather = _rerank_gather_table(
+        emb,
+        id_col,
+        vec_col,
+        embedding_dim(emb, vec_col, empty_default=0),
+        _rerank_gather_max_bytes(),
     )
+    if gather is not None:
+        sim = _gather_pair_sim(emb.sparkSession, *gather)(F.col("v1"), F.col("v2"))
+        reranked = cand.select("v1", "v2", F.round(sim, 4).alias("sim"))
+    else:
+        e1 = emb.select(F.col(id_col).alias("v1"), F.col(vec_col).alias("_v1"))
+        e2 = emb.select(F.col(id_col).alias("v2"), F.col(vec_col).alias("_v2"))
+        sim = cosine_pd(F.col("_v1"), F.col("_v2"))
+        reranked = (
+            cand.join(e1, "v1").join(e2, "v2").select("v1", "v2", F.round(sim, 4).alias("sim"))
+        )
+    # NaN guard: Spark orders NaN ABOVE every value, so a zero-norm
+    # vector's undefined cosine would pass `sim >= t` here while the
+    # exact numpy path (s02) drops it — undefined similarity is not a
+    # near-duplicate in either engine (review r9). In the gather tier NaN
+    # also marks ids absent from the corpus, matching the join tier's
+    # inner-join drop of those pairs.
+    return reranked.filter((F.col("sim") >= threshold) & ~F.isnan("sim"))
 
 
 def mean_pool_embeddings(

@@ -394,3 +394,53 @@ def test_n_planes_default_derives_from_corpus(spark, clustered):
     auto = {(r.v1, r.v2) for r in lsh_pair_candidates(clustered).collect()}
     manual = {(r.v1, r.v2) for r in lsh_pair_candidates(clustered, n_planes=k).collect()}
     assert auto == manual
+
+
+def test_near_dup_rerank_gather_matches_join_tier(spark, clustered, monkeypatch):
+    """Opt r14 (guide §8): the rerank's gather tier (broadcast corpus
+    matrix, map-only id-pair cosine) must produce EXACTLY the join tier's
+    rows — same sims to the emitted 4 dp (identical float64 einsum) and the
+    same inner-join drop of candidate pairs whose ids are absent from the
+    corpus (gather marks them NaN; the isnan guard removes them)."""
+    import itertools
+
+    from score_spark.operators.similarity import near_dup_pairs_lsh
+
+    cand_rows = [(a, b) for a, b in itertools.combinations(range(30), 2)]
+    cand_rows.append((0, 99_999))  # id absent from the corpus
+    cand = spark.createDataFrame(cand_rows, "v1 bigint, v2 bigint")
+
+    gather_rows = {
+        tuple(r) for r in near_dup_pairs_lsh(clustered, threshold=0.9, cand=cand).collect()
+    }
+    # zero budget forces the join tier at call time
+    monkeypatch.setenv("SCORE_SPARK_RERANK_GATHER_MAX_BYTES", "0")
+    join_rows = {
+        tuple(r) for r in near_dup_pairs_lsh(clustered, threshold=0.9, cand=cand).collect()
+    }
+    assert gather_rows == join_rows
+    assert gather_rows  # non-vacuous: cluster 0's 20 vectors are near-dups
+    assert all(v2 != 99_999 for _, v2, _ in gather_rows)
+
+
+def test_rerank_gather_table_guards(spark, clustered):
+    """The gather tier must refuse (-> join-tier fallback) when the corpus
+    exceeds the byte budget or carries duplicate ids; when it fits, the
+    table is id-sorted and dense."""
+    from score_spark.operators.similarity import _rerank_gather_table
+
+    # budget of one row < 100-row corpus -> None
+    assert _rerank_gather_table(clustered, "vec_id", "embedding", 64, 64 * 8) is None
+    # zero/invalid dim -> None without any job
+    assert _rerank_gather_table(clustered, "vec_id", "embedding", 0, 1 << 30) is None
+    # duplicate ids break the unique-gather precondition -> None
+    dup = clustered.select("vec_id", "embedding").unionAll(
+        clustered.select("vec_id", "embedding").limit(1)
+    )
+    assert _rerank_gather_table(dup, "vec_id", "embedding", 64, 1 << 30) is None
+    # fits -> id-sorted ids + (n, dim) float64 matrix
+    t = _rerank_gather_table(clustered, "vec_id", "embedding", 64, 1 << 30)
+    assert t is not None
+    ids, E = t
+    assert list(ids) == sorted(ids)
+    assert E.shape == (100, 64) and E.dtype == np.float64
